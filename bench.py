@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query executes fully via a noop-format write (no driver collect, no
+sink I/O in the timing) after a warm-up of the session + input footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from bookstore_aws_lakehouse_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bookstore-lakehouse-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+
+    from bookstore_aws_lakehouse_spark.golden import GOLDEN
+
+    headline = [
+        "topk_books",
+        "topk_books_by_title",
+        "join_avg_by_author",
+        "count_star_by_country",
+        "drilldown_states",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "window_topn_per_group",
+        "rollup_geo",
+        "group_avg_count",
+    ]
+    # extension headliners are registered lazily (modules may land later)
+    for extra in ["dedup_exact", "dedup_minhash_pairs", "text_quality", "embedding_topk_cosine"]:
+        if extra in GOLDEN:
+            headline.append(extra)
+
+    # warm-up: JVM, parquet footers, codegen
+    GOLDEN["topk_books"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        if name not in GOLDEN:
+            continue
+        t0 = time.monotonic()
+        GOLDEN[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""Catalog layer: expose the lake's tables to DataFrame code and SQL.
+
+Reference analog: the Glue Data Catalog + Redshift Spectrum external schema
+(`external-table-queries.sql:4-8`, `README.md:44` in the reference) — tables
+queryable in place without loading. Spark-native equivalent: the session
+catalog; temp views over parquet locations (tests/driver) or
+``CREATE TABLE ... USING parquet LOCATION`` for a persistent metastore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: every driver-generated fixture table (TESTDATA.md)
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table (reference S1: `workflow/Extractor.py:3-5`).
+
+    Plain ``spark.read.parquet`` — schema from the footer, vectorized reader,
+    predicate pushdown and column pruning all come from Catalyst for free.
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` resolves it.
+
+    Reference S4 (external catalog table): Catalyst resolves view names
+    against the session catalog exactly like Spectrum resolves the external
+    schema against Glue.
+    """
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,623 @@
+"""Golden query set: every operator of SURVEY.md §2 proven against a DuckDB
+oracle on the driver fixtures (`/root/testdata/sf*`).
+
+Registry contract (mirrors ``__spark_entry__.py``):
+- ``GOLDEN[name](spark, sf_dir) -> DataFrame`` — the Spark plan, built from
+  the operator library;
+- ``ORACLE[name]`` — ANSI-SQL twin DuckDB runs on the same parquet (views
+  pre-registered by the driver). Omitted only for non-SQL-expressible ops.
+
+Determinism policy (SURVEY §7.3): every top-k has a total order (tiebreak on
+a key column); money-double aggregates go through ``exact_sum``/``exact_avg``
+(decimal — order-independent); every computed column is aliased identically
+in both the Spark plan and the SQL.
+
+Fixture role-mapping (FIXTURES.md §2): part ≈ books dim, customer ≈
+customers dim, lineitem ≈ ratings fact, nation/region ≈ the geo hierarchy
+the reference derives from ``Location``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.catalog import load_table
+from bookstore_aws_lakehouse_spark.functions.scalar import exact_avg, exact_sum, null_if_in
+from bookstore_aws_lakehouse_spark.operators.aggregates import (
+    count_star_by,
+    cube_agg,
+    distinct_rows,
+    group_agg,
+    pivot_agg,
+    rollup_agg,
+)
+from bookstore_aws_lakehouse_spark.operators.filters import filter_equals, filter_expr
+from bookstore_aws_lakehouse_spark.operators.joins import join_dim_fact
+from bookstore_aws_lakehouse_spark.operators.projection import (
+    drop_null_keys,
+    expand_delimited,
+    null_normalize,
+    select_columns,
+)
+from bookstore_aws_lakehouse_spark.operators.sort import top_k
+from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+GOLDEN: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def golden(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        GOLDEN[name] = fn
+        if oracle is not None:
+            ORACLE[name] = dedent(oracle).strip()
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Scans (S1) and projections (P1)
+# --------------------------------------------------------------------------
+
+@golden("scan_parquet", "SELECT * FROM nation")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — bare parquet scan (reference `workflow/Extractor.py:3-5`)."""
+    return load_table(spark, sf_dir, "nation")
+
+
+@golden("project_fact", "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem")
+def project_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — named projection; the reference's fact-table build
+    (`workflow/Transformer.py:82`). Column pruning reaches the scan."""
+    return select_columns(
+        load_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_partkey", "l_quantity"]
+    )
+
+
+# --------------------------------------------------------------------------
+# Cleaning stage (P2-P4, F1-F5)
+# --------------------------------------------------------------------------
+
+@golden(
+    "null_normalize",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_name IN ('', ' ', 'NULL', 'null', 'N/A') THEN NULL ELSE c_name END AS c_name,
+           CASE WHEN c_mktsegment IN ('', ' ', 'NULL', 'null', 'N/A') THEN NULL ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def q_null_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/F3 — sentinel-string → NULL rewrite (reference
+    `workflow/Transformer.py:35-36`, generalized per SURVEY §7.1.5)."""
+    cust = select_columns(
+        load_table(spark, sf_dir, "customer"), ["c_custkey", "c_name", "c_mktsegment"]
+    )
+    return null_normalize(cust, ["c_name", "c_mktsegment"])
+
+
+@golden(
+    "expand_location",
+    """
+    SELECT p_partkey,
+           trim(split_part(p_name, ' ', 1)) AS p_adjective,
+           trim(split_part(p_name, ' ', 2)) AS p_noun
+    FROM part
+    """,
+)
+def q_expand_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/F1/F2 — split-derived columns: the ``Location -> City/State/
+    Country`` expansion (reference `workflow/Transformer.py:15-18`)
+    transplanted onto ``p_name`` ('cold widget' → adjective/noun)."""
+    part = select_columns(load_table(spark, sf_dir, "part"), ["p_partkey", "p_name"])
+    out = expand_delimited(part, "p_name", ["p_adjective", "p_noun"], delimiter=" ")
+    return select_columns(out, ["p_partkey", "p_adjective", "p_noun"])
+
+
+@golden(
+    "drop_null_keys",
+    "SELECT doc_id, text, lang FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL",
+)
+def q_drop_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — ``na.drop(subset=keys)`` (reference `workflow/Transformer.py:37`)."""
+    docs = select_columns(load_table(spark, sf_dir, "documents"), ["doc_id", "text", "lang"])
+    return drop_null_keys(docs, ["doc_id", "text", "lang"])
+
+
+@golden(
+    "filter_where",
+    "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'",
+)
+def q_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — pushdown-eligible equality predicate (reference
+    `external-table-queries.sql:31`: ``WHERE country = 'usa'``)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return select_columns(
+        filter_equals(cust, "c_mktsegment", "FURNITURE"),
+        ["c_custkey", "c_name", "c_nationkey"],
+    )
+
+
+@golden(
+    "distinct_dim",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def q_distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — dimension dedup: ``.select(cols).distinct()`` (reference
+    `workflow/Transformer.py:52,67`)."""
+    return distinct_rows(load_table(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"])
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A6)
+# --------------------------------------------------------------------------
+
+@golden(
+    "group_avg_count",
+    """
+    SELECT l_partkey,
+           avg(l_quantity) AS avg_qty,
+           count(l_returnflag) AS cnt_flag,
+           count(*) AS cnt_all
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+)
+def q_group_avg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3/A4 — multi-agg hash group-by; keeps the reference's
+    count(col)-vs-count(*) distinction (SURVEY §7.1.3). Partial aggregation
+    (map-side combine) means the shuffle carries one row per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_agg(
+        li,
+        ["l_partkey"],
+        {
+            "avg_qty": F.avg("l_quantity"),
+            "cnt_flag": F.count("l_returnflag"),
+            "cnt_all": F.count(F.lit(1)),
+        },
+    )
+
+
+@golden(
+    "count_star_by_country",
+    """
+    SELECT n_name, count(*) AS customer_count
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY customer_count DESC, n_name
+    LIMIT 10
+    """,
+)
+def q_count_star_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference golden query 2 (`external-table-queries.sql:21-26`):
+    customers per country, top 10. nation broadcasts; customer never
+    shuffles for the join (only for the tiny per-country agg)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = join_dim_fact(cust, nat, on=cust.c_nationkey == nat.n_nationkey)
+    counts = count_star_by(joined, ["n_name"], name="customer_count")
+    return top_k(counts, [("customer_count", True)], 10, tiebreak=["n_name"])
+
+
+@golden(
+    "drilldown_states",
+    """
+    SELECT r_name, n_name, count(*) AS customer_count
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY r_name, n_name
+    ORDER BY customer_count DESC, n_name
+    LIMIT 10
+    """,
+)
+def q_drilldown_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference golden query 3 (`external-table-queries.sql:29-34`): the
+    country→state drill-down (region→nation here). Filter on the 5-row
+    region table happens *before* the broadcast — predicate applies at the
+    smallest possible site."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = filter_equals(load_table(spark, sf_dir, "region"), "r_name", "ASIA")
+    dims = join_dim_fact(nat, reg, on=nat.n_regionkey == reg.r_regionkey)
+    joined = join_dim_fact(cust, dims, on=cust.c_nationkey == dims.n_nationkey)
+    counts = count_star_by(joined, ["r_name", "n_name"], name="customer_count")
+    return top_k(counts, [("customer_count", True)], 10, tiebreak=["n_name"])
+
+
+# --------------------------------------------------------------------------
+# The flagship: top-k with having (O3 = A1 + P6 + O1 + O2)
+# --------------------------------------------------------------------------
+
+TOPK_MIN_RATINGS = 25  # having threshold; reference uses >= 100 on 1.15M rows
+
+
+@golden(
+    "topk_books",
+    f"""
+    SELECT p_partkey, p_name,
+           avg(l_quantity) AS avg_rating,
+           count(*) AS total_ratings
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    HAVING count(*) >= {TOPK_MIN_RATINGS}
+    ORDER BY avg_rating DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def q_topk_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — the reference's Top-100-Books pattern
+    (`workflow/Transformer.py:85-102` + SQL twin
+    `external-table-queries.sql:13-19`), code semantics: group by
+    (key, title), HAVING >=, sort desc, limit. part ≈ books dim (broadcast),
+    lineitem ≈ ratings fact, l_quantity ≈ rating.
+
+    Plan shape to verify with .explain: broadcast hash join (no fact
+    shuffle) → partial agg → exchange on group keys → final agg → filter →
+    TakeOrderedAndProject (no global sort).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    joined = join_dim_fact(li, pt, on=li.l_partkey == pt.p_partkey)
+    agged = group_agg(
+        joined,
+        ["p_partkey", "p_name"],
+        {"avg_rating": F.avg("l_quantity"), "total_ratings": F.count(F.lit(1))},
+    )
+    filtered = filter_expr(agged, F.col("total_ratings") >= TOPK_MIN_RATINGS)
+    return top_k(filtered, [("avg_rating", True)], 100, tiebreak=["p_partkey"])
+
+
+@golden(
+    "topk_books_by_title",
+    f"""
+    SELECT p_name,
+           avg(l_quantity) AS avg_rating,
+           count(*) AS total_ratings
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_name
+    HAVING count(*) >= {TOPK_MIN_RATINGS}
+    ORDER BY avg_rating DESC, p_name
+    LIMIT 100
+    """,
+)
+def q_topk_books_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README/SQL semantic of the flagship (group by title only —
+    editions merge; SURVEY §7.1.1 documents the discrepancy, we ship both)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    joined = join_dim_fact(li, pt, on=li.l_partkey == pt.p_partkey)
+    agged = group_agg(
+        joined,
+        ["p_name"],
+        {"avg_rating": F.avg("l_quantity"), "total_ratings": F.count(F.lit(1))},
+    )
+    filtered = filter_expr(agged, F.col("total_ratings") >= TOPK_MIN_RATINGS)
+    return top_k(filtered, [("avg_rating", True)], 100, tiebreak=["p_name"])
+
+
+@golden(
+    "join_avg_by_author",
+    f"""
+    SELECT p_brand,
+           avg(l_quantity) AS avg_rating,
+           count(*) AS total_ratings
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    HAVING count(*) >= {TOPK_MIN_RATINGS}
+    ORDER BY avg_rating DESC, p_brand
+    LIMIT 10
+    """,
+)
+def q_join_avg_by_author(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference golden query 4 (`external-table-queries.sql:36-42`):
+    top-10 authors by average rating (p_brand ≈ author)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    joined = join_dim_fact(li, pt, on=li.l_partkey == pt.p_partkey)
+    agged = group_agg(
+        joined,
+        ["p_brand"],
+        {"avg_rating": F.avg("l_quantity"), "total_ratings": F.count(F.lit(1))},
+    )
+    filtered = filter_expr(agged, F.col("total_ratings") >= TOPK_MIN_RATINGS)
+    return top_k(filtered, [("avg_rating", True)], 10, tiebreak=["p_brand"])
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style stretch queries (SURVEY §5.5)
+# --------------------------------------------------------------------------
+
+@golden(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           avg(l_quantity) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate scan. Money sums go through
+    decimal (``exact_sum``) so results are bit-reproducible at any
+    parallelism — see functions/scalar.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = filter_expr(li, F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    return group_agg(
+        filtered,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.sum("l_quantity"),
+            "sum_base_price": exact_sum("l_extendedprice"),
+            "sum_disc_price": F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double"),
+            "avg_price": exact_sum("l_extendedprice") / F.count(F.lit(1)),
+            "avg_qty": F.avg("l_quantity"),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+@golden(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k. customer (filtered)
+    broadcasts into orders, the orders side broadcasts into lineitem —
+    the big fact never shuffles until the (small) final agg."""
+    cust = filter_equals(load_table(spark, sf_dir, "customer"), "c_mktsegment", "BUILDING")
+    orders = filter_expr(
+        load_table(spark, sf_dir, "orders"),
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"),
+    )
+    li = filter_expr(
+        load_table(spark, sf_dir, "lineitem"),
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"),
+    )
+    co = join_dim_fact(orders, cust, on=orders.o_custkey == cust.c_custkey)
+    joined = join_dim_fact(li, co, on=li.l_orderkey == co.o_orderkey)
+    agged = group_agg(
+        joined,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        {
+            "revenue": F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double")
+        },
+    )
+    out = top_k(agged, [("revenue", True)], 10, tiebreak=["l_orderkey"])
+    return select_columns(out, ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
+
+
+# --------------------------------------------------------------------------
+# Windows / rollup / cube / pivot (SURVEY §2.8, §2.4 extensions)
+# --------------------------------------------------------------------------
+
+@golden(
+    "window_topn_per_group",
+    """
+    SELECT r_name, n_name, customer_count, rn FROM (
+      SELECT r_name, n_name, customer_count,
+             row_number() OVER (PARTITION BY r_name
+                                ORDER BY customer_count DESC, n_name) AS rn
+      FROM (
+        SELECT r_name, n_name, count(*) AS customer_count
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+      )
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 — per-group top-N: the drill-down query generalized from one
+    hardcoded country to every region at once (window over the *aggregated*
+    rows, so the window shuffle moves ~25 rows, not the fact table)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dims = join_dim_fact(nat, reg, on=nat.n_regionkey == reg.r_regionkey)
+    joined = join_dim_fact(cust, dims, on=cust.c_nationkey == dims.n_nationkey)
+    counts = count_star_by(joined, ["r_name", "n_name"], name="customer_count")
+    out = top_n_per_group(
+        counts, ["r_name"], [("customer_count", True)], 3, tiebreak=["n_name"]
+    )
+    return select_columns(out, ["r_name", "n_name", "customer_count", "rn"])
+
+
+@golden(
+    "rollup_geo",
+    """
+    SELECT coalesce(r_name, '<all>') AS r_name,
+           coalesce(n_name, '<all>') AS n_name,
+           count(*) AS customer_count
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup — one-pass hierarchical subtotals replacing the reference's
+    two separate queries (`external-table-queries.sql:21-34`). NULL grouping
+    slots are coalesced to '<all>' so they hash stably."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dims = join_dim_fact(nat, reg, on=nat.n_regionkey == reg.r_regionkey)
+    joined = join_dim_fact(cust, dims, on=cust.c_nationkey == dims.n_nationkey)
+    rolled = rollup_agg(joined, ["r_name", "n_name"], {"customer_count": F.count(F.lit(1))})
+    return rolled.select(
+        F.coalesce("r_name", F.lit("<all>")).alias("r_name"),
+        F.coalesce("n_name", F.lit("<all>")).alias("n_name"),
+        "customer_count",
+    )
+
+
+@golden(
+    "cube_orders",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+           coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+           count(*) AS order_count,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over order status × priority (beyond-reference)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cubed = cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {"order_count": F.count(F.lit(1)), "total_price": exact_sum("o_totalprice")},
+    )
+    return cubed.select(
+        F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+        "order_count",
+        "total_price",
+    )
+
+
+@golden(
+    "pivot_returnflag",
+    """
+    SELECT l_returnflag,
+           sum(l_quantity) FILTER (l_linestatus = 'O') AS qty_O,
+           sum(l_quantity) FILTER (l_linestatus = 'F') AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-values scan);
+    SQL twin is conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = pivot_agg(li, ["l_returnflag"], "l_linestatus", ["O", "F"], F.sum("l_quantity"))
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+@golden(
+    "setops_segments",
+    """
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q_setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered projections — the explicit version
+    of the reference's implicit append-union (SURVEY §2.6)."""
+    from bookstore_aws_lakehouse_spark.operators.setops import union_distinct
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = select_columns(filter_equals(cust, "c_mktsegment", "BUILDING"), ["c_custkey", "c_nationkey"])
+    b = select_columns(filter_expr(cust, F.col("c_acctbal") > 5000), ["c_custkey", "c_nationkey"])
+    return union_distinct(a, b)
+
+
+@golden(
+    "setops_except_intersect",
+    """
+    SELECT 'only_building' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'both' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    """,
+)
+def q_setops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT + INTERSECT, tagged and unioned into one comparable result."""
+    from bookstore_aws_lakehouse_spark.operators.setops import (
+        except_rows,
+        intersect_rows,
+        union_all_by_name,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = select_columns(filter_equals(cust, "c_mktsegment", "BUILDING"), ["c_custkey"])
+    b = select_columns(filter_expr(cust, F.col("c_acctbal") > 5000), ["c_custkey"])
+    only_a = except_rows(a, b).select(F.lit("only_building").alias("tag"), "c_custkey")
+    both = intersect_rows(a, b).select(F.lit("both").alias("tag"), "c_custkey")
+    return union_all_by_name(only_a, both)
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (J1 variants)
+# --------------------------------------------------------------------------
+
+@golden(
+    "semi_anti_join",
+    """
+    SELECT 'has_urgent' AS tag, count(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'no_urgent' AS tag, count(*) AS n FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) + left_anti (NOT EXISTS) — right columns never
+    materialize; the shuffle carries only join keys."""
+    from bookstore_aws_lakehouse_spark.operators.joins import anti_join, semi_join
+    from bookstore_aws_lakehouse_spark.operators.setops import union_all_by_name
+
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = select_columns(
+        filter_equals(load_table(spark, sf_dir, "orders"), "o_orderpriority", "1-URGENT"),
+        ["o_custkey"],
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    has = semi_join(cust, urgent, "c_custkey").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("has_urgent").alias("tag"), "n"
+    )
+    hasnot = anti_join(cust, urgent, "c_custkey").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("no_urgent").alias("tag"), "n"
+    )
+    return union_all_by_name(has, hasnot)

@@ -1,0 +1,46 @@
+"""Join operators (SURVEY §2.3: J1 + standard variants).
+
+The reference's only join is the SQL-layer inner equi-join of the books
+dimension to the ratings fact (`external-table-queries.sql:14-15,37-38`).
+Star-schema joins are the scale-critical path: the dimension side is orders
+of magnitude smaller than the fact, so we broadcast it — the fact table is
+never shuffled. At 100 TB of fact data that is the difference between a
+map-side join and a cluster-wide sort-merge exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def join_dim_fact(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1 — fact ⋈ dimension equi-join.
+
+    ``broadcast_dim=True`` hints Catalyst to replicate the dim to every
+    executor (map-side hash join, zero shuffle of the fact). If the dim turns
+    out large, AQE still falls back safely; without the hint Catalyst decides
+    from stats. Join keys dedup via USING-style ``on`` so the output carries
+    one copy of the key column.
+    """
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(right, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """EXISTS — rows of ``left`` with a match in ``right``; right columns never
+    materialize, so the shuffle carries only the join key."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """NOT EXISTS — rows of ``left`` without a match in ``right``."""
+    return left.join(right, on=on, how="left_anti")

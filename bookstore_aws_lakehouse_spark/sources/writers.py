@@ -1,0 +1,55 @@
+"""Sinks (SURVEY §2.1: S3 — the data-mart writer).
+
+Reference: ``df.write.mode(mode).option('header',True).csv(path)``
+(`workflow/Loader.py:2-3`) with nightly ``append`` — two scale bugs we fix by
+default (SURVEY §7.1.6): the mart should be columnar (parquet), and loads
+should be idempotent (``overwrite``), not accumulate duplicates every cron
+run. CSV remains available for reference parity / export.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    compression: str = "snappy",
+) -> None:
+    """Columnar sink. ``partition_by`` lays out hive-style directories so
+    downstream reads get partition pruning (e.g. mart partitioned by the
+    drill-down key — the reference's ``country`` filter would then touch one
+    directory instead of the whole mart)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+) -> None:
+    """S3 parity sink — headered CSV folder-per-table, reference semantics."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """S4 — register output in the session catalog (Glue-catalog analog):
+    downstream ``spark.sql`` resolves it by name."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)

@@ -1,0 +1,43 @@
+"""Every golden query vs its DuckDB oracle at sf0.001 (fast inner loop).
+
+The driver runs the same comparison at sf0.01; run
+``SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 pytest tests/test_golden_parity.py``
+before committing a new query to check at driver scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bookstore_aws_lakehouse_spark.golden import GOLDEN, ORACLE
+from tests.oracle import compare, duckdb_connection
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_connection(SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_golden_matches_oracle(spark, con, name):
+    compare(GOLDEN[name](spark, SF_DIR), con, ORACLE[name], name)
+
+
+def test_all_golden_queries_run(spark):
+    """Queries without an oracle must still execute and return a schema."""
+    for name, fn in GOLDEN.items():
+        if name not in ORACLE:
+            df = fn(spark, SF_DIR)
+            assert df.columns, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
