@@ -17,7 +17,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bookstore_aws_lakehouse_spark.golden import GOLDEN, ORACLE
+from bookstore_aws_lakehouse_spark.registry import load_all
+
+GOLDEN, ORACLE = load_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -19,9 +19,6 @@ the reference derives from ``Location``.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from textwrap import dedent
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,20 +43,7 @@ from bookstore_aws_lakehouse_spark.operators.projection import (
 from bookstore_aws_lakehouse_spark.operators.sort import top_k
 from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-GOLDEN: dict[str, QueryFn] = {}
-ORACLE: dict[str, str] = {}
-
-
-def golden(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    def deco(fn: QueryFn) -> QueryFn:
-        GOLDEN[name] = fn
-        if oracle is not None:
-            ORACLE[name] = dedent(oracle).strip()
-        return fn
-
-    return deco
+from bookstore_aws_lakehouse_spark.registry import GOLDEN, ORACLE, golden  # noqa: F401
 
 
 # --------------------------------------------------------------------------

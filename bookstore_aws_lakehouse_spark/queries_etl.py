@@ -1,0 +1,176 @@
+"""Oracle-checked queries for the E-T-L pipeline (plans/etl.py) and the
+source/sink layer (SURVEY §2.1 S2/S3/S5).
+
+The SQL twins replicate the *entire* pipeline — raw synthesis, location
+expansion (trimmed split), sentinel-null normalization, key dropna — as a
+WITH-chain, so every stage's semantics are verified end-to-end, including
+the injected dirty rows (negative-balance customers get ``'seg, , '``
+locations whose empty state/country must clean to NULL and drop the row).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.catalog import load_table
+from bookstore_aws_lakehouse_spark.plans.etl import (
+    CLEAN_PREFIX,
+    books_dimension,
+    build_raw_ratings,
+    customers_dimension,
+    ratings_fact,
+    top100_books,
+)
+from bookstore_aws_lakehouse_spark.registry import golden
+from bookstore_aws_lakehouse_spark.sources.readers import read_csv, read_parquet
+from bookstore_aws_lakehouse_spark.sources.writers import write_csv, write_parquet
+
+# The raw + clean stages as DuckDB SQL (mirrors build_raw_ratings +
+# expand_location + clean_data). Age uses floor() on both sides: Spark's
+# double→int cast truncates while DuckDB's rounds, so the pipeline floors
+# explicitly to pin one semantic.
+_SENTINELS = "('', ' ', 'NULL', 'null', 'N/A')"
+_CLEAN_CTE = f"""
+WITH raw AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
+         CAST(l_partkey AS VARCHAR) AS isbn,
+         CAST(CAST(l_quantity AS INTEGER) % 11 AS VARCHAR) AS book_rating,
+         CASE WHEN c_acctbal < 0
+              THEN lower(c_mktsegment) || ', , '
+              ELSE lower(c_mktsegment) || ', ' || lower(n_name) || ', ' || lower(r_name)
+         END AS location,
+         CAST(CAST(floor(c_acctbal) AS INTEGER) AS VARCHAR) AS age,
+         p_name AS book_title,
+         p_brand AS book_author,
+         CAST(p_size AS VARCHAR) AS year_of_publication,
+         p_type AS publisher
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+),
+expanded AS (
+  SELECT *,
+         trim(split_part(location, ',', 1)) AS city,
+         trim(split_part(location, ',', 2)) AS state,
+         trim(split_part(location, ',', 3)) AS country
+  FROM raw
+),
+clean AS (
+  SELECT * FROM (
+    SELECT customer_id, isbn, book_rating, age, book_title, book_author,
+           year_of_publication, publisher,
+           CASE WHEN city IN {_SENTINELS} THEN NULL ELSE city END AS city,
+           CASE WHEN state IN {_SENTINELS} THEN NULL ELSE state END AS state,
+           CASE WHEN country IN {_SENTINELS} THEN NULL ELSE country END AS country
+    FROM expanded
+  )
+  WHERE customer_id IS NOT NULL AND isbn IS NOT NULL AND book_rating IS NOT NULL
+    AND city IS NOT NULL AND state IS NOT NULL AND country IS NOT NULL
+)
+"""
+
+
+def _clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CLEAN_PREFIX.run(build_raw_ratings(spark, sf_dir))
+
+
+@golden(
+    "etl_dim_customers",
+    _CLEAN_CTE + "SELECT DISTINCT customer_id, age, city, state, country FROM clean",
+)
+def q_etl_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers dimension (reference `workflow/Transformer.py:40-52`)."""
+    return customers_dimension(_clean(spark, sf_dir))
+
+
+@golden(
+    "etl_dim_books",
+    _CLEAN_CTE
+    + "SELECT DISTINCT isbn, book_title, book_author, year_of_publication, publisher FROM clean",
+)
+def q_etl_dim_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Books dimension (reference `workflow/Transformer.py:55-67`)."""
+    return books_dimension(_clean(spark, sf_dir))
+
+
+@golden(
+    "etl_fact_ratings",
+    _CLEAN_CTE + "SELECT isbn, customer_id, book_rating FROM clean",
+)
+def q_etl_fact_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratings fact (reference `workflow/Transformer.py:70-82`)."""
+    return ratings_fact(_clean(spark, sf_dir))
+
+
+# Scaled down from the reference's 100 (`workflow/Transformer.py:101`):
+# fixture parts average ~27 clean ratings each regardless of sf.
+ETL_MIN_RATINGS = 25
+
+
+@golden(
+    "etl_top100_books",
+    _CLEAN_CTE
+    + f"""
+    SELECT isbn, book_title,
+           avg(CAST(book_rating AS DOUBLE)) AS average_rating,
+           count(book_title) AS total_ratings
+    FROM clean
+    GROUP BY isbn, book_title
+    HAVING count(book_title) >= {ETL_MIN_RATINGS}
+    ORDER BY average_rating DESC, isbn
+    LIMIT 100
+    """,
+)
+def q_etl_top100_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 reporting table (reference `workflow/Transformer.py:85-102`),
+    full reference semantics: group (isbn, title), string→double rating
+    cast, count(col), HAVING >=, sort desc, limit."""
+    return top100_books(_clean(spark, sf_dir), min_ratings=ETL_MIN_RATINGS)
+
+
+# --------------------------------------------------------------------------
+# Sources / sinks: CSV scan (S2/S5) and sink round-trip (S3)
+# --------------------------------------------------------------------------
+
+NATION_DDL = "n_nationkey int, n_name string, n_regionkey int"
+
+
+@golden("scan_csv", "SELECT * FROM nation")
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S5 — CSV written with headers then read back with an explicit
+    schema (the production path: no inference pass; covers Redshift
+    ``COPY ... IGNOREHEADER`` semantics)."""
+    scratch = os.path.join(tempfile.mkdtemp(prefix="blhs_csv_"), "nation_csv")
+    write_csv(load_table(spark, sf_dir, "nation"), scratch)
+    return read_csv(spark, scratch, schema=NATION_DDL)
+
+
+@golden(
+    "sink_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — partitioned parquet sink + re-scan: writes the fact projection
+    hive-partitioned by l_returnflag (so the re-read gets partition
+    pruning), reads it back, aggregates. Verifies values survive the
+    sink/scan round-trip bit-exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    scratch = os.path.join(tempfile.mkdtemp(prefix="blhs_sink_"), "fact")
+    write_parquet(li, scratch, partition_by=["l_returnflag"])
+    back = read_parquet(spark, scratch)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sum_qty")
+    )

@@ -11,8 +11,10 @@ import os
 
 import pytest
 
-from bookstore_aws_lakehouse_spark.golden import GOLDEN, ORACLE
+from bookstore_aws_lakehouse_spark.registry import load_all
 from tests.oracle import compare, duckdb_connection
+
+GOLDEN, ORACLE = load_all()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 

@@ -1,0 +1,117 @@
+"""Unit tests on single operators — the semantic corner cases of SURVEY §7.1
+(tiny literal DataFrames, no fixtures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.operators.projection import (
+    drop_null_keys,
+    expand_delimited,
+    null_normalize,
+)
+from bookstore_aws_lakehouse_spark.operators.sort import top_k
+from bookstore_aws_lakehouse_spark.operators.setops import (
+    except_rows,
+    intersect_rows,
+    union_all_by_name,
+)
+from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
+from bookstore_aws_lakehouse_spark.plans.pipeline import Pipeline, get_transform, register_transform
+
+
+def test_null_normalize_catches_space_and_empty(spark):
+    # reference catches only " " (Transformer.py:36); we catch "" too (§7.1.5)
+    df = spark.createDataFrame(
+        [("a", " "), ("b", ""), ("c", "ok"), ("d", "NULL")], ["k", "v"]
+    )
+    out = {r["k"]: r["v"] for r in null_normalize(df).collect()}
+    assert out == {"a": None, "b": None, "c": "ok", "d": None}
+
+
+def test_null_normalize_leaves_non_string_columns(spark):
+    df = spark.createDataFrame([(1, " ")], ["n", "v"])
+    row = null_normalize(df).collect()[0]
+    assert row["n"] == 1 and row["v"] is None
+
+
+def test_expand_delimited_trims_tokens(spark):
+    # 'tyler, texas, usa' → reference keeps ' texas'; we trim (§7.1.4)
+    df = spark.createDataFrame([("tyler, texas, usa",)], ["loc"])
+    row = expand_delimited(df, "loc", ["city", "state", "country"]).collect()[0]
+    assert (row["city"], row["state"], row["country"]) == ("tyler", "texas", "usa")
+
+
+def test_expand_delimited_missing_tokens_yield_empty(spark):
+    # 'san jose, ,' (sample-data.csv:10 shape): missing tokens → '' after trim
+    df = spark.createDataFrame([("san jose, ,",)], ["loc"])
+    row = expand_delimited(df, "loc", ["city", "state", "country"]).collect()[0]
+    assert (row["city"], row["state"], row["country"]) == ("san jose", "", "")
+
+
+def test_clean_chain_drops_missing_location_rows(spark):
+    # end-to-end: expand → normalize → dropna kills the dirty row
+    df = spark.createDataFrame(
+        [("1", "tyler, texas, usa"), ("2", "san jose, ,")], ["id", "loc"]
+    )
+    out = drop_null_keys(
+        null_normalize(expand_delimited(df, "loc", ["city", "state", "country"])),
+        ["city", "state", "country"],
+    )
+    assert [r["id"] for r in out.collect()] == ["1"]
+
+
+def test_avg_over_string_coerces_to_double(spark):
+    # A2: the reference feeds string ratings to F.avg (Transformer.py:100)
+    df = spark.createDataFrame([("5",), ("10",), ("0",)], ["rating"])
+    got = df.agg(F.avg("rating").alias("a")).collect()[0]["a"]
+    assert got == 5.0
+
+
+def test_count_col_vs_count_star(spark):
+    # A3 vs A4 (§7.1.3): count(col) skips NULLs, count(*) doesn't
+    df = spark.createDataFrame([("x",), (None,), ("y",)], "v: string")
+    row = df.agg(
+        F.count("v").alias("c_col"), F.count(F.lit(1)).alias("c_star")
+    ).collect()[0]
+    assert (row["c_col"], row["c_star"]) == (2, 3)
+
+
+def test_top_k_tiebreak_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 1.0), ("d", 0.5)], ["k", "score"]
+    )
+    got = [r["k"] for r in top_k(df, [("score", True)], 2, tiebreak=["k"]).collect()]
+    assert sorted(got) == ["a", "b"]
+
+
+def test_top_n_per_group_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("g1", "a", 5), ("g1", "b", 5), ("g1", "c", 1), ("g2", "d", 9)],
+        ["g", "k", "v"],
+    )
+    out = top_n_per_group(df, ["g"], [("v", True)], 1, tiebreak=["k"]).collect()
+    got = {r["g"]: r["k"] for r in out}
+    assert got == {"g1": "a", "g2": "d"}
+
+
+def test_setops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["v"])
+    b = spark.createDataFrame([(3,), (4,)], ["v"])
+    assert sorted(r["v"] for r in union_all_by_name(a, b).collect()) == [1, 2, 2, 3, 3, 4]
+    assert sorted(r["v"] for r in intersect_rows(a, b).collect()) == [3]
+    assert sorted(r["v"] for r in except_rows(a, b).collect()) == [1, 2]
+
+
+def test_pipeline_registry_dispatch_raises_on_unknown(spark):
+    import pytest
+
+    @register_transform("test_double")
+    def double_v(df):
+        return df.withColumn("v", F.col("v") * 2)
+
+    df = spark.createDataFrame([(1,)], ["v"])
+    out = Pipeline([]).then("test_double").run(df)
+    assert out.collect()[0]["v"] == 2
+    with pytest.raises(ValueError, match="Invalid transformer type"):
+        get_transform("nope")
