@@ -35,6 +35,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the ``events`` table, whose ``ts`` is parquet TIMESTAMP(NANOS) —
+    a type Spark's vectorized reader rejects by default. We opt into
+    nanos-as-long (``ts`` arrives as bigint epoch-nanoseconds) and keep all
+    event-time arithmetic in integer nanos: exact, timezone-free, and
+    identical on every engine (DuckDB twin: ``epoch_ns(ts)``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

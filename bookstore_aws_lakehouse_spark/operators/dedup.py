@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines (extension surface;
+SURVEY §7.2 phase 4): exact, fingerprint, MinHash+LSH banding, n-gram
+Jaccard, SimHash.
+
+Scale notes — these are the shapes that survive 100 TB:
+- every method reduces to *shuffle-by-key on a short hash*, never a cross
+  join: exact/fingerprint shuffle one md5 per doc; MinHash/SimHash shuffle
+  one signature row per (doc, band); Jaccard candidates come from an
+  inverted-index self-join on shingles (docs sharing no shingle never meet).
+- hashes are md5-derived (first 60 bits), seeded by concatenation — chosen
+  over xxhash/murmur because md5 is bit-identical in every engine, so the
+  DuckDB oracle can replay the exact pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.operators.text import normalized_fingerprint, tokenize
+
+
+def md5_hash64(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — the engine-portable
+    hash primitive (same value in Spark, DuckDB, anything with md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """Exact dedup via hash-groupBy on the content columns: one row per
+    distinct content with the canonical (min) id and the duplicate count."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-exact dedup on the normalized md5 fingerprint (case/whitespace
+    insensitive). Shuffles 16 bytes per doc regardless of doc size."""
+    return (
+        df.select(F.col(id_col), normalized_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles of a document (array<string>)."""
+    toks = tokenize(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature rows: (id, seed, minhash) — min over the doc's
+    shingles of a seeded md5. One shuffle keyed on the doc id."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select(F.col(id_col), seeds, F.col("shingle")).withColumn(
+        "h", md5_hash64(F.concat_ws(":", "seed", "shingle"))
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH banding: docs whose signature agrees on all rows of ≥1 band
+    become candidate near-duplicate pairs (id_a < id_b, with the count of
+    agreeing bands). The join key is (band, band_key) — a 1-row-per-band
+    inverted index, so cost scales with collisions, not with n²."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    bands = (
+        # floor before the int cast: double→int casts truncate in Spark but
+        # round in DuckDB; floor() is portable (same policy as plans/etl.py)
+        sig.withColumn("band", F.floor(F.col("seed") / band_rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: F.concat_ws(":", s["seed"], s["minhash"]),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("band_key")
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("band_key")
+    )
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted-index self-join: only doc pairs
+    sharing ≥1 shingle are ever compared. jaccard = |A∩B| / (|A|+|B|-|A∩B|)
+    computed from integer counts — no float accumulation, so the threshold
+    comparison is exact on any engine."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(
+            # integer cross-multiplication: n_shared/union >= t without floats
+            F.col("n_shared") * 1000
+            >= F.lit(int(round(threshold * 1000)))
+            * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        )
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash: per token, each bit of the portable md5 hash votes
+    ±1; the signature sets bits with positive vote sums. One explode + one
+    groupBy — the classic map-side-combinable shape."""
+    tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+    tok = tok.withColumn("h", md5_hash64(F.col("token")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agged = tok.groupBy(id_col).agg(*votes)
+    sig = F.lit(0)
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(0)
+    return agged.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance. The pair join
+    here is all-pairs (fixture scale); at 100 TB, band the signature into
+    (max_hamming+1) chunks and index-join on exact chunk matches first
+    (pigeonhole: any pair within distance d agrees on ≥1 chunk)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "sig_a", "sig_b", "hamming")
+    )

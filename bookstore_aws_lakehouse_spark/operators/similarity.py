@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (extension surface; SURVEY §7.2
+phase 4): brute-force cosine top-k as the exact baseline, IVF coarse
+quantization and sign-random-projection LSH as the scale paths.
+
+All vector math is JVM-side (``zip_with``/``aggregate`` higher-order
+functions — see functions/vector.py); nothing crosses into Python.
+
+Scale shapes:
+- brute force: broadcast the (small) query set; each executor scans its
+  slice of the corpus once — embarrassingly parallel, no shuffle of the
+  corpus. Exact, O(|Q|·|C|·d).
+- IVF: assign every vector to its nearest coarse centroid once (broadcast
+  centroids), then search only the probe's bucket — the corpus-side work
+  drops by ~n_centroids×, at recall cost on bucket boundaries.
+- LSH: 1-bit-per-hyperplane signature buckets; candidates share a bucket.
+  Hyperplane components are md5-derived ±1 (engine-portable, seedable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.functions.vector import cosine_similarity
+from bookstore_aws_lakehouse_spark.operators.dedup import md5_hash64
+from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast-nested-loop join of the query set
+    against the corpus, then per-query top-k. Output: (query_id, vec_id,
+    cosine, rank); self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine_similarity(F.col("query_vec"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    return top_n_per_group(
+        scored, ["query_id"], [("cosine", True)], k, tiebreak=[id_col], rank_name="rank"
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
+    All-pairs at fixture scale; at 100 TB run it *after* LSH bucketing
+    (``lsh_buckets``) so only same-bucket pairs are scored."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _signed_component(plane: Column, dim_index: Column) -> Column:
+    """Deterministic ±1 hyperplane component from the portable md5 hash."""
+    return F.when(
+        md5_hash64(F.concat_ws(":", plane, dim_index)).bitwiseAND(F.lit(1)) == 1, 1.0
+    ).otherwise(-1.0)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Sign-random-projection LSH: bucket = the sign bits of the vector's
+    dot products with ``num_planes`` pseudo-random (md5-seeded) hyperplanes.
+    One Project per vector — no shuffle; bucket-joins downstream."""
+    out = df.select(F.col(id_col), F.col(vec_col))
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        dot_p = F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda v, i: v.cast("double") * _signed_component(F.lit(p), i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
+    return out.withColumn("bucket", bucket.cast("int")).select(id_col, "bucket")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    by cosine (broadcast the centroid table). Output: (vec_id, centroid_id,
+    cosine)."""
+    c = centroids.select(
+        F.col(centroid_id), F.col(vec_col).alias("centroid_vec")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c)).select(
+        id_col,
+        centroid_id,
+        cosine_similarity(F.col(vec_col), F.col("centroid_vec")).alias("cosine"),
+    )
+    return (
+        top_n_per_group(
+            scored, [id_col], [("cosine", True)], 1, tiebreak=[centroid_id], rank_name="_rn"
+        )
+        .drop("_rn")
+    )

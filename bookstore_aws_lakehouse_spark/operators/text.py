@@ -1,0 +1,89 @@
+"""Text-analysis operators for training-data pipelines (extension surface;
+no reference counterpart — SURVEY §7.2 phase 4).
+
+Everything here is built-in column expressions (split / filter / transform /
+aggregate higher-order functions) — no Python UDFs, so a 100 TB documents
+table never leaves the JVM. Token model: whitespace-delimited, as produced
+by the fixture corpus; swap ``tokenize`` for a regex variant for real text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tokens treated as stopwords by the quality scorer (fixture-corpus tuned)
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "in")
+
+#: marker tokens per language for the n-gram-free language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def stopword_count(col: Column | str, stopwords: Sequence[str] = STOPWORDS) -> Column:
+    toks = tokenize(col)
+    return F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+
+
+def with_quality_features(
+    df: DataFrame, text_col: str = "text", stopwords: Sequence[str] = STOPWORDS
+) -> DataFrame:
+    """Quality-scoring features: token count, mean token length, stopword
+    ratio, distinct-token ratio (repetition detector). All derivable from
+    one Project — no shuffle, fully codegen'd."""
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    return df.withColumns(
+        {
+            "n_tokens": n,
+            # tokens are single-space separated: chars = len - (n-1) spaces
+            "mean_token_len": (F.length(text_col) - (n - 1)) / n,
+            "stopword_ratio": stopword_count(text_col, stopwords) / n,
+            "distinct_ratio": F.size(F.array_distinct(toks)) / n,
+        }
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-token hits per language, take the
+    argmax (deterministic tie order = LANG_MARKERS insertion order), fall
+    back to 'unknown' when nothing matches."""
+    toks = tokenize(text_col)
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(
+            f"_hits_{lang}", F.size(F.filter(toks, lambda t: t.isin(list(markers))))
+        )
+    guess = F.lit("unknown")
+    best = F.lit(0)
+    # build argmax as a CASE chain: strictly-greater keeps first-lang-wins ties
+    for lang in LANG_MARKERS:
+        hits = F.col(f"_hits_{lang}")
+        guess = F.when(hits > best, F.lit(lang)).otherwise(guess)
+        best = F.when(hits > best, hits).otherwise(best)
+    return out.withColumn("lang_guess", guess).drop(
+        *[f"_hits_{lang}" for lang in LANG_MARKERS]
+    )
+
+
+def normalized_fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-collapsed, trimmed, lowercased
+    text — the canonical key for near-exact dedup (case/spacing-insensitive)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))

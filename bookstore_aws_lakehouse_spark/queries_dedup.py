@@ -1,0 +1,174 @@
+"""Oracle-checked deduplication queries over ``documents`` — the DuckDB
+twins replay the full pipelines (shingling, seeded md5 minhashing, LSH
+banding, SimHash voting) so the algorithms themselves are verified, not
+just row counts. Portable-hash policy: see operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bookstore_aws_lakehouse_spark.catalog import load_table
+from bookstore_aws_lakehouse_spark.operators.dedup import (
+    SIMHASH_BITS,
+    exact_duplicates,
+    fingerprint_duplicates,
+    jaccard_pairs,
+    minhash_band_pairs,
+    simhash_pairs,
+)
+from bookstore_aws_lakehouse_spark.registry import golden
+
+# shared SQL fragments -----------------------------------------------------
+
+_H64 = "('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(t[i:i+2], ' ')
+                   FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+    FROM toks
+  )
+)
+"""
+
+
+@golden(
+    "dedup_exact",
+    """
+    SELECT text, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, canonical = min id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", ["text"])
+
+
+@golden(
+    "dedup_fingerprint",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on the normalized md5 fingerprint — shuffles 16
+    bytes per doc instead of full text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_duplicates(docs, "doc_id", "text")
+
+
+_MINHASH_SQL = (
+    _SHINGLES_CTE
+    + f""",
+hashed AS (
+  SELECT doc_id, seed,
+         {_H64.format(expr="CAST(seed AS VARCHAR) || ':' || shingle")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+),
+sig AS (
+  SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR),
+                    ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+GROUP BY id_a, id_b
+"""
+)
+
+
+@golden("dedup_minhash_pairs", _MINHASH_SQL)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes) + LSH banding (4 bands × 2 rows): candidate
+    near-dup pairs via inverted-index join on band keys. The oracle replays
+    shingling, seeded hashing, banding and the pair join verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_band_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_rows=2, shingle_k=3
+    )
+
+
+_JACCARD_SQL = (
+    _SHINGLES_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, n_shared,
+       sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+       n_shared / CAST(sa.n_shingles + sb.n_shingles - n_shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared * 1000 >= 100 * (sa.n_shingles + sb.n_shingles - n_shared)
+"""
+)
+
+
+@golden("dedup_ngram_jaccard", _JACCARD_SQL)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.1 via inverted-index self-join (docs sharing
+    no shingle are never compared); integer cross-multiplied threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1)
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id, {_H64.format(expr="token")} AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.simhash AS sig_a, b.simhash AS sig_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a, sig b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@golden("dedup_simhash_pairs", _simhash_sql())
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup pairs (Hamming ≤ 3); per-token md5 bits vote
+    ±1. The oracle recomputes every vote."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -1,0 +1,198 @@
+"""Oracle-checked queries over the ``events`` table: time bucketing, JSON
+extraction, sessionization, running aggregates (SURVEY §2.7 note — date/json
+functions enter with the events extension; §2.8 windows).
+
+Time determinism: ``events.ts`` is parquet TIMESTAMP(NANOS); we read it as
+integer epoch-nanoseconds (see catalog.load_events) and bucket with integer
+division — exact, timezone-free, and bit-identical to DuckDB's
+``epoch_ns``. No engine-local timestamp rendering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.catalog import load_events
+from bookstore_aws_lakehouse_spark.functions.scalar import exact_sum
+from bookstore_aws_lakehouse_spark.registry import golden
+
+NS_PER_DAY = 86_400_000_000_000
+NS_PER_HOUR = 3_600_000_000_000
+
+
+@golden(
+    "events_daily_agg",
+    f"""
+    SELECT CAST(floor(epoch_ns(ts) / {NS_PER_DAY}.0) AS BIGINT) AS day_no,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY day_no, event_type
+    """,
+)
+def q_events_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling rollup (batch twin of the streaming window agg):
+    group by epoch-day × event_type."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn("day_no", F.floor(F.col("ts") / NS_PER_DAY).cast("bigint"))
+        .groupBy("day_no", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+    )
+
+
+@golden(
+    "events_hourly_tumbling",
+    f"""
+    SELECT CAST(floor(epoch_ns(ts) / {NS_PER_HOUR}.0) AS BIGINT) * {NS_PER_HOUR} AS window_start_ns,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start_ns
+    """,
+)
+def q_events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows over event time — the batch semantics that
+    the Structured Streaming job (streaming/jobs.py) must reproduce."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "window_start_ns",
+            (F.floor(F.col("ts") / NS_PER_HOUR) * NS_PER_HOUR).cast("bigint"),
+        )
+        .groupBy("window_start_ns")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+    )
+
+
+@golden(
+    "events_json_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the ``props`` string column
+    (get_json_object — JVM-side JSON path evaluation)."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@golden(
+    "events_json_agg",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a JSON-extracted field (integer sum — exact)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+# Sessionization works in exact integer MICROseconds: DuckDB's parquet
+# reader coerces ns timestamps to us precision, so ``epoch_us(ts)`` is its
+# exact clock; Spark truncates its ns long with integer division
+# (``ts div 1000`` — `div`, not `/`, to stay in exact long arithmetic).
+
+
+@golden(
+    "events_sessionize",
+    f"""
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, t_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           min(t_us) AS session_start_us,
+           max(t_us) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 30 min starts a new session): lag +
+    cumulative-sum windows, then per-session rollup. The window shuffles
+    once on user_id — the same keying a streaming session_window uses."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US)
+            | F.lag("t_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t_us").alias("session_start_us"),
+        F.max("t_us").alias("session_end_us"),
+    )
+
+
+@golden(
+    "events_running_value",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user total (cumulative window frame); decimal
+    accumulation keeps every prefix sum exact."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    )

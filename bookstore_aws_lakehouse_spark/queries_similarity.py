@@ -1,0 +1,173 @@
+"""Oracle-checked similarity-search queries over ``embeddings``.
+
+The cosine math is bit-identical across engines (verified): Spark's
+zip_with/aggregate accumulates left-to-right in double, exactly like
+DuckDB's list_dot_product over DOUBLE[] — so no rounding tolerance is
+needed anywhere here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.catalog import load_table
+from bookstore_aws_lakehouse_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    ivf_assign,
+    lsh_buckets,
+)
+from bookstore_aws_lakehouse_spark.registry import golden
+
+_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+N_QUERIES = 10  # vec_id < 10 are the probe vectors
+
+
+@golden(
+    "embedding_topk_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_COS.format(a="q.qv", b="e.v")} AS cosine
+      FROM e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 probe vectors: broadcast the
+    probes, scan the corpus once, per-probe top-k. The scalable exact
+    baseline — corpus is never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@golden(
+    "embedding_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a="a.v", b="b.v")} AS cosine
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND {_COS.format(a="a.v", b="b.v")} >= 0.8
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.8). All-pairs at fixture
+    scale; the 100 TB path runs the same scorer after ``ann_lsh_buckets``
+    restricts candidates to same-bucket pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.8)
+
+
+def _lsh_bucket_sql(num_planes: int = 8) -> str:
+    # Spark's transform index is 0-based; DuckDB's generate_series is 1-based
+    # → hash on (i-1) to match plane components exactly.
+    terms = []
+    for p in range(num_planes):
+        comp = (
+            f"CASE WHEN ('0x' || substring(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT & 1 = 1"
+            " THEN 1.0 ELSE -1.0 END"
+        )
+        terms.append(
+            f"(CASE WHEN list_sum([CAST(v[i] AS DOUBLE) * {comp}"
+            f" FOR i IN generate_series(1, len(v))]) > 0 THEN {2**p} ELSE 0 END)"
+        )
+    signature = " + ".join(terms)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, CAST({signature} AS INT) AS bucket FROM e
+    """
+
+
+@golden("ann_lsh_buckets", _lsh_bucket_sql())
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucketing (8 md5-seeded hyperplanes →
+    256 buckets): the candidate-pruning stage for ANN at scale. Pure
+    Project, no shuffle; the oracle recomputes every dot product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_buckets(emb, num_planes=8)
+
+
+@golden(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, centroid_id, cosine FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               {_COS.format(a="e.v", b="cent.cv")} AS cosine,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="cent.cv")} DESC,
+                                           cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT a.vec_id AS query_id, a.centroid_id, e.v AS qv
+          FROM assigned a JOIN e ON a.vec_id = e.vec_id
+          WHERE a.vec_id < {N_QUERIES}),
+    cand AS (SELECT a.vec_id, a.centroid_id, e.v
+             FROM assigned a JOIN e ON a.vec_id = e.vec_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.query_id, cand.vec_id,
+             {_COS.format(a="q.qv", b="cand.v")} AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {_COS.format(a="q.qv", b="cand.v")} DESC,
+                                         cand.vec_id) AS rank
+      FROM q JOIN cand ON q.centroid_id = cand.centroid_id
+      WHERE cand.vec_id != q.query_id
+    ) WHERE rank <= 3
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: coarse centroids (every 50th vector —
+    deterministic stand-in for a trained codebook), assign all vectors to
+    the nearest centroid, then search only the probe's own cell. The
+    corpus-side scan shrinks by ~n_centroids×; recall loss happens only on
+    cell boundaries. Same shape a trained k-means IVF would use."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assigned = ivf_assign(emb, centroids)  # (vec_id, centroid_id, cosine)
+    with_vec = assigned.select("vec_id", "centroid_id").join(emb, "vec_id")
+    q = (
+        with_vec.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("centroid_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    from bookstore_aws_lakehouse_spark.functions.vector import cosine_similarity
+    from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
+
+    scored = (
+        with_vec.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("query_vec"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    return top_n_per_group(
+        scored, ["query_id"], [("cosine", True)], 3, tiebreak=["vec_id"], rank_name="rank"
+    ).select("query_id", "vec_id", "cosine", "rank")

@@ -1,0 +1,117 @@
+"""Oracle-checked text-analysis queries over ``documents`` (training-data
+pipeline surface: token stats, quality features, language-ID heuristic,
+fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.catalog import load_table
+from bookstore_aws_lakehouse_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    normalized_fingerprint,
+    with_lang_guess,
+    with_quality_features,
+)
+from bookstore_aws_lakehouse_spark.registry import golden
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@golden(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace model (the BPE-ish regex variant is in
+    operators/text.py::tokenize's docstring contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@golden(
+    "text_quality",
+    f"""
+    SELECT doc_id, n_tokens,
+           (length(text) - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+           len(list_filter(toks, t -> t IN ({_SW}))) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE) AS distinct_ratio
+    FROM (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length / stopword / repetition signals) —
+    one shuffle-free Project over the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_quality_features(docs)
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "distinct_ratio"
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({markers})))"
+
+
+@golden(
+    "text_langid",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql("en")} AS h_en,
+             {_lang_hits_sql("de")} AS h_de,
+             {_lang_hits_sql("fr")} AS h_fr,
+             {_lang_hits_sql("es")} AS h_es
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id, lang AS lang_label,
+           CASE
+             WHEN h_es > h_fr AND h_es > h_de AND h_es > h_en AND h_es > 0 THEN 'es'
+             WHEN h_fr > h_de AND h_fr > h_en AND h_fr > 0 THEN 'fr'
+             WHEN h_de > h_en AND h_de > 0 THEN 'de'
+             WHEN h_en > 0 THEN 'en'
+             ELSE 'unknown'
+           END AS lang_guess
+    FROM hits
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic; first-language-wins on ties in
+    LANG_MARKERS order (en, de, fr, es) — the SQL CASE chain encodes the
+    same argmax."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_label"), "text"
+    )
+    out = with_lang_guess(docs)
+    return out.select("doc_id", "lang_label", "lang_guess")
+
+
+@golden(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 document fingerprint (whitespace-collapsed, lowered)
+    — the dedup key used by ``dedup_fingerprint``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
