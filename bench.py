@@ -27,7 +27,8 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false"},
     )
 
-    from bookstore_aws_lakehouse_spark.golden import GOLDEN
+    from bookstore_aws_lakehouse_spark.registry import load_all
+    GOLDEN, _ = load_all()
 
     headline = [
         "topk_books",
@@ -42,7 +43,18 @@ def main() -> None:
         "group_avg_count",
     ]
     # extension headliners are registered lazily (modules may land later)
-    for extra in ["dedup_exact", "dedup_minhash_pairs", "text_quality", "embedding_topk_cosine"]:
+    for extra in [
+        "etl_top100_books",
+        "events_daily_agg",
+        "events_sessionize",
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "dedup_ngram_jaccard",
+        "text_quality",
+        "embedding_topk_cosine",
+        "ann_lsh_buckets",
+        "multimodal_features",
+    ]:
         if extra in GOLDEN:
             headline.append(extra)
 

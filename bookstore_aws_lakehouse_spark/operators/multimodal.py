@@ -1,0 +1,112 @@
+"""Multimodal-column plumbing (extension surface; SURVEY §7.2 phase 4).
+
+Media (image/audio/video) are opaque ``binary`` payloads with a typed
+metadata struct riding alongside. The Spark-side machinery is real and
+tested — schema, Arrow-batched ``mapInPandas``, partition sizing — while
+the actual codec step is stubbed: the decode libraries (PIL/ffmpeg/...)
+are not in this environment, so ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic synthetic decoder (byte-derived pseudo-dimensions) so the
+pipeline shape is exercisable end-to-end.
+
+Scale notes: payloads stay in Arrow buffers end-to-end (no Python-object
+rows); ``mapInPandas`` processes whole record batches, so per-row overhead
+is amortized; repartition by size before decode so one straggler video
+doesn't skew a partition (callers control partitioning — this module never
+shuffles).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: output schema of the feature-extraction stage
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+#: schema of a multimodal row: opaque payload + typed metadata
+MULTIMODAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, content_col: str, media_type: str = "text") -> DataFrame:
+    """Build a multimodal table from any content column: payload =
+    UTF-8 bytes (stand-in for real media ingested from object storage)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode(F.col(content_col), "UTF-8").alias("payload"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False) -> tuple[int, int]:
+    """Decode a media payload to (width, height).
+
+    STUB: real decoding needs PIL/av which are not installed here. The
+    ``fake`` path derives deterministic pseudo-dimensions from the payload
+    bytes so the distributed plumbing is testable with stable outputs.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires codec libraries not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    h = hashlib.md5(payload).digest()
+    width = 64 + (h[0] | (h[1] << 8)) % 1985  # 64..2048
+    height = 64 + (h[2] | (h[3] << 8)) % 1985
+    return width, height
+
+
+def extract_media_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over multimodal rows via
+    ``mapInPandas``: byte length, content hash, and (stub-)decoded
+    dimensions. One pass, no shuffle; output conforms to
+    MEDIA_FEATURES_SCHEMA."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [
+                decode_media(p, t, fake=fake_decode)
+                for p, t in zip(payloads, pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(features, schema=MEDIA_FEATURES_SCHEMA)

@@ -1,0 +1,43 @@
+"""Oracle-checked multimodal-plumbing query: the Pandas-UDF (mapInPandas)
+path computes byte-level features whose values DuckDB can recompute from
+the source text — verifying the Arrow round-trip, batch schema, and the
+deterministic stub decoder's inputs (n_bytes, md5) exactly. The decoded
+width/height are stub-derived (md5 bytes), recomputed in SQL from the same
+md5 hex — so even the fake decode is value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bookstore_aws_lakehouse_spark.catalog import load_table
+from bookstore_aws_lakehouse_spark.operators.multimodal import (
+    attach_payload,
+    extract_media_features,
+)
+from bookstore_aws_lakehouse_spark.registry import golden
+
+
+@golden(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id, 'text' AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS content_md5
+      FROM documents
+    )
+    SELECT doc_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes, content_md5,
+           CAST(64 + (('0x' || substring(content_md5, 3, 2) || substring(content_md5, 1, 2))::INT % 1985) AS INT) AS width,
+           CAST(64 + (('0x' || substring(content_md5, 7, 2) || substring(content_md5, 5, 2))::INT % 1985) AS INT) AS height
+    FROM m
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: attach binary payloads (UTF-8 text stand-ins),
+    then Arrow-batched mapInPandas feature extraction with the
+    deterministic stub decoder. The oracle reconstructs width/height from
+    md5 little-endian byte pairs — bit-for-bit the stub's formula."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    return extract_media_features(media, fake_decode=True)

@@ -1,0 +1,118 @@
+"""Oracle-checked Structured Streaming queries: each runs a real streaming
+job (availableNow trigger → memory sink) whose final result equals a batch
+SQL the DuckDB oracle can verify — streaming correctness is checked by
+value, not just "it ran".
+
+Complete output mode is used for the windowed aggregations so the final
+table contains every window (watermarks still bound state during the run;
+with availableNow + complete the end state equals the batch answer).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.registry import golden
+from bookstore_aws_lakehouse_spark.streaming.jobs import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    session_window_agg,
+    tumbling_agg,
+)
+
+_run_counter = itertools.count()
+
+
+def _fresh(name: str) -> str:
+    """Unique memory-sink name per invocation (repeat runs in one session)."""
+    return f"{name}_{next(_run_counter)}"
+
+
+NS_PER_HOUR = 3_600_000_000_000
+
+
+@golden(
+    "stream_hourly_tumbling",
+    f"""
+    SELECT CAST(floor(epoch_ns(ts) / {NS_PER_HOUR}.0) AS BIGINT) * {NS_PER_HOUR} AS window_start_ns,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start_ns
+    """,
+)
+def q_stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling aggregation, verified against the batch
+    SQL answer (same oracle as the batch twin events_hourly_tumbling)."""
+    stream = read_events_stream(spark, sf_dir)
+    agged = tumbling_agg(stream, window="1 hour", watermark="30 minutes")
+    name = _fresh("stream_hourly")
+    run_available_now(agged, name, output_mode="complete")
+    return spark.table(name).select(
+        (F.unix_micros(F.col("window.start")) * 1000).alias("window_start_ns"),
+        "n_events",
+        "total_value",
+    )
+
+
+@golden(
+    "stream_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+      SELECT user_id, t_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(t_us) AS session_start_us,
+           max(t_us) AS session_end_us,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user. Note the oracle
+    chains sessions with ``gap >= 30min`` (strict *merge* on < gap):
+    ``session_window`` extends each event to [t, t+gap) and merges
+    *overlapping* intervals, so an event landing exactly at t+gap starts a
+    new session — the half-open-interval semantic, encoded identically in
+    the SQL."""
+    stream = read_events_stream(spark, sf_dir)
+    agged = session_window_agg(stream, gap="30 minutes", watermark="30 minutes")
+    name = _fresh("stream_sessions")
+    run_available_now(agged, name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
+@golden(
+    "stream_dedup_within_watermark",
+    "SELECT count(DISTINCT event_id) AS n_unique FROM events",
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream unioned with itself (every
+    event duplicated) must dedup back to exactly the distinct event count.
+    dropDuplicatesWithinWatermark keys state by event_id and expires it
+    behind the watermark — bounded memory at any stream length."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    doubled = a.unionByName(b)
+    deduped = dedup_within_watermark(doubled, ["event_id"], watermark="1 hour")
+    name = _fresh("stream_dedup")
+    run_available_now(deduped, name, output_mode="append")
+    return spark.table(name).agg(F.count(F.lit(1)).alias("n_unique"))

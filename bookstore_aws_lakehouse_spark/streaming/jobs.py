@@ -1,0 +1,140 @@
+"""Structured Streaming over the ``events`` table (SURVEY §2.9: the
+reference is batch-plus-cron; its capability — "fresh results every
+morning" — maps to availableNow-triggered streams, and the fixture events
+table exercises the full event-time toolkit: watermarks, tumbling/sliding/
+session windows, stateful dedup).
+
+Design: every streaming aggregation here has *identical semantics to a
+batch query* (queries_events.py), so the DuckDB oracle verifies streaming
+results too. Event time comes from the ns-long ``ts`` column converted via
+``timestamp_micros`` — integer math, no timezone surface.
+
+At scale: these jobs run unchanged against a Kafka/files source with a real
+trigger; watermark + windowed state keeps memory bounded per key-window,
+and ``availableNow`` gives incremental backfill with exactly-once file
+sinks (checkpointed).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: explicit source schema (ts read as epoch-ns long — see catalog.load_events)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """File streams list a *directory*; the fixture is a single parquet
+    file. Stage a per-sf temp dir containing a symlink to it (created
+    once per process)."""
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="blhs_events_stream_")
+        import os
+
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with an explicit schema
+    (streams never infer). Adds ``event_time`` (timestamp from exact
+    integer microseconds) for watermarks/windows."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_events_stream_dir(sf_dir))
+    )
+    return stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_agg(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum. State per (window, key) is
+    dropped once the watermark passes the window end."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sliding_agg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping panes."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def session_window_agg(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows: per-user sessions close after ``gap`` of silence —
+    the streaming twin of the batch lag+cumsum sessionization
+    (queries_events.py::q_events_sessionize)."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.expr("ts div 1000")).alias("session_start_us"),
+            F.max(F.expr("ts div 1000")).alias("session_end_us"),
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup bounded by the watermark: duplicates arriving within
+    the watermark horizon are dropped; state expires after it."""
+    return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Execute a streaming DataFrame to a memory sink with the availableNow
+    trigger (process everything, then stop) — the scheduled-batch analog of
+    the reference's nightly cron (`README.md:47` in the reference)."""
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"blhs_ckpt_{name}_"))
+        .start()
+    )
+    query.awaitTermination()
