@@ -390,7 +390,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"),
     )
     co = join_dim_fact(orders, cust, on=orders.o_custkey == cust.c_custkey)
-    joined = join_dim_fact(li, co, on=li.l_orderkey == co.o_orderkey)
+    # the orders side is fact-sized → let AQE pick the strategy (broadcast
+    # at fixture scale, shuffle join at 100 TB)
+    joined = join_dim_fact(li, co, on=li.l_orderkey == co.o_orderkey, broadcast_dim=False)
     agged = group_agg(
         joined,
         ["l_orderkey", "o_orderdate", "o_orderpriority"],

@@ -64,7 +64,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows: (id, seed, minhash) — min over the doc's
     shingles of a seeded md5. One shuffle keyed on the doc id."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle"))
+    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     hashed = sh.select(F.col(id_col), seeds, F.col("shingle")).withColumn(
         "h", md5_hash64(F.concat_ws(":", "seed", "shingle"))
@@ -125,7 +129,9 @@ def jaccard_pairs(
     sharing ≥1 shingle are ever compared. jaccard = |A∩B| / (|A|+|B|-|A∩B|)
     computed from integer counts — no float accumulation, so the threshold
     comparison is exact on any engine."""
-    sh = df.select(
+    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -163,7 +169,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash: per token, each bit of the portable md5 hash votes
     ±1; the signature sets bits with positive vote sums. One explode + one
     groupBy — the classic map-side-combinable shape."""
-    tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
+
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+    )
     tok = tok.withColumn("h", md5_hash64(F.col("token")))
     votes = [
         F.sum(

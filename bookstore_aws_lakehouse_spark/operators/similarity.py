@@ -77,11 +77,18 @@ def cosine_pairs(
     )
 
 
-def _signed_component(plane: Column, dim_index: Column) -> Column:
-    """Deterministic ±1 hyperplane component from the portable md5 hash."""
-    return F.when(
-        md5_hash64(F.concat_ws(":", plane, dim_index)).bitwiseAND(F.lit(1)) == 1, 1.0
-    ).otherwise(-1.0)
+def _plane_signs(plane: int, num_dims: int) -> list[float]:
+    """Deterministic ±1 hyperplane components from the portable md5 hash
+    (same scheme as the SQL twin: md5(f"{plane}:{dim}") lowest bit).
+    Computed driver-side ONCE — the alternative (md5 expressions inside the
+    plan) re-hashes planes×dims times *per row*."""
+    import hashlib
+
+    signs = []
+    for d in range(num_dims):
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+        signs.append(1.0 if h & 1 == 1 else -1.0)
+    return signs
 
 
 def lsh_buckets(
@@ -89,18 +96,18 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    num_dims: int = 64,
 ) -> DataFrame:
     """Sign-random-projection LSH: bucket = the sign bits of the vector's
     dot products with ``num_planes`` pseudo-random (md5-seeded) hyperplanes.
-    One Project per vector — no shuffle; bucket-joins downstream."""
+    Hyperplanes are precomputed literal arrays (broadcast with the plan);
+    one Project per vector — no shuffle; bucket-joins downstream."""
     out = df.select(F.col(id_col), F.col(vec_col))
     bucket = F.lit(0)
     for p in range(num_planes):
+        plane = F.lit(_plane_signs(p, num_dims))
         dot_p = F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda v, i: v.cast("double") * _signed_component(F.lit(p), i),
-            ),
+            F.zip_with(F.col(vec_col), plane, lambda v, s: v.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

@@ -55,14 +55,23 @@ def build_raw_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pipeline must re-derive the star from flat). Dimension sides all
     broadcast; lineitem never shuffles.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     part = load_table(spark, sf_dir, "part")
 
-    j = join_dim_fact(li, orders.select("o_orderkey", "o_custkey"), on=li.l_orderkey == F.col("o_orderkey"))
+    # orders is fact-sized (not a dim): no broadcast hint — AQE picks
+    # broadcast at small sf and shuffle join at scale, both correctly
+    j = join_dim_fact(
+        li,
+        orders.select("o_orderkey", "o_custkey"),
+        on=li.l_orderkey == F.col("o_orderkey"),
+        broadcast_dim=False,
+    )
     j = join_dim_fact(j, cust.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"), on=F.col("o_custkey") == F.col("c_custkey"))
     j = join_dim_fact(j, nat.select("n_nationkey", "n_name", "n_regionkey"), on=F.col("c_nationkey") == F.col("n_nationkey"))
     j = join_dim_fact(j, reg.select("r_regionkey", "r_name"), on=F.col("n_regionkey") == F.col("r_regionkey"))
