@@ -48,7 +48,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
-    return {name: load_table(spark, sf_dir, name) for name in names}
+    return {
+        name: load_events(spark, sf_dir)
+        if name == "events"  # ns timestamps need the nanosAsLong opt-in
+        else load_table(spark, sf_dir, name)
+        for name in names
+    }
 
 
 def register_views(

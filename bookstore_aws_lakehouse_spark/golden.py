@@ -607,3 +607,67 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("no_urgent").alias("tag"), "n"
     )
     return union_all_by_name(has, hasnot)
+
+
+# --------------------------------------------------------------------------
+# Outer-join variants (J1 family completion)
+# --------------------------------------------------------------------------
+
+@golden(
+    "left_outer_join",
+    """
+    SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: every customer kept, order-less customers get
+    count 0 / NULL sum — count(col) vs count(*) semantics doing real work.
+    (Standard variants beyond the reference's single INNER join —
+    SURVEY §2.3 lists them as required library surface.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return group_agg(
+        joined,
+        ["c_custkey", "c_mktsegment"],
+        {
+            "n_orders": F.count("o_orderkey"),
+            "total_spent": exact_sum("o_totalprice"),
+        },
+    )
+
+
+@golden(
+    "full_outer_join",
+    """
+    SELECT coalesce(a.k, b.k) AS k,
+           a.n_building, b.n_machinery
+    FROM (SELECT c_nationkey AS k, count(*) AS n_building
+          FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT c_nationkey AS k, count(*) AS n_machinery
+          FROM customer WHERE c_mktsegment = 'MACHINERY' GROUP BY 1) b
+    ON a.k = b.k
+    """,
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-nation segment counts; unmatched sides
+    surface as NULLs (never broadcast — both sides may be unbounded)."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = (
+        filter_equals(cust, "c_mktsegment", "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("ka"))
+        .agg(F.count(F.lit(1)).alias("n_building"))
+    )
+    b = (
+        filter_equals(cust, "c_mktsegment", "MACHINERY")
+        .groupBy(F.col("c_nationkey").alias("kb"))
+        .agg(F.count(F.lit(1)).alias("n_machinery"))
+    )
+    joined = a.join(b, a.ka == b.kb, "full_outer")
+    return joined.select(
+        F.coalesce("ka", "kb").alias("k"), "n_building", "n_machinery"
+    )

@@ -1,0 +1,114 @@
+"""SQL-entry-point queries (SURVEY §3.2): the reference's analytics layer
+is SQL over a catalog (Redshift Spectrum external schema resolved through
+Glue). Spark-native twin: ``spark.sql`` over views registered in the
+session catalog — Catalyst runs the same parse → analyze (catalog lookup) →
+optimize → execute pipeline in one engine.
+
+These queries prove the *SQL surface*: identical semantics to the
+DataFrame-API golden set, expressed as SQL text resolved by name against
+``register_views``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bookstore_aws_lakehouse_spark.catalog import register_views
+from bookstore_aws_lakehouse_spark.registry import golden
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# The flagship as SQL text (reference `external-table-queries.sql:13-19`
+# re-expressed over the fixtures). DuckDB runs the *same string* — one
+# source of truth, two engines.
+_SQL_TOP100 = """
+    SELECT p_partkey, p_name,
+           avg(l_quantity) AS avg_rating,
+           count(*) AS total_ratings
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    HAVING count(*) >= 25
+    ORDER BY avg_rating DESC, p_partkey
+    LIMIT 100
+"""
+
+
+@golden("sql_top100_books", _SQL_TOP100)
+def q_sql_top100_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship via the SQL entry point — the identical SQL string is the
+    oracle (ANSI subset runs unchanged on both engines)."""
+    return _sql(spark, sf_dir, _SQL_TOP100)
+
+
+_SQL_DRILLDOWN = """
+    SELECT r_name, n_name, count(*) AS customer_count
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY r_name, n_name
+    ORDER BY customer_count DESC, n_name
+    LIMIT 10
+"""
+
+
+@golden("sql_drilldown", _SQL_DRILLDOWN)
+def q_sql_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-down (reference `external-table-queries.sql:29-34`) via SQL."""
+    return _sql(spark, sf_dir, _SQL_DRILLDOWN)
+
+
+_SQL_COUNT_DISTINCT = """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@golden("sql_count_distinct", _SQL_COUNT_DISTINCT)
+def q_sql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT ...) — beyond the reference's aggregate set (SURVEY
+    §2.4 notes its absence). Spark plans distinct-aggs as an Expand +
+    two-phase aggregate; still one scan."""
+    return _sql(spark, sf_dir, _SQL_COUNT_DISTINCT)
+
+
+_SQL_EXISTS = """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    GROUP BY c_mktsegment
+"""
+
+
+@golden("sql_exists_subquery", _SQL_EXISTS)
+def q_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst rewrites it to a left-semi
+    join (same plan the DataFrame semi_join operator produces)."""
+    return _sql(spark, sf_dir, _SQL_EXISTS)
+
+
+_SQL_CAST_CASE = """
+    SELECT o_orderpriority,
+           CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS avg_price,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@golden("sql_cast_case", _SQL_CAST_CASE)
+def q_sql_cast_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CAST + CASE WHEN in SQL (reference F6/F3,
+    `external-table-queries.sql:14,37`); decimal avg for determinism."""
+    return _sql(spark, sf_dir, _SQL_CAST_CASE)

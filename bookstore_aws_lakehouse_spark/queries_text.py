@@ -115,3 +115,26 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the dedup key used by ``dedup_fingerprint``."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
+
+
+@golden(
+    "text_regex_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_regex_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
+    FROM documents
+    """,
+)
+def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs / other) —
+    the regex alternative to whitespace tokenization; same pattern string
+    evaluates identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_regex_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias("n_number_tokens"),
+    )

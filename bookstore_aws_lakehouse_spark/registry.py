@@ -23,6 +23,7 @@ ORACLE: dict[str, str] = {}
 
 _QUERY_MODULES = (
     "bookstore_aws_lakehouse_spark.golden",
+    "bookstore_aws_lakehouse_spark.queries_sql",
     "bookstore_aws_lakehouse_spark.queries_etl",
     "bookstore_aws_lakehouse_spark.queries_events",
     "bookstore_aws_lakehouse_spark.queries_text",
