@@ -33,3 +33,33 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def make_cosine_similarity_pandas():
+    """Arrow-vectorized pandas_udf alternative to ``cosine_similarity`` —
+    the pattern to reach for when vector math outgrows higher-order
+    functions (e.g. matrix ops needing BLAS). Batches arrive as pandas
+    Series of numpy arrays; numpy does the arithmetic per batch.
+
+    The JVM path above is preferred for plain dot products (no Python
+    round-trip); tests/test_vector.py proves both produce equal results.
+    Returned from a factory so importing this module never requires Arrow.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: hints written as real objects, not strings — this module has
+    # `from __future__ import annotations`, which would stringify inline
+    # hints and break pandas_udf's signature inference
+    def cosine_pandas(a, b):
+        va = np.stack(a.to_numpy()).astype("float64")
+        vb = np.stack(b.to_numpy()).astype("float64")
+        dots = (va * vb).sum(axis=1)
+        norms = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(norms > 0, dots / norms, np.nan)
+        return pd.Series(out)
+
+    cosine_pandas.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(cosine_pandas, "double")

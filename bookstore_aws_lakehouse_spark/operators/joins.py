@@ -35,6 +35,34 @@ def join_dim_fact(
     return fact.join(right, on=on, how=how)
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the skewed side gets a deterministic salt
+    in [0, num_salts) (hash of the whole row — spreads a hot key's rows
+    across tasks), the other side is replicated once per salt value, and
+    the join key becomes (key, salt). A hot key that would pin one task now
+    fans out over ``num_salts`` tasks at the cost of replicating the small
+    side ``num_salts``×.
+
+    AQE's skew-join splitting (on in session.py) handles most cases
+    automatically; salting is for the residual ones — a single pathological
+    key inside one shuffle block, or non-AQE engines.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_l = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)).cast("int")
+    )
+    salted_r = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return salted_l.join(salted_r, on=keys + ["_salt"], how=how).drop("_salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
     """EXISTS — rows of ``left`` with a match in ``right``; right columns never
     materialize, so the shuffle carries only the join key."""

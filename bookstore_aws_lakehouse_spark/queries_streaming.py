@@ -116,3 +116,36 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     name = _fresh("stream_dedup")
     run_available_now(deduped, name, output_mode="append")
     return spark.table(name).agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@golden(
+    "stream_stateful_user_stats",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents,
+           max(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    stats; with availableNow the last update per user equals the batch
+    aggregate — which is exactly what the oracle computes. Exact integer
+    cents make the sum batch-boundary-independent."""
+    from bookstore_aws_lakehouse_spark.streaming.jobs import stateful_user_stats
+
+    stream = read_events_stream(spark, sf_dir)
+    stats = stateful_user_stats(stream)
+    name = _fresh("stream_userstats")
+    run_available_now(stats, name, output_mode="update")
+    out = spark.table(name)
+    # update mode emits one row per (user, microbatch); keep the final one
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

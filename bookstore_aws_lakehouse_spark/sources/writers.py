@@ -41,6 +41,27 @@ def write_csv(
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def save_as_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: rows are hash-partitioned into
+    ``num_buckets`` files per partition by ``bucket_cols`` at WRITE time.
+    Two tables bucketed identically join with ZERO exchange — the shuffle
+    is paid once at load, then every join/aggregation on the bucket key is
+    co-located. This is the 100 TB answer to repeated fact-fact joins
+    (e.g. lineitem ⋈ orders every night): see tests/test_bucketing.py for
+    the no-Exchange plan proof."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def save_as_table(
     df: DataFrame,
     name: str,

@@ -138,3 +138,64 @@ def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete") 
         .start()
     )
     query.awaitTermination()
+
+
+# ---- custom stateful operator (applyInPandasWithState) -------------------
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value_cents", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_USER_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def stateful_user_stats(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (count, exact total in integer cents, max value).
+
+    This is the escape hatch for aggregation logic Spark's built-ins can't
+    express (here kept deliberately verifiable: the final state equals a
+    batch groupBy, which the DuckDB oracle checks). State is one small
+    tuple per user — bounded memory; totals accumulate in integer cents so
+    the result is exact regardless of batch boundaries.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, batches, state: GroupState):
+        n, cents, mx = state.get if state.exists else (0, 0, None)
+        for pdf in batches:
+            n += len(pdf)
+            # round() before int: values are 2-dp floats; truncation would
+            # lose a cent on values like 9.64 -> 963.9999
+            cents += int(pd.Series(pdf["value"] * 100).round().astype("int64").sum())
+            batch_max = float(pdf["value"].max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, cents, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_cents": [cents],
+                "max_value": [mx],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

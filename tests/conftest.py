@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -21,7 +22,13 @@ def spark():
         app_name="bookstore-lakehouse-tests",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "8g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "8g",
+            # per-run managed-table location so saveAsTable tests never
+            # collide with leftovers from previous sessions
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="blhs_warehouse_"),
+        },
     )
     yield spark
 

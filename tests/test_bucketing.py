@@ -1,0 +1,54 @@
+"""Bucketed co-located join: prove the join on the bucket key runs with
+ZERO Exchange — the write-once-shuffle-never property that makes repeated
+fact-fact joins viable at 100 TB."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from bookstore_aws_lakehouse_spark.sources.writers import save_as_bucketed_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    save_as_bucketed_table(li, "b_lineitem", ["l_orderkey"], num_buckets=4, sort_cols=["l_orderkey"])
+    save_as_bucketed_table(orders, "o_orders", ["o_orderkey"], num_buckets=4, sort_cols=["o_orderkey"])
+
+    bl = spark.table("b_lineitem")
+    bo = spark.table("o_orders")
+    # force a non-broadcast join so the exchange question is real
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = _plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it is actually correct
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from bookstore_aws_lakehouse_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("cold", 1)], ["k", "v"]
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "tag"])
+    plain = {(r["k"], r["v"], r["tag"]) for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["v"], r["tag"]) for r in salted_join(left, right, "k", num_salts=4).collect()}
+    assert salted == plain
