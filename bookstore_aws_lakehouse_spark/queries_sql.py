@@ -112,3 +112,75 @@ def q_sql_cast_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit CAST + CASE WHEN in SQL (reference F6/F3,
     `external-table-queries.sql:14,37`); decimal avg for determinism."""
     return _sql(spark, sf_dir, _SQL_CAST_CASE)
+
+
+_SQL_SCALAR_SUBQUERY = """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > 2 * (SELECT avg(p_retailprice) FROM part)
+"""
+
+
+@golden("sql_scalar_subquery", _SQL_SCALAR_SUBQUERY)
+def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — Catalyst evaluates it once and folds
+    it into the filter (broadcast of a single value). The 2x multiplier
+    keeps the threshold away from any row's exact value, so double-epsilon
+    differences in the avg cannot flip a comparison."""
+    return _sql(spark, sf_dir, _SQL_SCALAR_SUBQUERY)
+
+
+_SQL_GROUPING_SETS = """
+    SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+           coalesce(l_linestatus, '<all>') AS l_linestatus,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@golden("sql_grouping_sets", _SQL_GROUPING_SETS)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube): one scan
+    expands to all requested granularities."""
+    return _sql(spark, sf_dir, _SQL_GROUPING_SETS)
+
+
+_SQL_STRING_FUNCS = """
+    SELECT p_partkey,
+           upper(p_name) AS upper_name,
+           substring(p_name, 1, 4) AS prefix4,
+           replace(p_name, ' ', '_') AS snake,
+           length(p_name) AS name_len,
+           lpad(CAST(p_partkey AS STRING), 8, '0') AS padded_key,
+           concat(p_brand, '/', p_type) AS brand_type,
+           coalesce(nullif(p_type, 'ECONOMY'), 'BUDGET') AS type_relabeled,
+           greatest(p_size, 25) AS size_floor25,
+           least(p_size, 25) AS size_cap25
+    FROM part
+"""
+
+
+@golden("sql_string_functions", _SQL_STRING_FUNCS)
+def q_sql_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (SURVEY §2.7 beyond-reference): string ops +
+    conditional functions, identical ANSI semantics on both engines."""
+    return _sql(spark, sf_dir, _SQL_STRING_FUNCS)
+
+
+_SQL_ORDERS_BY_MONTH = """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY yr, mo
+"""
+
+
+@golden("sql_orders_by_month", _SQL_ORDERS_BY_MONTH)
+def q_sql_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar date functions on proper (ms) timestamps — year/month
+    extraction is timezone-stable here: session TZ is UTC and the fixture
+    stores UTC instants."""
+    return _sql(spark, sf_dir, _SQL_ORDERS_BY_MONTH)

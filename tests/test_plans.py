@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the scale properties we claim must be
+visible in the plan, not just asserted in docstrings. If a refactor turns a
+broadcast join into a sort-merge or un-pushes a filter, these fail."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from bookstore_aws_lakehouse_spark.registry import load_all
+
+GOLDEN, _ = load_all()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_plan_shape(spark, sf_smoke):
+    plan = plan_of(GOLDEN["topk_books"](spark, sf_smoke))
+    # dim side broadcasts; the fact table is never shuffled for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-k fuses into per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # partial + final aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_column_pruning_reaches_scan(spark, sf_smoke):
+    plan = plan_of(GOLDEN["topk_books"](spark, sf_smoke))
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li_scan = next(l for l in scans if "l_partkey" in l)
+    # lineitem has 11 columns; the flagship needs exactly 2
+    assert "l_partkey" in li_scan and "l_quantity" in li_scan
+    assert "l_extendedprice" not in li_scan and "l_shipdate" not in li_scan
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_smoke):
+    plan = plan_of(GOLDEN["filter_where"](spark, sf_smoke))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("c_mktsegment" in l and "FURNITURE" in l for l in pushed), pushed
+
+
+def test_q1_single_exchange(spark, sf_smoke):
+    # scan → partial agg → one exchange → final agg (formatted explain
+    # prints each node twice: tree + detail, so count detail headers)
+    import re
+
+    plan = plan_of(GOLDEN["q1_pricing_summary"](spark, sf_smoke))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 1, plan
+
+
+def test_semi_join_carries_no_payload(spark, sf_smoke):
+    plan = plan_of(GOLDEN["semi_anti_join"](spark, sf_smoke))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_lsh_buckets_no_shuffle(spark, sf_smoke):
+    # bucketing is a pure Project: repartition-free, exchange-free
+    plan = plan_of(GOLDEN["ann_lsh_buckets"](spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+
+
+def test_session_defaults_enable_aqe(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
