@@ -671,3 +671,58 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.coalesce("ka", "kb").alias("k"), "n_building", "n_machinery"
     )
+
+
+@golden(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    LIMIT 25
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a cross-dimension predicate
+    (customer and supplier in the same nation). Dims broadcast; the two
+    fact-sized tables meet through AQE-chosen strategies; revenue in exact
+    decimal."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = filter_expr(
+        load_table(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = filter_equals(load_table(spark, sf_dir, "region"), "r_name", "ASIA")
+
+    j = join_dim_fact(orders, cust, on=orders.o_custkey == cust.c_custkey)
+    j = join_dim_fact(li, j, on=li.l_orderkey == F.col("o_orderkey"), broadcast_dim=False)
+    j = join_dim_fact(j, supp, on=(F.col("l_suppkey") == supp.s_suppkey))
+    j = filter_expr(j, F.col("c_nationkey") == F.col("s_nationkey"))
+    j = join_dim_fact(j, nat, on=F.col("s_nationkey") == nat.n_nationkey)
+    j = join_dim_fact(j, reg, on=F.col("n_regionkey") == reg.r_regionkey)
+    agged = group_agg(
+        j,
+        ["n_name"],
+        {
+            "revenue": F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double")
+        },
+    )
+    return top_k(agged, [("revenue", True)], 25, tiebreak=["n_name"])

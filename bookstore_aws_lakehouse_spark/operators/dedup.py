@@ -205,3 +205,58 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "sig_a", "sig_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into groups: every doc gets the MIN id
+    reachable through the pair graph (the canonical representative), via
+    iterative min-label propagation.
+
+    This is the one genuinely *iterative* algorithm in the engine — the
+    driver loop only controls convergence (one count() per round); all
+    data stays distributed. localCheckpoint() truncates the growing plan
+    lineage each round. Dup clusters are near-cliques, so convergence is
+    2-3 rounds regardless of corpus size; each round is one join + one
+    aggregate keyed on doc id.
+    """
+    verts = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    labels = verts.withColumn("label", F.col("id"))
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -172,3 +172,49 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1. The oracle recomputes every vote."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_CLUSTERS_SQL = (
+    _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_shared * 1000 >= 100 * (sa.n_shingles + sb.n_shingles - n_shared)
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+)
+
+
+@golden("dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard(3-gram) ≥ 0.1 pairs → connected
+    components via iterative min-label propagation; every member maps to
+    the min doc_id of its cluster. The oracle computes the same components
+    with a recursive transitive-closure CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1)
+    from bookstore_aws_lakehouse_spark.operators.dedup import connected_components
+
+    return connected_components(pairs.select("id_a", "id_b"))

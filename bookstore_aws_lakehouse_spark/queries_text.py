@@ -138,3 +138,61 @@ def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias("n_number_tokens"),
     )
+
+
+@golden(
+    "text_vocabulary_topk",
+    """
+    SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+)
+def q_text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency, top-50 —
+    the tokenize→explode→count shape every training-data pipeline runs.
+    Map-side partial aggregation means the shuffle carries one row per
+    (partition, token), not per token occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    agged = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    from bookstore_aws_lakehouse_spark.operators.sort import top_k
+
+    return top_k(agged, [("freq", True)], 50, tiebreak=["token"])
+
+
+QUALITY_MIN_TOKENS = 30
+QUALITY_MIN_DISTINCT_RATIO = 0.35
+
+
+@golden(
+    "text_quality_filter",
+    f"""
+    SELECT doc_id, lang, n_tokens, distinct_ratio
+    FROM (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+      FROM documents
+    )
+    WHERE n_tokens >= {QUALITY_MIN_TOKENS}
+      AND distinct_ratio >= {QUALITY_MIN_DISTINCT_RATIO}
+    """,
+)
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality gate: compute features, keep docs passing the
+    length + repetition thresholds — the filter stage of a data-curation
+    pipeline (features and predicate fuse into one codegen'd pass over
+    the scan)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = with_quality_features(docs)
+    return out.filter(
+        (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        & (F.col("distinct_ratio") >= QUALITY_MIN_DISTINCT_RATIO)
+    ).select("doc_id", "lang", "n_tokens", "distinct_ratio")
