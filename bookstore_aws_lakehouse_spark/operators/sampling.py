@@ -1,0 +1,57 @@
+"""Dataset splitting / mixing / sampling for training pipelines.
+
+Reproducibility rule: splits are **hash-based, not RNG-based**. A hash of
+the stable record id decides membership, so the split is identical across
+engines, runs, partitionings, and cluster sizes — and adding new records
+never reshuffles old ones between splits (RNG-with-seed can't promise any
+of that). ``F.sample`` stays available for quick approximate sampling, but
+anything that feeds training uses these.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.operators.dedup import md5_hash64
+
+
+def split_bucket(id_col: Column | str, salt: str = "split") -> Column:
+    """Stable bucket in [0, 1000) from the record id (md5-portable)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(md5_hash64(F.concat_ws(":", F.lit(salt), c.cast("string"))), F.lit(1000))
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_fraction: float = 0.2, salt: str = "split"
+) -> DataFrame:
+    """Tag every row 'train' / 'test' by hash bucket. Deterministic,
+    engine-portable, stable under data growth."""
+    cut = int(round(test_fraction * 1000))
+    return df.withColumn(
+        "split",
+        F.when(split_bucket(id_col, salt) < cut, F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def weighted_source_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: Mapping[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Down-sample each source to its weight (keep-fraction in [0,1]) —
+    the corpus-mixing step of a training-data pipeline. Hash-gated per
+    row: deterministic, no shuffle, no RNG drift between runs. Sources
+    not in ``weights`` are dropped (weight 0)."""
+    keep_cut = F.lit(None).cast("int")
+    expr = None
+    for src, w in weights.items():
+        cond = F.col(source_col) == src
+        cut = int(round(w * 1000))
+        expr = F.when(cond, cut) if expr is None else expr.when(cond, cut)
+    keep_cut = expr.otherwise(0) if expr is not None else F.lit(0)
+    return df.filter(split_bucket(id_col, salt) < keep_cut)

@@ -28,6 +28,7 @@ _QUERY_MODULES = (
     "bookstore_aws_lakehouse_spark.queries_events",
     "bookstore_aws_lakehouse_spark.queries_text",
     "bookstore_aws_lakehouse_spark.queries_dedup",
+    "bookstore_aws_lakehouse_spark.queries_sampling",
     "bookstore_aws_lakehouse_spark.queries_similarity",
     "bookstore_aws_lakehouse_spark.queries_streaming",
     "bookstore_aws_lakehouse_spark.queries_multimodal",
