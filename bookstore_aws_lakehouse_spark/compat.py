@@ -101,17 +101,21 @@ class Top100BooksTransformer:
         dataframe: DataFrame,
         columns: list[str] = ["ISBN", "Book-Title", "Book-Rating"],
     ) -> DataFrame:
-        return (
-            dataframe.select(columns)
-            .groupby("ISBN", "Book-Title")
-            .agg(
-                F.avg("Book-Rating").alias("Average-Rating"),
-                F.count("Book-Title").alias("Total-Ratings"),
-            )
-            .filter(F.col("Total-Ratings") >= 100)
-            .orderBy(F.col("Average-Rating").desc())
-            .limit(100)
+        from bookstore_aws_lakehouse_spark.operators.aggregates import group_agg
+        from bookstore_aws_lakehouse_spark.operators.filters import filter_expr
+
+        agged = group_agg(
+            dataframe.select(columns),
+            ["ISBN", "Book-Title"],
+            {
+                "Average-Rating": F.avg("Book-Rating"),
+                "Total-Ratings": F.count("Book-Title"),
+            },
         )
+        kept = filter_expr(agged, F.col("Total-Ratings") >= 100)
+        # reference fidelity: no tiebreak — ties at the boundary resolve
+        # arbitrarily, exactly as in the original
+        return kept.orderBy(F.col("Average-Rating").desc()).limit(100)
 
 
 class Transformer:

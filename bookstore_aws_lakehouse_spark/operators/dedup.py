@@ -224,16 +224,14 @@ def connected_components(
     2-3 rounds regardless of corpus size; each round is one join + one
     aggregate keyed on doc id.
     """
-    verts = (
-        pairs.select(F.col(id_a).alias("id"))
-        .unionByName(pairs.select(F.col(id_b).alias("id")))
-        .distinct()
-    )
-    labels = verts.withColumn("label", F.col("id"))
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    # materialize the (possibly expensive) pair computation ONCE; the
+    # vertex set derives from the checkpointed edges, not from `pairs`
     sym = sym.localCheckpoint()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    labels = verts.withColumn("label", F.col("id"))
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.id)

@@ -41,6 +41,41 @@ def write_csv(
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def upsert_parquet(
+    df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+) -> None:
+    """Idempotent key-based upsert into a parquet location — the
+    no-extra-dependency stand-in for Delta/Iceberg ``MERGE`` (with those
+    formats installed this whole function is one ``MERGE INTO``; the
+    call-site contract is identical). New rows replace existing rows with
+    the same key; unrelated rows are preserved.
+
+    Mechanics: anti-join existing data against the incoming keys, union,
+    rewrite. The rewrite goes through a staging directory because the
+    union plan reads the same files the overwrite deletes. At scale,
+    partition the location and rewrite only affected partitions
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = keep.unionByName(df)
+        staging = tempfile.mkdtemp(prefix="blhs_upsert_") + "/data"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(path)
+        shutil.move(staging, path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
 def save_as_bucketed_table(
     df: DataFrame,
     name: str,

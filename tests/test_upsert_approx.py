@@ -1,0 +1,36 @@
+"""Idempotent upsert sink + approximate-aggregate accuracy."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.sources.writers import upsert_parquet
+
+
+def test_upsert_parquet(spark):
+    path = tempfile.mkdtemp(prefix="blhs_up_") + "/t"
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    upsert_parquet(base, path, ["k"])
+    # update one key, insert one key
+    delta = spark.createDataFrame([(2, "B2"), (4, "d")], ["k", "v"])
+    upsert_parquet(delta, path, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # idempotent: re-applying the same delta changes nothing
+    upsert_parquet(delta, path, ["k"])
+    again = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_approx_count_distinct_accuracy(spark, sf_oracle):
+    """HLL++ sketch (the 100 TB answer to count(DISTINCT) when exactness
+    isn't required — no Expand, mergeable partial sketches) stays within
+    its documented error bound on real fixture data."""
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
