@@ -1,0 +1,104 @@
+"""Temporal join operators Spark's API lacks natively: as-of join and
+range (interval) join — built as *compositions of existing DataFrame ops*
+(SURVEY's preferred path for missing operators), not UDFs.
+
+As-of join — union + ordered window:
+  tag both sides, union them, and per partition-key run a last-value
+  window ordered by (time, side-marker); each left row picks up the most
+  recent right row at-or-before it. One shuffle on the partition key —
+  the same cost as a regular join, no per-row probing.
+
+Range join — coarse-bucket equi-join + exact filter:
+  a raw interval predicate forces nested-loop; bucketing time into
+  range-sized cells and exploding each left row into the cells its window
+  covers turns it into an equi-join on (key, cell) followed by an exact
+  filter. Work scales with rows × cells-per-window, not |L|×|R|.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach ``value_cols`` (and the time) of the most
+    recent right row with ``right.time <= left.time`` within the same
+    ``by`` group (backward as-of; NULLs when no prior right row exists).
+
+    Both inputs must share ``time_col`` and ``by`` names. Ties at equal
+    time match (the right row sorts first via the side marker).
+    """
+    keys = list(by)
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        *keys,
+        F.col(time_col),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    # align schemas: left gets null right-values, right gets null left-extras
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    for c in value_cols:
+        l = l.withColumn(f"_rv_{c}", F.lit(None))
+        r = r.withColumn(f"_rv_{c}", F.col(c))
+    r = r.withColumn("_rt", F.col(time_col))
+    l = l.withColumn("_rt", F.lit(None))
+    unioned = l.select(*lcols, "_side", "_rt", *[f"_rv_{c}" for c in value_cols]).unionByName(
+        r.select(*lcols, "_side", "_rt", *[f"_rv_{c}" for c in value_cols])
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "_side",
+        F.last("_rt", ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_l: str,
+    time_r: str,
+    max_gap: int,
+) -> DataFrame:
+    """All (left, right) pairs with the same ``key`` and
+    ``time_l < time_r <= time_l + max_gap`` (times are integers — epoch
+    µs/ns — so bucket math is exact).
+
+    Left rows explode into the two range-cells their window can touch;
+    the equi-join on (key, cell) prunes everything else; the exact
+    predicate finishes the job.
+    """
+    cell_l = F.floor(F.col(time_l) / max_gap)
+    l = left.withColumn("_cell", F.explode(F.array(cell_l, cell_l + 1)))
+    r = right.withColumn("_cell", F.floor(F.col(time_r) / max_gap))
+    joined = l.join(r, on=[key, "_cell"])
+    return (
+        joined.filter(
+            (F.col(time_r) > F.col(time_l))
+            & (F.col(time_r) <= F.col(time_l) + max_gap)
+        )
+        .drop("_cell")
+    )

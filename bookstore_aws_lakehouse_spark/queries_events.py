@@ -196,3 +196,48 @@ def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
     )
+
+
+@golden(
+    "events_user_quantiles",
+    """
+    SELECT user_id,
+           count(*) AS n,
+           median(k) AS median_k,
+           quantile_cont(k, 0.25) AS q25_k,
+           quantile_cont(k, 0.75) AS q75_k
+    FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def q_events_user_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-user median/quartiles of
+    the JSON `k` field via numpy — the Arrow path for per-group logic that
+    outgrows SQL aggregates. Determinism: k is integer and numpy's default
+    'linear' percentile interpolation is the same closed formula as
+    quantile_cont, so doubles match exactly."""
+    import pandas as pd
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+    def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        k = pdf["k"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(k)],
+                "median_k": [float(np.percentile(k, 50))],
+                "q25_k": [float(np.percentile(k, 25))],
+                "q75_k": [float(np.percentile(k, 75))],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        quantiles,
+        schema="user_id long, n long, median_k double, q25_k double, q75_k double",
+    )

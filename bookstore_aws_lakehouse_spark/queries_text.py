@@ -196,3 +196,50 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
         & (F.col("distinct_ratio") >= QUALITY_MIN_DISTINCT_RATIO)
     ).select("doc_id", "lang", "n_tokens", "distinct_ratio")
+
+
+TFIDF_TOP_N = 5
+
+
+@golden(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TFIDF_TOP_N}
+    """,
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-{TFIDF_TOP_N} terms per document: term frequency ⋈
+    document frequency (broadcast — the vocabulary is small relative to
+    the corpus) ⋈ corpus size, ranked per doc. Scores round to 6 dp before
+    ranking so libm ulp differences between engines cannot flip an order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # tiny scalar; at scale pass via a config or agg-join
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
+
+    return top_n_per_group(
+        scored, ["doc_id"], [("tfidf", True)], TFIDF_TOP_N, tiebreak=["token"], rank_name="rnk"
+    ).select("doc_id", "token", "tfidf", "rnk")

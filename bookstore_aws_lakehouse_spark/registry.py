@@ -26,6 +26,7 @@ _QUERY_MODULES = (
     "bookstore_aws_lakehouse_spark.queries_sql",
     "bookstore_aws_lakehouse_spark.queries_etl",
     "bookstore_aws_lakehouse_spark.queries_events",
+    "bookstore_aws_lakehouse_spark.queries_temporal",
     "bookstore_aws_lakehouse_spark.queries_text",
     "bookstore_aws_lakehouse_spark.queries_dedup",
     "bookstore_aws_lakehouse_spark.queries_sampling",
