@@ -218,3 +218,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bookstore_aws_lakehouse_spark.operators.dedup import connected_components
 
     return connected_components(pairs.select("id_a", "id_b"))
+
+
+@golden(
+    "fuzzy_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the (small, distinct) name
+    dictionary — the entity-resolution modality: dedupe the DICTIONARY
+    all-pairs (cheap: distinct values only), then equi-join the mapping
+    back to the corpus. Never all-pairs the corpus itself."""
+    from pyspark.sql import functions as F
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_distance") <= 3)
+    )

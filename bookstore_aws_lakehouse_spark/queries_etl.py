@@ -77,8 +77,18 @@ clean AS (
 """
 
 
+_CLEAN_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return CLEAN_PREFIX.run(build_raw_ratings(spark, sf_dir))
+    """The shared raw→expand→clean prefix, persisted once per (session,
+    sf_dir): the four ETL queries fan out from it exactly like the
+    pipeline's sinks do (SURVEY §7.1.7 — the reference recomputed this
+    prefix per sink)."""
+    key = (id(spark), sf_dir)
+    if key not in _CLEAN_CACHE:
+        _CLEAN_CACHE[key] = CLEAN_PREFIX.run(build_raw_ratings(spark, sf_dir)).persist()
+    return _CLEAN_CACHE[key]
 
 
 @golden(
