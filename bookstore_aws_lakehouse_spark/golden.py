@@ -726,3 +726,37 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return top_k(agged, [("revenue", True)], 25, tiebreak=["n_name"])
+
+
+@golden(
+    "window_ranking_variants",
+    """
+    SELECT c_custkey, c_mktsegment,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           lead(c_custkey) OVER w AS next_custkey,
+           lag(c_custkey)  OVER w AS prev_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / lead / lag over one window spec —
+    the remaining ranking-family surface (§2.8). One shuffle on the
+    partition key serves all five functions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("c_custkey").over(w).alias("next_custkey"),
+        F.lag("c_custkey").over(w).alias("prev_custkey"),
+    )

@@ -45,14 +45,25 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 def shingles(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct k-token shingles of a document (array<string>)."""
+    """Distinct k-token shingles of a document (array<string>).
+
+    Docs shorter than k tokens have NO shingles: the guard matters because
+    Spark's ``sequence(1, n-k+1)`` auto-descends when the end is below the
+    start (yielding [1,0,-1] → slice(…, 0, …) errors), whereas DuckDB's
+    ``generate_series`` returns empty — the guard pins the empty-list
+    semantic on both engines.
+    """
     toks = tokenize(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
@@ -134,11 +145,17 @@ def jaccard_pairs(
     sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
     )
+    # join on the 8-byte portable hash, not the shingle string: the
+    # self-join shuffle carries fixed-width keys instead of ~20-char text.
+    # (60-bit md5 collisions would add a phantom shared-shingle count;
+    # at 10^9 distinct shingles the chance of ANY collision is ~10^-4 —
+    # acceptable for candidate generation.)
+    sh = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("shingle_h"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle_h")
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "shingle_h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -232,7 +249,7 @@ def connected_components(
     sym = sym.localCheckpoint()
     verts = sym.select(F.col("src").alias("id")).distinct()
     labels = verts.withColumn("label", F.col("id"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
@@ -248,6 +265,12 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        # near-dup graphs are near-cliques: round 0 cannot have converged
+        # (every non-singleton component changes), so the first
+        # convergence count — a full extra job — is skipped
+        if it == 0:
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -171,3 +171,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_n_per_group(
         scored, ["query_id"], [("cosine", True)], 3, tiebreak=["vec_id"], rank_name="rank"
     ).select("query_id", "vec_id", "cosine", "rank")
+
+
+@golden(
+    "array_functions",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           len(v) AS dim,
+           v[1:4] AS head4,
+           list_max(v) AS max_c,
+           list_min(v) AS min_c,
+           round(list_sum(v), 6) AS sum_c,
+           list_contains(list_transform(v, x -> x > 0), true) AS has_positive
+    FROM e
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column: size, slice,
+    element-wise transform, min/max/sum reductions, containment — all
+    higher-order built-ins, one Project, no shuffle. (Sum rounds to 6 dp:
+    list_sum's reduction order is engine-internal, unlike our
+    left-to-right dot products.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.slice(v, 1, 4).alias("head4"),
+        F.array_max(v).alias("max_c"),
+        F.array_min(v).alias("min_c"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("sum_c"),
+        F.array_contains(F.transform(v, lambda x: x > 0), True).alias("has_positive"),
+    )
