@@ -37,6 +37,7 @@ def main() -> None:
         "count_star_by_country",
         "drilldown_states",
         "q1_pricing_summary",
+        "q6_forecast_revenue",
         "q3_shipping_priority",
         "window_topn_per_group",
         "rollup_geo",

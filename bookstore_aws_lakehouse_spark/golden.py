@@ -760,3 +760,39 @@ def q_window_ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("c_custkey").over(w).alias("next_custkey"),
         F.lag("c_custkey").over(w).alias("prev_custkey"),
     )
+
+
+@golden(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global aggregate —
+    the pushdown showcase (every predicate reaches the parquet scan; zero
+    shuffle beyond the single-row final agg). The scan-throughput lower
+    bound for the bench."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

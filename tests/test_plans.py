@@ -71,3 +71,24 @@ def test_lsh_buckets_no_shuffle(spark, sf_smoke):
 def test_session_defaults_enable_aqe(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_q6_filters_push_to_scan(spark, sf_smoke):
+    plan = plan_of(GOLDEN["q6_forecast_revenue"](spark, sf_smoke))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed, (col, pushed)
+
+
+def test_partitioned_mart_gets_partition_pruning(spark, sf_smoke, tmp_path):
+    from bookstore_aws_lakehouse_spark.sources.writers import write_parquet
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "mart")
+    write_parquet(li, path, partition_by=["l_returnflag"])
+    back = spark.read.parquet(path).filter("l_returnflag = 'A'")
+    plan = plan_of(back)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "l_returnflag" in pf, pf  # pruning: only the A directory is read
