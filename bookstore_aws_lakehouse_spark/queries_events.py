@@ -241,3 +241,26 @@ def q_events_user_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantiles,
         schema="user_id long, n long, median_k double, q25_k double, q75_k double",
     )
+
+
+@golden(
+    "map_functions_event_counts",
+    """
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+    FROM (SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY user_id, event_type)
+    """,
+)
+def q_map_functions_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: per-user counts collected into a
+    map<event_type, n> (map_from_entries) and exploded back to rows —
+    proving the map construction/flattening round-trip loses nothing.
+    The oracle is the plain group-by the round-trip must equal."""
+    ev = load_events(spark, sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("type_counts")
+    )
+    return as_map.select(
+        "user_id", F.explode("type_counts").alias("event_type", "n")
+    )

@@ -204,3 +204,119 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("sum_c"),
         F.array_contains(F.transform(v, lambda x: x > 0), True).alias("has_positive"),
     )
+
+
+@golden(
+    "embedding_standardize",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    comp AS (
+      SELECT vec_id, i AS dim, v[i] AS x
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    stats AS (
+      SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma
+      FROM comp GROUP BY dim
+    )
+    SELECT vec_id, dim, round((x - mu) / sigma, 6) AS z
+    FROM comp JOIN stats USING (dim)
+    WHERE dim <= 4
+    """,
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML preprocessing: per-dimension z-score standardization
+    (posexplode → per-dim mean/stddev → broadcast join back). Output is
+    limited to the first 4 dims and rounded to 6 dp — mean/stddev
+    accumulate in partition order, so the last ulps are not portable;
+    rounding is the documented tolerance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x"))
+    stats = comp.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    return (
+        comp.join(F.broadcast(stats), "dim")
+        .filter(F.col("dim") <= 4)
+        .select(
+            "vec_id", "dim", F.round((F.col("x") - F.col("mu")) / F.col("sigma"), 6).alias("z")
+        )
+    )
+
+
+@golden(
+    "ann_ivf_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    ranked AS (
+      SELECT e.vec_id, cent.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_COS.format(a="e.v", b="cent.cv")} DESC,
+                                         cent.centroid_id) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2),
+    q AS (SELECT p.vec_id AS query_id, p.centroid_id, e.v AS qv
+          FROM probes p JOIN e ON p.vec_id = e.vec_id
+          WHERE p.vec_id < {N_QUERIES}),
+    cand AS (SELECT a.vec_id, a.centroid_id, e.v
+             FROM assigned a JOIN e ON a.vec_id = e.vec_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.query_id, cand.vec_id,
+             {_COS.format(a="q.qv", b="cand.v")} AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {_COS.format(a="q.qv", b="cand.v")} DESC,
+                                         cand.vec_id) AS rank
+      FROM q JOIN cand ON q.centroid_id = cand.centroid_id
+      WHERE cand.vec_id != q.query_id
+    ) WHERE rank <= 3
+    """,
+)
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each probe searches its TWO nearest cells
+    (corpus assignment stays single-cell). The recall/cost dial of the
+    ANN path — candidate volume doubles, boundary losses shrink;
+    tests/test_vector.py measures the recall gain over nprobe=1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    from bookstore_aws_lakehouse_spark.functions.vector import cosine_similarity
+    from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
+
+    c = centroids.select("centroid_id", F.col("embedding").alias("centroid_vec"))
+    ranked = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            cosine_similarity(F.col("embedding"), F.col("centroid_vec")).alias("c_cos"),
+        )
+    )
+    ranked = top_n_per_group(
+        ranked, ["vec_id"], [("c_cos", True)], 2, tiebreak=["centroid_id"], rank_name="rn"
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    probes = ranked.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "centroid_id",
+        F.col("embedding").alias("query_vec"),
+    )
+    cand = assigned.join(emb, "vec_id")
+    scored = (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("query_vec"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    return top_n_per_group(
+        scored, ["query_id"], [("cosine", True)], 3, tiebreak=["vec_id"], rank_name="rank"
+    ).select("query_id", "vec_id", "cosine", "rank")

@@ -70,3 +70,25 @@ def test_ivf_recall_vs_brute_force(spark, sf_smoke):
     # random-candidate baseline (1 cell of 10). Real corpora cluster, and
     # the recall dial is nprobe (search the k nearest cells, not 1).
     assert mean_recall >= 0.15, recalls
+
+
+def test_ivf_multiprobe_improves_recall(spark, sf_smoke):
+    """nprobe=2 must recall at least as much of the exact top-3 as
+    nprobe=1 (the whole point of multi-probe)."""
+    from bookstore_aws_lakehouse_spark.registry import load_all
+
+    g, _ = load_all()
+    exact = g["embedding_topk_cosine"](spark, sf_smoke).filter("rank <= 3").collect()
+    one = g["ann_ivf_topk"](spark, sf_smoke).collect()
+    two = g["ann_ivf_multiprobe"](spark, sf_smoke).collect()
+
+    def sets(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return d
+
+    ex, s1, s2 = sets(exact), sets(one), sets(two)
+    r1 = sum(len(ex[q] & s1.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    r2 = sum(len(ex[q] & s2.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    assert r2 >= r1, (r1, r2)
