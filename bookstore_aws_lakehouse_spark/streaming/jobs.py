@@ -199,3 +199,37 @@ def stateful_user_stats(stream: DataFrame, timeout: str = "NoTimeout") -> DataFr
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def continuous_hourly_aggregate(
+    spark: SparkSession, sf_dir: str, out_path: str, watermark: str = "30 minutes"
+) -> None:
+    """Incrementally-maintained rollup (continuous aggregate): the hourly
+    tumbling aggregation streamed through ``foreachBatch`` into a
+    key-upserted parquet mart. Each micro-batch merges only the windows it
+    touched — the lakehouse upgrade of the reference's nightly
+    recompute-everything cron. With Delta/Iceberg, the upsert becomes
+    MERGE INTO and readers get snapshot isolation.
+    """
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.sources.writers import upsert_parquet
+
+    stream = read_events_stream(spark, sf_dir)
+    agged = tumbling_agg(stream, window="1 hour", watermark=watermark).select(
+        (F.unix_micros(F.col("window.start")) * 1000).alias("window_start_ns"),
+        "n_events",
+        "total_value",
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        upsert_parquet(batch_df, out_path, ["window_start_ns"])
+
+    query = (
+        agged.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="blhs_ckpt_cagg_"))
+        .start()
+    )
+    query.awaitTermination()

@@ -25,3 +25,23 @@ def test_sliding_windows_overlap(spark, sf_smoke):
     # every event lands in exactly window/slide = 2 panes
     total_events = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
     assert out.agg(F.sum("n_events")).collect()[0][0] == 2 * total_events
+
+
+def test_continuous_aggregate_equals_batch(spark, sf_smoke, tmp_path):
+    """foreachBatch-upserted continuous aggregate must equal the batch
+    hourly rollup after processing all data."""
+    from bookstore_aws_lakehouse_spark.registry import load_all
+    from bookstore_aws_lakehouse_spark.streaming.jobs import continuous_hourly_aggregate
+
+    out = str(tmp_path / "hourly_mart")
+    continuous_hourly_aggregate(spark, sf_smoke, out)
+    got = {
+        r["window_start_ns"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    g, _ = load_all()
+    want = {
+        r["window_start_ns"]: (r["n_events"], r["total_value"])
+        for r in g["events_hourly_tumbling"](spark, sf_smoke).collect()
+    }
+    assert got == want
