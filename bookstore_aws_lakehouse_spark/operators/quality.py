@@ -1,0 +1,67 @@
+"""Data-quality operators: profiling, key checks, referential integrity,
+snapshot diffing — the validation stage every production lakehouse load
+runs before publishing a mart.
+
+All checks are single-pass aggregates or key-joins: at 100 TB a profile is
+one scan with partial aggregation; the FK-orphan check is a broadcast or
+shuffle join on the key only (payload columns pruned away).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """One-row profile: row count, per-key-column null counts, distinct
+    key combinations (uniqueness check: distinct == rows ⇒ key is unique).
+    Single scan, one partial+final aggregate."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("n_distinct_keys"),
+    ]
+    for c in key_cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}"))
+    return df.agg(*aggs)
+
+
+def fk_orphans(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Referential integrity: fact rows whose key has no dimension match
+    (anti-join on the key alone — dimension payload never moves)."""
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    return fact.join(keys, on=fact_key, how="left_anti")
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """CDC-style diff of two snapshots keyed by ``key_cols``: one row per
+    changed key with status 'added' / 'removed' / 'changed'. Row content
+    is compared by a portable md5 over all non-key columns (sorted by
+    name) — the engines never compare full payloads, just 32-byte hashes.
+    Unchanged keys are dropped."""
+    keys = list(key_cols)
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        value_cols = sorted(c for c in df.columns if c not in keys)
+        h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in value_cols]))
+        return df.select(*keys, h.alias(f"hash_{tag}"))
+
+    o = hashed(old, "old")
+    n = hashed(new, "new")
+    joined = o.join(n, on=keys, how="full_outer")
+    status = (
+        F.when(F.col("hash_old").isNull(), F.lit("added"))
+        .when(F.col("hash_new").isNull(), F.lit("removed"))
+        .when(F.col("hash_old") != F.col("hash_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*keys, "status")
+    )

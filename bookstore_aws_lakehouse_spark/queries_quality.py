@@ -1,0 +1,110 @@
+"""Oracle-checked data-quality queries: table profiling, referential
+integrity, and snapshot diffing over the fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.catalog import load_table
+from bookstore_aws_lakehouse_spark.operators.quality import fk_orphans, profile, snapshot_diff
+from bookstore_aws_lakehouse_spark.registry import golden
+
+
+@golden(
+    "dq_profile_lineitem",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct_keys,
+           sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_l_orderkey,
+           sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS nulls_l_linenumber
+    FROM lineitem
+    """,
+)
+def q_dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile of the fact table: row count, composite-
+    key cardinality (uniqueness check), per-key null counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_orderkey", "l_linenumber"])
+
+
+@golden(
+    "dq_fk_orphans",
+    """
+    SELECT 'lineitem->part' AS fk, count(*) AS n_orphans
+    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders->customer' AS fk, count(*) AS n_orphans
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the star schema's FK edges
+    (anti-joins on keys only). All-zeros on the fixtures — the check
+    exists to catch the day it isn't."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def count_orphans(fact, dim, fk, dk, tag):
+        return fk_orphans(fact, dim, fk, dk).agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        ).select(F.lit(tag).alias("fk"), "n_orphans")
+
+    a = count_orphans(li, pt, "l_partkey", "p_partkey", "lineitem->part")
+    b = count_orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders")
+    c = count_orphans(orders, cust, "o_custkey", "c_custkey", "orders->customer")
+    return a.unionByName(b).unionByName(c)
+
+
+@golden(
+    "dq_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 != 0
+    ),
+    new AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 11 != 0
+    ),
+    h AS (
+      SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN md5(concat_ws(chr(31),
+                         coalesce(CAST(o.c_acctbal AS STRING), chr(0)),
+                         coalesce(o.c_mktsegment, chr(0)),
+                         coalesce(o.c_name, chr(0)),
+                         coalesce(CAST(o.c_nationkey AS STRING), chr(0))))
+                    != md5(concat_ws(chr(31),
+                         coalesce(CAST(n.c_acctbal AS STRING), chr(0)),
+                         coalesce(n.c_mktsegment, chr(0)),
+                         coalesce(n.c_name, chr(0)),
+                         coalesce(CAST(n.c_nationkey AS STRING), chr(0))))
+                  THEN 'changed'
+             END AS status
+      FROM old o FULL OUTER JOIN new n USING (c_custkey)
+    )
+    SELECT c_custkey, status FROM h WHERE status IS NOT NULL
+    """,
+)
+def q_dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: synthetic old/new customer snapshots
+    (disjoint key filters + a deterministic value perturbation) diffed by
+    key + portable row-hash → added/removed/changed rows only."""
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 10 != 0)
+    new = cust.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    return snapshot_diff(old, new, ["c_custkey"])

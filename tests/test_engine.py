@@ -1,0 +1,34 @@
+"""Engine facade smoke."""
+
+from __future__ import annotations
+
+import pytest
+
+from bookstore_aws_lakehouse_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_smoke):
+    return Engine(spark=spark, sf_dir=sf_smoke)
+
+
+def test_table_and_sql(eng):
+    assert eng.table("nation").count() == 25
+    assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"] == 25
+
+
+def test_run_registered_query(eng):
+    df = eng.run("topk_books")
+    assert df.columns == ["p_partkey", "p_name", "avg_rating", "total_ratings"]
+    assert 0 < df.count() <= 100
+    assert "HAVING" in (eng.oracle("topk_books") or "")
+
+
+def test_unknown_query_raises(eng):
+    with pytest.raises(ValueError, match="unknown query"):
+        eng.run("nope")
+
+
+def test_query_names_nonempty(eng):
+    names = eng.query_names()
+    assert "topk_books" in names and len(names) >= 80
