@@ -59,6 +59,9 @@ def main() -> None:
         "ann_lsh_buckets",
         "multimodal_features",
         "dataset_train_test_split",
+        "asof_last_signup",
+        "range_join_followups",
+        "dq_snapshot_diff",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
