@@ -179,7 +179,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT vec_id,
            len(v) AS dim,
-           v[1:4] AS head4,
+           v[1] AS h1, v[2] AS h2, v[3] AS h3, v[4] AS h4,
            list_max(v) AS max_c,
            list_min(v) AS min_c,
            round(list_sum(v), 6) AS sum_c,
@@ -192,13 +192,20 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     element-wise transform, min/max/sum reductions, containment — all
     higher-order built-ins, one Project, no shuffle. (Sum rounds to 6 dp:
     list_sum's reduction order is engine-internal, unlike our
-    left-to-right dot products.)"""
+    left-to-right dot products. Leading elements surface as scalar
+    columns — array-typed RESULTS render differently per engine.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.slice(v, 1, 4).alias("head4"),
+        # scalar columns, not an array: engines disagree on array RENDERING
+        # (list vs numpy) even when values are identical, and the driver's
+        # hash normalizer may not canonicalize nested types
+        F.element_at(v, 1).alias("h1"),
+        F.element_at(v, 2).alias("h2"),
+        F.element_at(v, 3).alias("h3"),
+        F.element_at(v, 4).alias("h4"),
         F.array_max(v).alias("max_c"),
         F.array_min(v).alias("min_c"),
         F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("sum_c"),
