@@ -115,3 +115,27 @@ def test_pipeline_registry_dispatch_raises_on_unknown(spark):
     assert out.collect()[0]["v"] == 2
     with pytest.raises(ValueError, match="Invalid transformer type"):
         get_transform("nope")
+
+
+def test_exact_sum_and_avg_order_independent(spark):
+    from bookstore_aws_lakehouse_spark.functions.scalar import exact_avg, exact_sum
+
+    # classic float trap: 0.1+0.2 accumulation order changes plain double
+    # sums; decimal-cast sums are exact regardless of partitioning
+    vals = [(0.1,)] * 10 + [(0.2,)] * 10
+    a = spark.createDataFrame(vals, ["v"]).repartition(8)
+    row = a.agg(
+        exact_sum("v").alias("s"), exact_avg("v").alias("m")
+    ).collect()[0]
+    assert row["s"] == 3.0
+    assert row["m"] == 0.15
+
+
+def test_null_if_in_helper(spark):
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.functions.scalar import null_if_in
+
+    df = spark.createDataFrame([("x",), (" ",), ("",)], ["v"])
+    out = [r["v"] for r in df.select(null_if_in("v", ("", " ")).alias("v")).collect()]
+    assert out == ["x", None, None]
