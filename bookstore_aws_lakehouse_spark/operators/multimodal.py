@@ -110,3 +110,71 @@ def extract_media_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
             )
 
     return df.mapInPandas(features, schema=MEDIA_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int, fake: bool = True) -> DataFrame:
+    """Resize stage (STUB — no codec libs in this environment): the real
+    implementation decodes, resamples and re-encodes inside the same
+    Arrow batch; the fake path passes the payload through and records the
+    target dimensions, keeping schema/partitioning behavior identical so
+    the pipeline is testable end-to-end."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resampling requires codec libraries not present here"
+                )
+            out = pdf[["doc_id", "media_type", "payload"]].copy()
+            out["width"] = pd.Series([target_w] * len(pdf), dtype="int32")
+            out["height"] = pd.Series([target_h] * len(pdf), dtype="int32")
+            yield out
+
+    return df.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, fake: bool = True) -> DataFrame:
+    """Frame-sampling stage (STUB): real videos decode and emit every Nth
+    frame; the fake path treats each ``every_n_bytes`` payload slice as a
+    'frame' and fingerprints it — deterministic, and it exercises the
+    real distributed concern: one input row fanning out to many output
+    rows inside mapInPandas (batch shapes change, schema doesn't)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decoding requires codec libraries not present here"
+                )
+            rows = {"doc_id": [], "frame_no": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            out = pd.DataFrame(rows)
+            out["frame_no"] = out["frame_no"].astype("int32")
+            yield out
+
+    return df.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -243,3 +243,37 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_n_per_group(
         scored, ["doc_id"], [("tfidf", True)], TFIDF_TOP_N, tiebreak=["token"], rank_name="rnk"
     ).select("doc_id", "token", "tfidf", "rnk")
+
+
+ROLL_B = 131
+ROLL_M = 1_000_000_007
+
+
+@golden(
+    "text_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> ('0x' || substring(md5(t), 1, 7))::BIGINT)),
+             (acc, x) -> (acc * {ROLL_B} + x) % {ROLL_M}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token stream (h = h·B + tok mod M) — unlike the set-based md5
+    fingerprint, token *order* changes the value, so it detects
+    reorderings. Token hashes use 28 md5 bits so every fold step stays
+    exactly inside BIGINT on both engines (no overflow-semantics
+    divergence: Spark wraps, DuckDB errors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
+    fingerprint = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * ROLL_B + tok_hash(t)) % ROLL_M,
+    )
+    return docs.select("doc_id", fingerprint.alias("fingerprint"))
