@@ -184,3 +184,41 @@ def q_sql_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction is timezone-stable here: session TZ is UTC and the fixture
     stores UTC instants."""
     return _sql(spark, sf_dir, _SQL_ORDERS_BY_MONTH)
+
+
+_SQL_PERCENTILES = """
+    SELECT l_returnflag,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25_qty,
+           percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity) AS p95_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@golden("sql_percentiles", _SQL_PERCENTILES)
+def q_sql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based, linear interpolation — identical
+    formula on both engines; quantities are integral so results are exact
+    doubles). The approximate sibling for 100 TB is approx_percentile
+    (KLL/GK sketch, mergeable) — tested for accuracy separately since
+    sketches can't hash-match."""
+    return _sql(spark, sf_dir, _SQL_PERCENTILES)
+
+
+_SQL_STATS = """
+    SELECT o_orderstatus,
+           round(stddev_samp(o_totalprice), 4) AS sd_price,
+           round(var_samp(o_totalprice), 2) AS var_price,
+           round(corr(o_totalprice, CAST(o_orderkey AS DOUBLE)), 6) AS corr_price_key
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@golden("sql_stats_aggregates", _SQL_STATS)
+def q_sql_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation). These
+    accumulate in partition order, so results are rounded (4/2/6 dp) —
+    the documented tolerance, same policy as embedding_standardize."""
+    return _sql(spark, sf_dir, _SQL_STATS)
