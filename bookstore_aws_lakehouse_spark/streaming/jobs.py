@@ -202,7 +202,11 @@ def stateful_user_stats(stream: DataFrame, timeout: str = "NoTimeout") -> DataFr
 
 
 def continuous_hourly_aggregate(
-    spark: SparkSession, sf_dir: str, out_path: str, watermark: str = "30 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    watermark: str = "30 minutes",
+    checkpoint: str | None = None,
 ) -> None:
     """Incrementally-maintained rollup (continuous aggregate): the hourly
     tumbling aggregation streamed through ``foreachBatch`` into a
@@ -229,7 +233,10 @@ def continuous_hourly_aggregate(
         agged.writeStream.outputMode("update")
         .foreachBatch(merge_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="blhs_ckpt_cagg_"))
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="blhs_ckpt_cagg_"),
+        )
         .start()
     )
     query.awaitTermination()

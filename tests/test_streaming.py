@@ -45,3 +45,25 @@ def test_continuous_aggregate_equals_batch(spark, sf_smoke, tmp_path):
         for r in g["events_hourly_tumbling"](spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_checkpoint_recovery_is_exactly_once(spark, sf_smoke, tmp_path):
+    """Restarting the continuous aggregate against the SAME checkpoint must
+    process nothing new (the source offset log remembers completed files)
+    and leave the mart byte-identical — the exactly-once contract."""
+    from bookstore_aws_lakehouse_spark.streaming.jobs import continuous_hourly_aggregate
+
+    out = str(tmp_path / "mart")
+    ckpt = str(tmp_path / "ckpt")
+    continuous_hourly_aggregate(spark, sf_smoke, out, checkpoint=ckpt)
+    first = sorted(
+        (r["window_start_ns"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # second run, same checkpoint: no new input files → no reprocessing
+    continuous_hourly_aggregate(spark, sf_smoke, out, checkpoint=ckpt)
+    second = sorted(
+        (r["window_start_ns"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == second

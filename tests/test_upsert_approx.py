@@ -34,3 +34,17 @@ def test_approx_count_distinct_accuracy(spark, sf_oracle):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Lakehouse schema evolution: later files add a column; readers with
+    mergeSchema see the union schema, old rows NULL-filled."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]).write.parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v1", "v2"]).write.mode(
+        "append"
+    ).parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
