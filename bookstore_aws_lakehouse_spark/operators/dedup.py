@@ -66,6 +66,43 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+#: Mersenne prime 2^31-1: universal-hash modulus; keeps every product
+#: a·h < 2^62 — exact BIGINT arithmetic on any engine
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the universal hash h_s = (a·h + b) mod p,
+    derived from md5 so the DuckDB twin can inline identical literals."""
+    import hashlib
+
+    a = int(hashlib.md5(f"a:{seed}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"b:{seed}".encode()).hexdigest()[:15], 16) % MINHASH_P
+    return a, b
+
+
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int
+) -> DataFrame:
+    """One row per doc with columns minhash_0..minhash_{n-1}.
+
+    Textbook universal-hash MinHash: hash each distinct shingle ONCE
+    (portable md5 → h < p), then n permutations are n cheap affine maps
+    (aᵢ·h + bᵢ) mod p evaluated inside a single aggregate — no per-seed
+    row explosion, one shuffle of (doc, h) rows, map-side combinable."""
+    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
+    hashed = sh.select(F.col(id_col), (md5_hash64(F.col("shingle")) % MINHASH_P).alias("h"))
+    mins = []
+    for s in range(num_hashes):
+        a, b = minhash_params(s)
+        mins.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"minhash_{s}"))
+    return hashed.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -73,18 +110,13 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature rows: (id, seed, minhash) — min over the doc's
-    shingles of a seeded md5. One shuffle keyed on the doc id."""
-    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
-
-    sh = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    """MinHash signature rows: (id, seed, minhash) — long form of
+    ``_minhash_wide`` (stack the n min-columns)."""
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_k)
+    stack_args = ", ".join(f"{s}, minhash_{s}" for s in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select(F.col(id_col), seeds, F.col("shingle")).withColumn(
-        "h", md5_hash64(F.concat_ws(":", "seed", "shingle"))
-    )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
 
 
 def minhash_band_pairs(
@@ -99,22 +131,18 @@ def minhash_band_pairs(
     become candidate near-duplicate pairs (id_a < id_b, with the count of
     agreeing bands). The join key is (band, band_key) — a 1-row-per-band
     inverted index, so cost scales with collisions, not with n²."""
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    bands = (
-        # floor before the int cast: double→int casts truncate in Spark but
-        # round in DuckDB; floor() is portable (same policy as plans/etl.py)
-        sig.withColumn("band", F.floor(F.col("seed") / band_rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: F.concat_ws(":", s["seed"], s["minhash"]),
-                ),
-                ",",
-            ).alias("band_key")
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_k)
+    num_bands = num_hashes // band_rows
+    band_rows_exprs = []
+    for band in range(num_bands):
+        cols = [f"minhash_{band * band_rows + r}" for r in range(band_rows)]
+        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+        band_rows_exprs.append(
+            F.struct(F.lit(band).alias("band"), key.alias("band_key"))
         )
-    )
+    bands = wide.select(
+        F.col(id_col), F.explode(F.array(*band_rows_exprs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_key")
     )

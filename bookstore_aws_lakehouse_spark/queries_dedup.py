@@ -69,36 +69,52 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_duplicates(docs, "doc_id", "text")
 
 
-_MINHASH_SQL = (
-    _SHINGLES_CTE
-    + f""",
+def _minhash_sql() -> str:
+    from bookstore_aws_lakehouse_spark.operators.dedup import MINHASH_P, minhash_params
+
+    mins = ",\n         ".join(
+        "min((h * {a} + {b}) % {p}) AS minhash_{s}".format(
+            a=minhash_params(s)[0], b=minhash_params(s)[1], p=MINHASH_P, s=s
+        )
+        for s in range(8)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, "
+        "CAST(minhash_{m0} AS VARCHAR) || ',' || CAST(minhash_{m1} AS VARCHAR) AS band_key "
+        "FROM wide".format(band=band, m0=2 * band, m1=2 * band + 1)
+        for band in range(4)
+    )
+    return (
+        _SHINGLES_CTE
+        + f""",
 hashed AS (
-  SELECT doc_id, seed,
-         {_H64.format(expr="CAST(seed AS VARCHAR) || ':' || shingle")} AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+  SELECT doc_id, {_H64.format(expr="shingle")} % {MINHASH_P} AS h FROM sh
 ),
-sig AS (
-  SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed
+wide AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
-         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR),
-                    ',' ORDER BY seed) AS band_key
-  FROM sig GROUP BY doc_id, band
+{band_selects}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 GROUP BY id_a, id_b
 """
-)
+    )
+
+
+_MINHASH_SQL = _minhash_sql()
 
 
 @golden("dedup_minhash_pairs", _MINHASH_SQL)
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8 hashes) + LSH banding (4 bands × 2 rows): candidate
-    near-dup pairs via inverted-index join on band keys. The oracle replays
-    shingling, seeded hashing, banding and the pair join verbatim."""
+    """MinHash(8 universal hashes (a·h+b) mod p over one md5 per shingle)
+    + LSH banding (4 bands × 2 rows): candidate near-dup pairs via
+    inverted-index join on band keys. The oracle replays shingling,
+    hashing, banding and the pair join with identical literals."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_band_pairs(
         docs, "doc_id", "text", num_hashes=8, band_rows=2, shingle_k=3
