@@ -15,4 +15,11 @@ semantics. See SURVEY.md for the reference-capability inventory.
 __version__ = "0.1.0"
 
 from bookstore_aws_lakehouse_spark.session import get_spark  # noqa: F401
-from bookstore_aws_lakehouse_spark.catalog import TABLES, load_table, load_tables, register_views  # noqa: F401
+from bookstore_aws_lakehouse_spark.catalog import (  # noqa: F401
+    TABLES,
+    load_events,
+    load_table,
+    load_tables,
+    register_views,
+)
+from bookstore_aws_lakehouse_spark.engine import Engine  # noqa: F401

@@ -9,4 +9,6 @@ from bookstore_aws_lakehouse_spark.sources.writers import (  # noqa: F401
     write_parquet,
     write_csv,
     save_as_table,
+    save_as_bucketed_table,
+    upsert_parquet,
 )
