@@ -69,3 +69,46 @@ def register_views(
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+#: the reference's four dashboard queries (`external-table-queries.sql:13-42`,
+#: re-issued live by its Tableau workbook) transplanted onto the fixtures —
+#: registered as named views so any SQL client sees the BI layer's surface
+DASHBOARD_VIEWS: dict[str, str] = {
+    "dash_top100_books": """
+        SELECT p_partkey, p_name, avg(l_quantity) AS avg_rating,
+               count(*) AS total_ratings
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey, p_name HAVING count(*) >= 25
+        ORDER BY avg_rating DESC, p_partkey LIMIT 100
+    """,
+    "dash_top10_countries": """
+        SELECT n_name, count(*) AS customer_count
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY customer_count DESC, n_name LIMIT 10
+    """,
+    "dash_top10_states": """
+        SELECT r_name, n_name, count(*) AS customer_count
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY r_name, n_name ORDER BY customer_count DESC, n_name LIMIT 10
+    """,
+    "dash_top10_authors": """
+        SELECT p_brand, avg(l_quantity) AS avg_rating, count(*) AS total_ratings
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand HAVING count(*) >= 25
+        ORDER BY avg_rating DESC, p_brand LIMIT 10
+    """,
+}
+
+
+def register_dashboard_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """BI layer (reference §3.3): expose the four dashboard queries as
+    catalog views over the base views — a SQL client (or Thrift Server in
+    production) sees the same surface Tableau queried live."""
+    register_views(spark, sf_dir)
+    for name, sql in DASHBOARD_VIEWS.items():
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+    return list(DASHBOARD_VIEWS)

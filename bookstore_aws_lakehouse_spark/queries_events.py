@@ -264,3 +264,47 @@ def q_map_functions_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_map.select(
         "user_id", F.explode("type_counts").alias("event_type", "n")
     )
+
+
+NS_PER_DAY_ = 86_400_000_000_000
+
+
+@golden(
+    "events_daily_from_hourly",
+    f"""
+    SELECT CAST(floor(epoch_ns(ts) / {NS_PER_DAY_}.0) AS BIGINT) AS day_no,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY day_no
+    """,
+)
+def q_events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-from-rollup: the daily aggregate computed FROM the hourly
+    aggregate (sum of sums, sum of counts) — while the oracle computes it
+    from raw events. Equality proves the multi-granularity rollup chain
+    (hour → day → …) is lossless, which is what lets a 100 TB pipeline
+    serve coarse dashboards from megabyte marts instead of re-scanning
+    raw data. Decimal intermediates keep the re-aggregated sums exact."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.withColumn(
+            "window_start_ns",
+            (F.floor(F.col("ts") / NS_PER_HOUR) * NS_PER_HOUR).cast("bigint"),
+        )
+        .groupBy("window_start_ns")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value_dec"),
+        )
+    )
+    return (
+        hourly.withColumn(
+            "day_no", F.floor(F.col("window_start_ns") / NS_PER_DAY_).cast("bigint")
+        )
+        .groupBy("day_no")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value_dec").cast("double").alias("total_value"),
+        )
+    )

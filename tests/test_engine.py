@@ -32,3 +32,13 @@ def test_unknown_query_raises(eng):
 def test_query_names_nonempty(eng):
     names = eng.query_names()
     assert "topk_books" in names and len(names) >= 80
+
+
+def test_dashboard_views(spark, sf_smoke):
+    from bookstore_aws_lakehouse_spark.catalog import register_dashboard_views
+
+    names = register_dashboard_views(spark, sf_smoke)
+    assert len(names) == 4
+    top = spark.table("dash_top100_books")
+    assert top.count() > 0
+    assert spark.table("dash_top10_countries").count() == 10
