@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bookstore_aws_lakehouse_spark.catalog import load_table
-from bookstore_aws_lakehouse_spark.functions.scalar import exact_avg, exact_sum, null_if_in
+from bookstore_aws_lakehouse_spark.functions.scalar import exact_sum
 from bookstore_aws_lakehouse_spark.operators.aggregates import (
     count_star_by,
     cube_agg,

@@ -47,7 +47,6 @@ def weighted_source_mix(
     the corpus-mixing step of a training-data pipeline. Hash-gated per
     row: deterministic, no shuffle, no RNG drift between runs. Sources
     not in ``weights`` are dropped (weight 0)."""
-    keep_cut = F.lit(None).cast("int")
     expr = None
     for src, w in weights.items():
         cond = F.col(source_col) == src

@@ -36,7 +36,10 @@ def asof_join(
     ``by`` group (backward as-of; NULLs when no prior right row exists).
 
     Both inputs must share ``time_col`` and ``by`` names. Ties at equal
-    time match (the right row sorts first via the side marker).
+    time match (the right row sorts first via the side marker); if several
+    RIGHT rows share one exact timestamp in a group, which one wins is
+    unspecified — pre-aggregate the right side to one row per (key, time)
+    when that can occur.
     """
     keys = list(by)
     lcols = left.columns
