@@ -87,3 +87,43 @@ def normalized_fingerprint(col: Column | str) -> Column:
     text — the canonical key for near-exact dedup (case/spacing-insensitive)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+EMBED_DIM_DEFAULT = 16
+EMBED_SCALE = 1000.0
+
+
+def embed_documents_stub(
+    df: DataFrame, text_col: str = "text", dim: int = EMBED_DIM_DEFAULT
+) -> DataFrame:
+    """Text → embedding stage (STUB model): a deterministic bag-of-words
+    hash embedding — each token adds ±1/scale to the dimension its md5
+    selects, sign from the next hash bit. A real model swaps in behind the
+    same signature (mapInPandas + GPU batch inference); every downstream
+    consumer (ANN, near-dup, quantization) is exercised unchanged.
+
+    Engine-portable by construction (md5 + integer ops + left-to-right
+    fold), so even the stub embedding is oracle-verifiable. One Project,
+    no shuffle, no Python.
+    """
+    from bookstore_aws_lakehouse_spark.operators.dedup import md5_hash64
+
+    if dim & (dim - 1) != 0:
+        raise ValueError("dim must be a power of two (sign bit is h >> log2(dim))")
+    shift = dim.bit_length() - 1
+    toks = tokenize(text_col)
+    components = []
+    for d in range(dim):
+        # Σ over tokens hashing to dimension d: sign = the next hash bit
+        # (exact integer bit ops — no float division in the hash path)
+        contrib = F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.when(
+                md5_hash64(t) % dim == d,
+                F.when(F.shiftright(md5_hash64(t), shift) % 2 == 0, 1).otherwise(-1),
+            ).otherwise(0),
+        )
+        components.append((contrib / EMBED_SCALE).cast("float"))
+    return df.withColumn("embedding", F.array(*components))

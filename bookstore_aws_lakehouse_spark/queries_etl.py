@@ -189,3 +189,35 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sum_qty")
     )
+
+
+@golden(
+    "etl_top100_published",
+    _CLEAN_CTE
+    + f"""
+    SELECT isbn, book_title,
+           CAST(CAST(avg(CAST(book_rating AS DOUBLE)) AS DECIMAL(4,2)) AS DOUBLE) AS average_rating,
+           CAST(count(book_title) AS INT) AS total_ratings
+    FROM clean
+    GROUP BY isbn, book_title
+    HAVING count(book_title) >= {ETL_MIN_RATINGS}
+    ORDER BY avg(CAST(book_rating AS DOUBLE)) DESC, isbn
+    LIMIT 100
+    """,
+)
+def q_etl_top100_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reporting table with its PUBLISHED types (reference Redshift
+    DDL `external-table-queries.sql:49-55`: numeric rating, integer
+    count) — the typed-cast publication stage of SURVEY §1.5. Ordering is
+    decided on the full-precision average BEFORE the decimal cast, so the
+    row set matches the untyped flagship."""
+    top = top100_books(_clean(spark, sf_dir), min_ratings=ETL_MIN_RATINGS)
+    # decimal(4,2) applies the published rounding; the final double cast
+    # exists purely for cross-engine result portability (engines render
+    # decimal results differently: Decimal('6.10') vs 6.1)
+    return top.select(
+        "isbn",
+        "book_title",
+        F.col("average_rating").cast("decimal(4,2)").cast("double").alias("average_rating"),
+        F.col("total_ratings").cast("int").alias("total_ratings"),
+    )

@@ -277,3 +277,39 @@ def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: (acc * ROLL_B + tok_hash(t)) % ROLL_M,
     )
     return docs.select("doc_id", fingerprint.alias("fingerprint"))
+
+
+def _embed_sql(dim: int = 16) -> str:
+    comp = []
+    for d in range(dim):
+        comp.append(
+            "CAST(CAST(list_sum([CASE WHEN h % {dim} = {d} THEN "
+            "(CASE WHEN (h >> {shift}) % 2 = 0 THEN 1 ELSE -1 END) "
+            "ELSE 0 END FOR h IN hs]) AS DOUBLE) / 1000.0 AS FLOAT) AS e{d}".format(dim=dim, d=d, shift=dim.bit_length() - 1)
+        )
+    cols = ",\n           ".join(comp)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             [('0x' || substring(md5(t), 1, 15))::BIGINT
+              FOR t IN string_split(text, ' ')] AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           {cols}
+    FROM toks
+    """
+
+
+@golden("embed_documents_stub", _embed_sql())
+def q_embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text→embedding stage (stub hash model, operators/text.py):
+    verified component-by-component (flattened to scalar columns — array
+    results render engine-differently). Proves the full
+    curate→embed→search pipeline shape runs inside the engine."""
+    from bookstore_aws_lakehouse_spark.operators.text import embed_documents_stub
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed_documents_stub(docs, dim=16)
+    cols = [F.element_at("embedding", d + 1).alias(f"e{d}") for d in range(16)]
+    return out.select("doc_id", *cols)
