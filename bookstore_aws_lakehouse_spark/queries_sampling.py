@@ -51,3 +51,54 @@ def q_dataset_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return weighted_source_mix(docs, "doc_id", "source", MIX_WEIGHTS)
+
+
+@golden(
+    "dataset_decontaminate",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN {_BUCKET.format(salt="split")} < 200 THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, split, shingle FROM (
+        SELECT doc_id, split,
+               unnest([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+        FROM split
+      ) GROUP BY doc_id, split, shingle
+    ),
+    leaks AS (
+      SELECT te.doc_id, count(DISTINCT te.shingle) AS n_shared_shingles
+      FROM sh te JOIN sh tr ON te.shingle = tr.shingle
+      WHERE te.split = 'test' AND tr.split = 'train'
+      GROUP BY te.doc_id
+    )
+    SELECT doc_id, n_shared_shingles FROM leaks WHERE n_shared_shingles >= 5
+    """,
+)
+def q_dataset_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: test documents sharing ≥5 distinct
+    3-gram shingles with ANY train document are flagged as contaminated
+    (benchmark-leakage detection). Same inverted-index shape as the dedup
+    family — the shingle join prunes everything that cannot leak."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = train_test_split(docs, "doc_id", test_fraction=0.2)
+    sh = split.select(
+        "doc_id", "split", F.explode(shingles("text", 3)).alias("shingle")
+    ).distinct()
+    te = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id"), F.col("shingle")
+    )
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("_tr_doc"), F.col("shingle")
+    )
+    leaks = (
+        te.join(tr, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
+    return leaks.filter(F.col("n_shared_shingles") >= 5)

@@ -327,3 +327,40 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_n_per_group(
         scored, ["query_id"], [("cosine", True)], 3, tiebreak=["vec_id"], rank_name="rank"
     ).select("query_id", "vec_id", "cosine", "rank")
+
+
+@golden(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS max_abs
+      FROM e
+    )
+    SELECT vec_id,
+           round(max_abs, 6) AS max_abs,
+           CAST(round(v[1] / max_abs * 127) AS INT) AS q1,
+           CAST(round(v[2] / max_abs * 127) AS INT) AS q2,
+           CAST(round(v[3] / max_abs * 127) AS INT) AS q3,
+           CAST(round(v[4] / max_abs * 127) AS INT) AS q4
+    FROM scaled
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector absmax scaling) — the
+    storage/bandwidth dial for embedding tables (4× smaller than float32,
+    16× smaller than the double math). Scale and the first 4 quantized
+    components verified; both engines round half-away-from-zero on
+    doubles, and identical double division feeds identical rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    out = emb.select("vec_id", v.alias("v"), max_abs.alias("max_abs"))
+    qs = [
+        F.round(F.element_at("v", d) / F.col("max_abs") * 127)
+        .cast("int")
+        .alias(f"q{d}")
+        for d in range(1, 5)
+    ]
+    return out.select("vec_id", F.round("max_abs", 6).alias("max_abs"), *qs)
