@@ -29,12 +29,15 @@ def read_csv(
     header: bool = True,
     infer_schema: bool = False,
     delimiter: str = ",",
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """S2/S5 — headered CSV scan.
 
     ``schema`` (StructType or DDL string) is the production path; it also
     covers S5 (Redshift ``COPY ... IGNOREHEADER 1``: header skip + typed
-    load in one read).
+    load in one read). ``mode`` controls dirty-row policy: PERMISSIVE
+    (null-fill, the default), DROPMALFORMED, or FAILFAST — at 100 TB you
+    choose explicitly whether one corrupt row kills the load.
     """
     reader = (
         spark.read.option("header", str(header).lower()).option("delimiter", delimiter)
@@ -43,7 +46,7 @@ def read_csv(
         reader = reader.schema(schema)
     elif infer_schema:
         reader = reader.option("inferSchema", "true")
-    return reader.csv(path)
+    return reader.option("mode", mode).csv(path)
 
 
 def read_json(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:

@@ -41,6 +41,35 @@ def write_csv(
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def compact_parquet(df_path: str, spark, target_partitions: int | None = None) -> int:
+    """Small-file compaction (the maintenance job every streaming/upsert
+    sink eventually needs — thousands of tiny files destroy scan
+    performance via per-file open cost and starved row-group sizes).
+    Rewrites the location to ``target_partitions`` files (default: sized
+    by data volume at ~96 MB per file) through a staging directory.
+    Returns the new file count. With Delta/Iceberg this is OPTIMIZE /
+    rewrite_data_files."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(df_path)
+    if target_partitions is None:
+        size_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(df_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        target_partitions = max(1, math.ceil(size_bytes / (96 * 1024 * 1024)))
+    staging = tempfile.mkdtemp(prefix="blhs_compact_") + "/data"
+    df.repartition(target_partitions).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(df_path)
+    shutil.move(staging, df_path)
+    return target_partitions
+
+
 def upsert_parquet(
     df: DataFrame,
     path: str,
