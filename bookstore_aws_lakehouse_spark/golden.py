@@ -796,3 +796,35 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@golden(
+    "unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             sum(l_quantity) AS qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+             CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (qty, price, tax))
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): a 3-metric aggregate melted to (key, metric,
+    value) rows — the inverse of pivot_returnflag; one Expand node, no
+    extra shuffle beyond the aggregation's own."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        exact_sum("l_extendedprice").alias("price"),
+        exact_sum("l_tax").alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
