@@ -308,3 +308,32 @@ def q_events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_value_dec").cast("double").alias("total_value"),
         )
     )
+
+
+@golden(
+    "events_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence analysis: the event-type transition matrix
+    (Markov counts) per consecutive pair within each user's ordered
+    stream — lag window + pair count, one shuffle on user_id then one on
+    the (tiny) pair key."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

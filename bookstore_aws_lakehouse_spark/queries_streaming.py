@@ -149,3 +149,42 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+NS_PER_30MIN = 1_800_000_000_000
+
+
+@golden(
+    "stream_sliding_windows",
+    f"""
+    WITH panes AS (
+      SELECT event_type,
+             CAST(floor(epoch_ns(ts) / {NS_PER_30MIN}.0) AS BIGINT) * {NS_PER_30MIN} AS p0
+      FROM events
+    ),
+    both_panes AS (
+      SELECT event_type, p0 AS window_start_ns FROM panes
+      UNION ALL
+      SELECT event_type, p0 - {NS_PER_30MIN} FROM panes
+    )
+    SELECT window_start_ns, event_type, count(*) AS n_events
+    FROM both_panes
+    GROUP BY window_start_ns, event_type
+    """,
+)
+def q_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1h window / 30min slide): every event
+    lands in exactly two panes. The oracle enumerates both candidate pane
+    starts per event (its 30-min bucket and the one before) — the
+    closed-form of Spark's window expansion."""
+    from bookstore_aws_lakehouse_spark.streaming.jobs import read_events_stream, run_available_now, sliding_agg
+
+    stream = read_events_stream(spark, sf_dir)
+    agged = sliding_agg(stream, window="1 hour", slide="30 minutes")
+    name = _fresh("stream_sliding")
+    run_available_now(agged, name, output_mode="complete")
+    return spark.table(name).select(
+        (F.unix_micros(F.col("window.start")) * 1000).alias("window_start_ns"),
+        "event_type",
+        "n_events",
+    )

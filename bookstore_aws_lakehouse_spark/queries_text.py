@@ -313,3 +313,40 @@ def q_embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = embed_documents_stub(docs, dim=16)
     cols = [F.element_at("embedding", d + 1).alias(f"e{d}") for d in range(16)]
     return out.select("doc_id", *cols)
+
+
+@golden(
+    "text_cooccurrence_topk",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      )
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY tok_a, tok_b
+    ORDER BY n_docs DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+)
+def q_text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence: top-20 pairs by document frequency (distinct
+    tokens per doc, self-joined within the doc). The join fans out
+    quadratically in per-doc vocabulary, not corpus size — the pair space
+    is bounded by the (small) global vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    a = toks.select("doc_id", F.col("tok").alias("tok_a"))
+    b = toks.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    from bookstore_aws_lakehouse_spark.operators.sort import top_k
+
+    return top_k(pairs, [("n_docs", True)], 20, tiebreak=["tok_a", "tok_b"])
