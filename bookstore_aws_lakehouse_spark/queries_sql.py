@@ -222,3 +222,42 @@ def q_sql_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate in partition order, so results are rounded (4/2/6 dp) —
     the documented tolerance, same policy as embedding_standardize."""
     return _sql(spark, sf_dir, _SQL_STATS)
+
+
+_SQL_COND_AGGS = """
+    SELECT l_returnflag,
+           count_if(l_quantity > 25) AS n_big,
+           count_if(l_discount = 0.0) AS n_no_discount,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           bool_and(l_quantity > 0) AS all_positive_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@golden("sql_conditional_aggs", _SQL_COND_AGGS)
+def q_sql_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates (count_if, bool_or, bool_and) —
+    the same names and semantics on both engines."""
+    return _sql(spark, sf_dir, _SQL_COND_AGGS)
+
+
+_SQL_ROLLUP_GROUPING = """
+    SELECT coalesce(r_name, '(total)') AS r_name,
+           coalesce(n_name, '(subtotal)') AS n_name,
+           GROUPING(r_name) AS is_grand_total,
+           GROUPING(n_name) AS is_subtotal,
+           count(*) AS customer_count
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@golden("sql_rollup_grouping_id", _SQL_ROLLUP_GROUPING)
+def q_sql_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — distinguishes subtotal rows from
+    rows whose key is genuinely NULL (the correctness-critical detail the
+    coalesce-only variant glosses over)."""
+    return _sql(spark, sf_dir, _SQL_ROLLUP_GROUPING)
