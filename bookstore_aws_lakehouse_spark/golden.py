@@ -828,3 +828,28 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+HIST_BIN_WIDTH = 5000.0
+
+
+@golden(
+    "price_histogram",
+    f"""
+    SELECT CAST(floor(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           CAST(floor(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) * {HIST_BIN_WIDTH} AS bin_low,
+           count(*) AS n
+    FROM orders
+    GROUP BY bin
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram binning via floor division (portable everywhere, unlike
+    width_bucket) — one aggregate pass; the profiling primitive for
+    numeric columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("bigint")
+    counts = orders.groupBy(bin_col.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "bin", (F.col("bin") * HIST_BIN_WIDTH).alias("bin_low"), "n"
+    )

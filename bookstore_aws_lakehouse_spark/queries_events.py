@@ -337,3 +337,40 @@ def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@golden(
+    "events_retention_cohorts",
+    f"""
+    WITH days AS (
+      SELECT user_id,
+             CAST(floor(epoch_ns(ts) / {NS_PER_DAY_}.0) AS BIGINT) AS day_no
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, min(day_no) AS cohort_day FROM days GROUP BY user_id)
+    SELECT c.cohort_day,
+           d.day_no - c.cohort_day AS day_offset,
+           count(DISTINCT d.user_id) AS n_active
+    FROM days d JOIN cohorts c ON d.user_id = c.user_id
+    WHERE d.day_no - c.cohort_day <= 7
+    GROUP BY c.cohort_day, day_offset
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity counted
+    per day-offset for the first week — the two-level aggregate every
+    product-analytics pipeline runs (per-user min, broadcast back, count
+    distinct per cell)."""
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.floor(F.col("ts") / NS_PER_DAY_).cast("bigint").alias("day_no")
+    )
+    cohorts = days.groupBy("user_id").agg(F.min("day_no").alias("cohort_day"))
+    joined = days.join(F.broadcast(cohorts), "user_id").withColumn(
+        "day_offset", F.col("day_no") - F.col("cohort_day")
+    )
+    return (
+        joined.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
