@@ -261,3 +261,73 @@ def q_sql_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows whose key is genuinely NULL (the correctness-critical detail the
     coalesce-only variant glosses over)."""
     return _sql(spark, sf_dir, _SQL_ROLLUP_GROUPING)
+
+
+_SQL_INTERVALS = """
+    SELECT o_orderkey, o_orderdate,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(o_orderdate + INTERVAL 30 DAY > TIMESTAMP '1999-01-01 00:00:00' AS BOOLEAN) AS due_after_99
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-11-20 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+"""
+
+
+@golden("sql_interval_arithmetic", _SQL_INTERVALS)
+def q_sql_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on timestamps (+ INTERVAL literal, boundary
+    comparison) — identical ANSI behavior on both engines; the filter
+    keeps the result small and pushdown-eligible."""
+    return _sql(spark, sf_dir, _SQL_INTERVALS)
+
+
+_SQL_STRING_AGG = """
+    SELECT n_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+"""
+
+
+@golden("sql_string_agg_ordered", _SQL_STRING_AGG)
+def q_sql_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set-aggregation to a string (the LISTAGG pattern):
+    collect_set → array_sort → array_join gives a DETERMINISTIC
+    concatenation — bare listagg/string_agg without ORDER BY is
+    partition-order dependent and would never hash-match."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    return joined.groupBy("n_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments")
+    )
+
+
+_SQL_PATTERNS = """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_name LIKE '%widget%'
+       OR p_name ILIKE 'BLUE %'
+       OR regexp_matches(p_name, '^(hot|cold) (rod|bolt)$')
+"""
+
+
+@golden("sql_pattern_matching", _SQL_PATTERNS)
+def q_sql_pattern_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-matching predicates: LIKE, ILIKE, and full regex — the
+    Spark side uses the DataFrame API (like/ilike/rlike) against the
+    oracle's SQL operators (DuckDB spells regex as regexp_matches,
+    Spark as RLIKE — same RE2-compatible pattern)."""
+    from bookstore_aws_lakehouse_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("%widget%")
+        | F.col("p_name").ilike("BLUE %")
+        | F.col("p_name").rlike("^(hot|cold) (rod|bolt)$")
+    ).select("p_partkey", "p_name")

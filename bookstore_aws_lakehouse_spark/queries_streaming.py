@@ -188,3 +188,27 @@ def q_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+@golden(
+    "stream_stream_join",
+    """
+    SELECT s.user_id, s.event_id AS left_id, p.event_id AS right_id
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id
+     AND epoch_us(p.ts) > epoch_us(s.ts)
+     AND epoch_us(p.ts) <= epoch_us(s.ts) + 172800000000
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (signups ⋈ purchases within 48 h, per
+    user) with watermarks + time-range state bounds — verified against
+    the batch inequality join. With availableNow over one batch no rows
+    are watermark-dropped, so streaming and batch answers coincide."""
+    from bookstore_aws_lakehouse_spark.streaming.jobs import stream_stream_join
+
+    joined = stream_stream_join(spark, sf_dir)
+    name = _fresh("stream_ssjoin")
+    run_available_now(joined, name, output_mode="append")
+    return spark.table(name)

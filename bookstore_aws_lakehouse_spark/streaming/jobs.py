@@ -240,3 +240,45 @@ def continuous_hourly_aggregate(
         .start()
     )
     query.awaitTermination()
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "signup",
+    right_type: str = "purchase",
+    within: str = "48 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each right-side event joins left-side
+    events of the same user that happened in the preceding ``within``
+    interval. Both sides carry watermarks and the join has a time-range
+    constraint — the two conditions Spark needs to bound join state
+    (left rows older than watermark+interval are evicted)."""
+    left = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("left_id"),
+            F.col("event_time").alias("left_time"),
+        )
+        .withWatermark("left_time", watermark)
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("right_id"),
+            F.col("event_time").alias("right_time"),
+        )
+        .withWatermark("right_time", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_time") > F.col("left_time"))
+        & (F.col("right_time") <= F.col("left_time") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("user_id", "left_id", "right_id")
