@@ -853,3 +853,102 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "bin", (F.col("bin") * HIST_BIN_WIDTH).alias("bin_low"), "n"
     )
+
+
+@golden(
+    "q12_shipmode_priority",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional-sum split by priority class.
+    orders joins without a broadcast hint (fact-sized — AQE's call)."""
+    li = filter_expr(
+        load_table(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = join_dim_fact(li, orders, on=li.l_orderkey == orders.o_orderkey, broadcast_dim=False)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return group_agg(
+        joined,
+        ["l_returnflag"],
+        {
+            "high_line_count": F.sum(F.when(high, 1).otherwise(0)),
+            "low_line_count": F.sum(F.when(~high, 1).otherwise(0)),
+        },
+    )
+
+
+@golden(
+    "q14_promo_revenue_share",
+    """
+    SELECT CAST(round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+           4) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share — two exact decimal
+    sums divided in double, one broadcast join, a single output row."""
+    li = filter_expr(
+        load_table(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp")),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = join_dim_fact(li, pt, on=li.l_partkey == pt.p_partkey)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return joined.agg(
+        F.round(
+            100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+        ).alias("promo_revenue_pct")
+    )
+
+
+@golden(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+       OR (p_type = 'PROMO' AND l_quantity >= 45)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates spanning
+    both join sides — the optimizer must keep the OR above the join (it
+    references both tables) while still pushing the join key filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    joined = join_dim_fact(li, pt, on=li.l_partkey == pt.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 45))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return joined.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n")
+    )

@@ -123,3 +123,25 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     # hour-0 window closed with ONE event; the late straggler was dropped
     assert out.get(0) == 1, out
+
+
+def test_observation_metrics_during_pipeline(spark, sf_smoke):
+    """The Observation API: data-quality counters collected DURING a real
+    job (no second scan) — how a production load records row counts and
+    null rates for free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    obs = Observation("load_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    # run any action through the observed frame
+    total = observed.groupBy("l_returnflag").count().count()
+    assert total > 0
+    m = obs.get
+    assert m["n_rows"] == 6000 and m["null_qty"] == 0 and m["max_qty"] >= 1
