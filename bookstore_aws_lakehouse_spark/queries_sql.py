@@ -331,3 +331,42 @@ def q_sql_pattern_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("p_name").ilike("BLUE %")
         | F.col("p_name").rlike("^(hot|cold) (rod|bolt)$")
     ).select("p_partkey", "p_name")
+
+
+_SQL_CORRELATED_MAX = """
+    SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+    FROM supplier s
+    WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+@golden("sql_correlated_max", _SQL_CORRELATED_MAX)
+def q_sql_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (per-nation max) — Catalyst
+    decorrelates it into an aggregate + join, the same plan the window
+    formulation produces; TPC-H Q2's core shape."""
+    return _sql(spark, sf_dir, _SQL_CORRELATED_MAX)
+
+
+_SQL_GRID_COMPLETION = """
+    SELECT r_name, seg, coalesce(n, 0) AS n_customers
+    FROM (SELECT r_name FROM region)
+    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    LEFT JOIN (
+      SELECT r_name AS rr, c_mktsegment AS ss, count(*) AS n
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY rr, ss
+    ) ON r_name = rr AND seg = ss
+"""
+
+
+@golden("sql_grid_completion", _SQL_GRID_COMPLETION)
+def q_sql_grid_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid completion: the (region × segment) cross product
+    left-joined to actual counts, zeros filled — the BI pattern that
+    keeps dashboard axes complete when a cell has no data. The cross
+    join multiplies two TINY dimension domains, never facts."""
+    return _sql(spark, sf_dir, _SQL_GRID_COMPLETION)
