@@ -374,3 +374,40 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@golden(
+    "events_geomean_value",
+    """
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geomean_value,
+           count(*) AS n
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def q_events_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: geometric mean per event type via numpy —
+    the custom-aggregate escape hatch (a JVM-only formulation
+    exp(avg(ln)) exists for this one, which is exactly what the oracle
+    uses; the UDF must agree with it to 6 dp, proving the Arrow grouped-
+    aggregation path end-to-end)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean_udf = pandas_udf(geomean, "double")
+
+    ev = load_events(spark, sf_dir).filter(F.col("value") > 0)
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg()
+    # — compute each and join on the (tiny) group key
+    geo = ev.groupBy("event_type").agg(
+        F.round(geomean_udf("value"), 6).alias("geomean_value")
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return geo.join(counts, "event_type")
