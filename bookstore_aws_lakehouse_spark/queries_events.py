@@ -411,3 +411,28 @@ def q_events_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return geo.join(counts, "event_type")
+
+
+@golden(
+    "events_from_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    """,
+)
+def q_events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON parsing: ``from_json`` with an explicit struct
+    schema (vs get_json_object's per-path extraction) — absent fields
+    surface as typed NULLs, not errors. One parse per row regardless of
+    how many fields are read."""
+    ev = load_events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "j", F.from_json("props", "k BIGINT, missing STRING")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.col("j.missing").isNotNull().alias("has_missing"),
+    )

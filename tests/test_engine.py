@@ -42,3 +42,20 @@ def test_dashboard_views(spark, sf_smoke):
     top = spark.table("dash_top100_books")
     assert top.count() > 0
     assert spark.table("dash_top10_countries").count() == 10
+
+
+def test_ctas_via_sql(spark, sf_smoke):
+    """CREATE TABLE AS SELECT through the session catalog (the SQL-first
+    way to publish a mart table)."""
+    from bookstore_aws_lakehouse_spark.catalog import register_views
+
+    register_views(spark, sf_smoke)
+    spark.sql("DROP TABLE IF EXISTS mart_nation_counts")
+    spark.sql(
+        """
+        CREATE TABLE mart_nation_counts USING parquet AS
+        SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey
+        """
+    )
+    assert spark.table("mart_nation_counts").count() == 5
+    spark.sql("DROP TABLE mart_nation_counts")
