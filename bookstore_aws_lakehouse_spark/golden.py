@@ -952,3 +952,40 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(
         F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n")
     )
+
+
+@golden(
+    "window_value_functions",
+    """
+    SELECT c_custkey, c_mktsegment,
+           first_value(c_custkey) OVER w AS richest_custkey,
+           last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS poorest_custkey,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value/distribution functions: first_value, last_value (with
+    the full-partition frame — the default running frame makes last_value
+    ≡ current row, the classic gotcha), percent_rank, cume_dist (exact
+    ratios of small ints, rounded only to normalize trailing digits)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.first("c_custkey").over(w).alias("richest_custkey"),
+        F.last("c_custkey").over(w_full).alias("poorest_custkey"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
