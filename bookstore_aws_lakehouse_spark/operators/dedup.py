@@ -309,3 +309,42 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-batch dedup against a persistent fingerprint store — the
+    production shape for daily ingestion: today's docs are dropped if
+    their normalized fingerprint was EVER seen; survivors' fingerprints
+    are appended to the store.
+
+    The store holds 16-byte fingerprints only (not documents); the check
+    is one anti-join keyed on the fingerprint. Returns the surviving new
+    docs. Batch-internal duplicates also collapse (keep min id). At
+    scale, partition/bucket the store by fingerprint prefix so the
+    anti-join co-locates.
+    """
+    import os
+
+    spark = new_docs.sparkSession
+    fp = new_docs.select(
+        F.col(id_col), F.col(text_col), normalized_fingerprint(text_col).alias("fingerprint")
+    )
+    # collapse in-batch duplicates first (deterministic keep: min id)
+    w_min = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    fp = fp.join(w_min, on=["fingerprint", id_col])
+    if os.path.exists(store_path):
+        seen = spark.read.parquet(store_path).select("fingerprint")
+        fp = fp.join(seen, on="fingerprint", how="left_anti")
+    # localCheckpoint, not cache(): the append below writes to the same
+    # path the plan reads, and Spark invalidates path-dependent caches on
+    # write — a cached plan would silently recompute against the UPDATED
+    # store and anti-join its own survivors away. Checkpointing pins the
+    # result before the store changes.
+    survivors = fp.localCheckpoint()
+    survivors.select("fingerprint").write.mode("append").parquet(store_path)
+    return survivors.select(id_col, text_col)

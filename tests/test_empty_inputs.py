@@ -54,3 +54,28 @@ def test_single_token_doc_has_no_shingles(spark):
     docs = spark.createDataFrame([(1, "word")], "doc_id long, text string")
     # 3-gram shingles of a 1-token doc: none; no pairs, no crash
     assert jaccard_pairs(docs, "doc_id", "text", shingle_k=3).count() == 0
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from bookstore_aws_lakehouse_spark.operators.dedup import incremental_dedup
+
+    store = str(tmp_path / "fingerprints")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "Alpha  Beta GAMMA")],
+        "doc_id long, text string",
+    )
+    # doc 3 is a near-exact dup of doc 1 (case/whitespace) → collapses in-batch
+    out1 = {r["doc_id"] for r in incremental_dedup(b1, store).collect()}
+    assert out1 == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(10, "delta epsilon"), (11, "brand new words")],
+        "doc_id long, text string",
+    )
+    # doc 10 duplicates batch-1 content → dropped by the store
+    out2 = {r["doc_id"] for r in incremental_dedup(b2, store).collect()}
+    assert out2 == {11}
+
+    # replaying batch 2 drops everything (store remembered doc 11 too)
+    out3 = incremental_dedup(b2, store).count()
+    assert out3 == 0
