@@ -989,3 +989,73 @@ def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@golden(
+    "q4_order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS against the fact (late-shipping
+    orders per priority) — planned as a left-semi join keyed on orderkey;
+    lineitem contributes keys only, never payload."""
+    orders = filter_expr(
+        load_table(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp")),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    out = count_star_by(semi, ["o_orderpriority"], name="order_count")
+    return out.orderBy("o_orderpriority")
+
+
+@golden(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers with returned
+    items — 4-way join, filtered fact, exact decimal revenue, top-20."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = filter_expr(
+        load_table(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")),
+    )
+    li = filter_equals(load_table(spark, sf_dir, "lineitem"), "l_returnflag", "R")
+    j = join_dim_fact(li, orders.select("o_orderkey", "o_custkey"), on=F.col("l_orderkey") == F.col("o_orderkey"), broadcast_dim=False)
+    j = join_dim_fact(j, cust.select("c_custkey", "c_name", "c_nationkey"), on=F.col("o_custkey") == F.col("c_custkey"))
+    j = join_dim_fact(j, nat.select("n_nationkey", "n_name"), on=F.col("c_nationkey") == F.col("n_nationkey"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    agged = group_agg(j, ["c_custkey", "c_name", "n_name"], {"revenue": F.sum(rev).cast("double")})
+    return top_k(agged, [("revenue", True)], 20, tiebreak=["c_custkey"])
