@@ -1059,3 +1059,64 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agged = group_agg(j, ["c_custkey", "c_name", "n_name"], {"revenue": F.sum(rev).cast("double")})
     return top_k(agged, [("revenue", True)], 20, tiebreak=["c_custkey"])
+
+
+@golden(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — the nation dim joined
+    TWICE under different roles (supplier's vs customer's nation), a
+    disjunctive cross-role predicate, and a per-year rollup."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = filter_expr(
+        load_table(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+
+    j = join_dim_fact(li, supp, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    j = join_dim_fact(j, orders, on=F.col("l_orderkey") == F.col("o_orderkey"), broadcast_dim=False)
+    j = join_dim_fact(j, cust, on=F.col("o_custkey") == F.col("c_custkey"))
+    j = join_dim_fact(j, n1, on=F.col("s_nationkey") == F.col("n1_key"))
+    j = join_dim_fact(j, n2, on=F.col("c_nationkey") == F.col("n2_key"))
+    j = filter_expr(
+        j,
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    agged = group_agg(
+        j.withColumn("yr", F.year("l_shipdate").cast("int")),
+        ["supp_nation", "cust_nation", "yr"],
+        {"revenue": F.sum(rev).cast("double")},
+    )
+    return agged.orderBy("supp_nation", "cust_nation", "yr")
