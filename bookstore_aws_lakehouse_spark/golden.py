@@ -1120,3 +1120,45 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"revenue": F.sum(rev).cast("double")},
     )
     return agged.orderBy("supp_nation", "cust_nation", "yr")
+
+
+@golden(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY supplier_no
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue view + equality against its own
+    scalar max (exact: the decimal-summed doubles are bit-identical, so
+    the max comparison selects the same supplier(s) on both engines)."""
+    li = filter_expr(
+        load_table(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    out = (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+    return out.orderBy("s_suppkey")
