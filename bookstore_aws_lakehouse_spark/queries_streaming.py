@@ -212,3 +212,37 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _fresh("stream_ssjoin")
     run_available_now(joined, name, output_mode="append")
     return spark.table(name)
+
+
+@golden(
+    "stream_static_join",
+    """
+    WITH features AS (
+      SELECT user_id, count(*) AS lifetime_events
+      FROM events GROUP BY user_id
+    )
+    SELECT f.lifetime_events, count(*) AS n_events
+    FROM events e JOIN features f ON e.user_id = f.user_id
+    GROUP BY f.lifetime_events
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live stream enriched against a static
+    feature snapshot (per-user lifetime counts — a feature-store read),
+    then aggregated. The static side behaves like a broadcast dim: no
+    stream state, re-read per micro-batch. Oracle: the equivalent batch
+    join."""
+    from bookstore_aws_lakehouse_spark.catalog import load_events
+    from bookstore_aws_lakehouse_spark.streaming.jobs import read_events_stream, run_available_now
+
+    features = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_events"))
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream.join(features, "user_id")
+    agged = enriched.groupBy("lifetime_events").agg(F.count(F.lit(1)).alias("n_events"))
+    name = _fresh("stream_static")
+    run_available_now(agged, name, output_mode="complete")
+    return spark.table(name)
