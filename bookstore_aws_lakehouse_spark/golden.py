@@ -1162,3 +1162,100 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
     )
     return out.orderBy("s_suppkey")
+
+
+@golden(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customers-per-order-count distribution — left
+    join with an extra join-side predicate (kept in the ON clause, not
+    WHERE: moving it would silently drop order-less customers), then a
+    second aggregation over the first's results."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    dist = per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+    return dist.orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+
+
+@golden(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, orders.o_orderkey AS o_orderkey, o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 270
+    ) big
+    JOIN orders   ON orders.o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, orders.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — a HAVING-filtered fact
+    aggregate drives the join (the aggregate output is small, so IT
+    broadcasts into orders, inverting the usual dim/fact roles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 270)
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    j = orders.join(F.broadcast(big), "o_orderkey")
+    j = j.join(cust, j.o_custkey == cust.c_custkey)
+    out = j.select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    return top_k(out, [("o_totalprice", True)], 100, tiebreak=["o_orderkey"])
+
+
+@golden(
+    "q22_inactive_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) * 1.0000001
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-inactive customers — a scalar-subquery
+    threshold (nudged off the average by a factor so double-epsilon can
+    never flip a row) combined with NOT EXISTS (left-anti join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .collect()[0]["a"]
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    from bookstore_aws_lakehouse_spark.operators.joins import anti_join
+
+    rich = cust.filter(F.col("c_acctbal") > avg_bal * 1.0000001)
+    inactive = anti_join(rich, orders, "c_custkey")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        exact_sum("c_acctbal").alias("total_balance"),
+    )
