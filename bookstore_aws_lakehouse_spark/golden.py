@@ -1259,3 +1259,117 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         exact_sum("c_acctbal").alias("total_balance"),
     )
+
+
+@golden(
+    "q8_market_share",
+    """
+    SELECT yr,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             n_name AS supp_nation,
+             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of total supplier revenue per
+    year — conditional decimal sum over total decimal sum, divided in
+    double (both sums exact ⇒ the share is bit-identical; rounding only
+    normalizes display digits)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = filter_expr(
+        load_table(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")),
+    ).select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    j = join_dim_fact(li, orders, on=F.col("l_orderkey") == F.col("o_orderkey"), broadcast_dim=False)
+    j = join_dim_fact(j, supp, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    j = join_dim_fact(j, nat, on=F.col("s_nationkey") == F.col("n_nationkey"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = j.withColumn("yr", F.year("o_orderdate").cast("int")).withColumn("rev", rev)
+    agged = j.groupBy("yr").agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_3", F.col("rev")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+    return agged.orderBy("yr")
+
+
+@golden(
+    "q11_important_stock",
+    """
+    WITH supplier_value AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, value
+    FROM supplier_value
+    WHERE value > (SELECT sum(value) * 0.011 FROM supplier_value)
+    ORDER BY value DESC, l_suppkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-free variant): suppliers whose revenue
+    exceeds a fraction of the GLOBAL total — per-group aggregate filtered
+    by a scalar over the same aggregate (computed once, broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(
+        exact_sum("l_extendedprice").alias("value")
+    )
+    threshold = sv.agg((F.sum("value") * 0.011).alias("t"))
+    out = sv.join(F.broadcast(threshold), F.col("value") > F.col("t")).select(
+        "l_suppkey", "value"
+    )
+    return out.orderBy(F.col("value").desc(), F.col("l_suppkey"))
+
+
+@golden(
+    "q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class with a
+    NOT IN exclusion subquery (anti-join; the fixture's s_acctbal is
+    never NULL, so NOT IN's three-valued-logic trap stays disarmed —
+    documented here because on nullable columns NOT IN silently returns
+    empty, and left_anti is the safe spelling)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = filter_expr(load_table(spark, sf_dir, "part"), F.col("p_size") >= 25)
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    from bookstore_aws_lakehouse_spark.operators.joins import anti_join
+
+    j = join_dim_fact(li, pt, on=F.col("l_partkey") == F.col("p_partkey"))
+    j = anti_join(j, bad, "l_suppkey")
+    agged = j.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+    return agged.orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
