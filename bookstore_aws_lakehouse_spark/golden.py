@@ -1373,3 +1373,37 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
     return agged.orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+
+
+@golden(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem li
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+                        WHERE l_partkey = li.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity revenue — each lineitem compared
+    against the per-part average of the SAME fact table (correlated
+    aggregate subquery; Spark formulation: aggregate once, broadcast the
+    per-part averages back). l_quantity sums/avgs are integral-exact, so
+    the 0.2× threshold comparison is bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = filter_equals(load_table(spark, sf_dir, "part"), "p_brand", "Brand#13").select(
+        "p_partkey"
+    )
+    avg_per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    j = join_dim_fact(li, pt, on=F.col("l_partkey") == F.col("p_partkey"))
+    j = j.join(F.broadcast(avg_per_part), F.col("l_partkey") == F.col("ap_key"))
+    small = j.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        (exact_sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
