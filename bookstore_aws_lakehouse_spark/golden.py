@@ -1407,3 +1407,34 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (exact_sum("l_extendedprice") / 7.0).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_small"),
     )
+
+
+@golden(
+    "pivot_multi_agg",
+    """
+    SELECT l_returnflag,
+           sum(l_quantity) FILTER (l_linestatus = 'O') AS O_qty,
+           count(*) FILTER (l_linestatus = 'O') AS O_cnt,
+           sum(l_quantity) FILTER (l_linestatus = 'F') AS F_qty,
+           count(*) FILTER (l_linestatus = 'F') AS F_cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (sum + count per
+    status) — Spark emits `<value>_<agg-alias>` columns; aliased here to
+    match the conditional-aggregation oracle exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("cnt"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O_qty"),
+        F.col("O_cnt"),
+        F.col("F_qty"),
+        F.col("F_cnt"),
+    )

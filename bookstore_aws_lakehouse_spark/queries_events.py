@@ -436,3 +436,45 @@ def q_events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.k").alias("k"),
         F.col("j.missing").isNotNull().alias("has_missing"),
     )
+
+
+@golden(
+    "events_daily_gapfill",
+    f"""
+    WITH days AS (
+      SELECT unnest(generate_series(0, 29)) AS day_offset
+    ),
+    actual AS (
+      SELECT CAST(floor(epoch_ns(ts) / {NS_PER_DAY_}.0) AS BIGINT) AS day_no,
+             count(*) AS n
+      FROM events WHERE user_id = 7 GROUP BY day_no
+    ),
+    base AS (SELECT min(CAST(floor(epoch_ns(ts) / {NS_PER_DAY_}.0) AS BIGINT)) AS d0 FROM events)
+    SELECT d0 + day_offset AS day_no, coalesce(n, 0) AS n_events
+    FROM days CROSS JOIN base
+    LEFT JOIN actual ON actual.day_no = d0 + day_offset
+    """,
+)
+def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: a generated 30-day spine left-joined to
+    one user's daily counts, zeros where the user was silent — the dense
+    time series every charting/forecasting consumer needs (generated
+    spine, never a scan; the fact side stays filtered+aggregated)."""
+    ev = load_events(spark, sf_dir)
+    day_no = F.floor(F.col("ts") / NS_PER_DAY_).cast("bigint")
+    actual = (
+        ev.filter(F.col("user_id") == 7)
+        .groupBy(day_no.alias("day_no"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = ev.agg(F.min(day_no).alias("d0"))
+    spine = spark.range(0, 30).select(F.col("id").alias("day_offset")).crossJoin(
+        F.broadcast(base)
+    )
+    out = spine.join(
+        actual, actual.day_no == spine.d0 + spine.day_offset, "left"
+    )
+    return out.select(
+        (F.col("d0") + F.col("day_offset")).alias("day_no"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
