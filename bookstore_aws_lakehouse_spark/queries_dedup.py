@@ -262,3 +262,71 @@ def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_distance") <= 3)
     )
+
+
+_JACCARD_STOPFILTERED_SQL = (
+    _SHINGLES_CTE
+    + """,
+df_counts AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+),
+kept AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN df_counts USING (shingle)
+  WHERE df <= 100
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, n_shared,
+       sa.n_shingles AS n_a, sb.n_shingles AS n_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared * 1000 >= 100 * (sa.n_shingles + sb.n_shingles - n_shared)
+"""
+)
+
+
+@golden("dedup_jaccard_stopfiltered", _JACCARD_STOPFILTERED_SQL)
+def q_dedup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard candidates with STOP-SHINGLE removal: shingles appearing in
+    >100 docs are dropped before the self-join (SCALING.md's hot-key
+    mitigation — a ubiquitous shingle joins everything to everything;
+    removing it bounds the inverted-index fan-out). Jaccard is then
+    computed over the FILTERED shingle sets on both engines."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import shingles
+    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = ensure_parallelism(docs).select(
+        F.col("doc_id"), F.explode(shingles("text", 3)).alias("shingle")
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(df_counts.filter(F.col("df") <= 100), "shingle")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("n_shared") * 1000
+            >= 100 * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        )
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b")
+    )

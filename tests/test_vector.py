@@ -92,3 +92,27 @@ def test_ivf_multiprobe_improves_recall(spark, sf_smoke):
     r1 = sum(len(ex[q] & s1.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
     r2 = sum(len(ex[q] & s2.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
     assert r2 >= r1, (r1, r2)
+
+
+def test_minhash_candidates_capture_high_jaccard_pairs(spark, sf_smoke):
+    """LSH quality metric: every pair with exact Jaccard >= 0.5 must be
+    produced as a MinHash band candidate (recall on the high-similarity
+    band where LSH's probability of agreement is strong: with 4 bands of
+    2 rows, P(candidate) = 1-(1-s^2)^4 >= 0.96 at s=0.5)."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_band_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    candidates = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_band_pairs(docs, "doc_id", "text").collect()
+    }
+    missed = exact - candidates
+    # allow the theoretical miss rate, not more
+    assert len(missed) <= max(1, int(0.1 * len(exact))), (len(exact), len(missed))
