@@ -1438,3 +1438,39 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_qty"),
         F.col("F_cnt"),
     )
+
+
+@golden(
+    "supplier_share_of_nation",
+    """
+    WITH sup_rev AS (
+      SELECT s_nationkey, s_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, s_suppkey
+    )
+    SELECT s_nationkey, s_suppkey, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY s_nationkey), 9) AS nation_share
+    FROM sup_rev
+    """,
+)
+def q_supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total via window: each supplier's fraction of its
+    nation's revenue — an aggregate divided by a windowed sum of the
+    SAME exact-decimal aggregates (both bit-identical, so the ratio is
+    too; rounding only normalizes display digits)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = join_dim_fact(li, supp, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    sup_rev = j.groupBy("s_nationkey", "s_suppkey").agg(
+        exact_sum("l_extendedprice").alias("revenue")
+    )
+    w = Window.partitionBy("s_nationkey")
+    return sup_rev.select(
+        "s_nationkey",
+        "s_suppkey",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 9).alias("nation_share"),
+    )

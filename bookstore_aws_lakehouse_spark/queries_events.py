@@ -478,3 +478,27 @@ def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d0") + F.col("day_offset")).alias("day_no"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
     )
+
+
+NS_PER_HOUR_ = 3_600_000_000_000
+
+
+@golden(
+    "events_hour_of_day_profile",
+    f"""
+    SELECT CAST((floor(epoch_ns(ts) / {NS_PER_HOUR_}.0) % 24) AS BIGINT) AS hour_of_day,
+           event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY hour_of_day, event_type
+    """,
+)
+def q_events_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal activity profile: counts by hour-of-day × type (the epoch
+    is midnight-aligned so hour-index mod 24 IS the UTC hour — pure
+    integer bucketing, no calendar functions in the hash path)."""
+    ev = load_events(spark, sf_dir)
+    hod = (F.floor(F.col("ts") / NS_PER_HOUR_) % 24).cast("bigint")
+    return ev.groupBy(hod.alias("hour_of_day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

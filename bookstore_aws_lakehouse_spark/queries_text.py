@@ -350,3 +350,26 @@ def q_text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bookstore_aws_lakehouse_spark.operators.sort import top_k
 
     return top_k(pairs, [("n_docs", True)], 20, tiebreak=["tok_a", "tok_b"])
+
+
+@golden(
+    "text_length_percentiles_by_lang",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           median(n_chars) AS median_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile per language: integer percentiles with the
+    shared linear-interpolation formula — the length-distribution check
+    that precedes any truncation/packing decision in a data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+    )
