@@ -502,3 +502,106 @@ def q_events_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(hod.alias("hour_of_day"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@golden(
+    "events_conversion_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count_if(t_signup IS NOT NULL) AS stage_signup,
+           count_if(t_signup IS NOT NULL AND t_view > t_signup) AS stage_view_after,
+           count_if(t_signup IS NOT NULL AND t_view > t_signup
+                    AND t_purchase > t_view) AS stage_purchase_after
+    FROM per_user
+    """,
+)
+def q_events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (signup → view-after → purchase-after): first-
+    occurrence times per stage via conditional mins, ordered-stage checks
+    as integer comparisons — one aggregate pass + one tiny rollup, the
+    product-analytics staple."""
+    ev = load_events(spark, sf_dir)
+    t_us = F.expr("ts div 1000")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", t_us)).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", t_us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", t_us)).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("t_signup").isNotNull()).alias("stage_signup"),
+        F.count_if(
+            F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup"))
+        ).alias("stage_view_after"),
+        F.count_if(
+            F.col("t_signup").isNotNull()
+            & (F.col("t_view") > F.col("t_signup"))
+            & (F.col("t_purchase") > F.col("t_view"))
+        ).alias("stage_purchase_after"),
+    )
+
+
+@golden(
+    "events_session_duration_stats",
+    f"""
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+      SELECT user_id, t_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    durations AS (
+      SELECT user_id, session_no, max(t_us) - min(t_us) AS dur_us
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT count(*) AS n_sessions,
+           median(dur_us) AS median_dur_us,
+           quantile_cont(dur_us, 0.9) AS p90_dur_us,
+           max(dur_us) AS max_dur_us
+    FROM durations
+    """,
+)
+def q_events_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution: the sessionization pipeline rolled
+    up to engagement stats (median/p90/max duration) — integer-µs
+    durations keep the percentile interpolation exact."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US)
+            | F.lag("t_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    durations = sessions.groupBy("user_id", "session_no").agg(
+        (F.max("t_us") - F.min("t_us")).alias("dur_us")
+    )
+    return durations.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.expr("percentile(dur_us, 0.5)").alias("median_dur_us"),
+        F.expr("percentile(dur_us, 0.9)").alias("p90_dur_us"),
+        F.max("dur_us").alias("max_dur_us"),
+    )
