@@ -96,7 +96,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_agg",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -133,8 +133,8 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
     ),
     sessions AS (
       SELECT user_id, event_id, t_us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM marked
     )
     SELECT user_id, session_no,
@@ -515,10 +515,10 @@ def q_events_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           count_if(t_signup IS NOT NULL) AS stage_signup,
-           count_if(t_signup IS NOT NULL AND t_view > t_signup) AS stage_view_after,
-           count_if(t_signup IS NOT NULL AND t_view > t_signup
-                    AND t_purchase > t_view) AS stage_purchase_after
+           CAST(count_if(t_signup IS NOT NULL) AS BIGINT) AS stage_signup,
+           CAST(count_if(t_signup IS NOT NULL AND t_view > t_signup) AS BIGINT) AS stage_view_after,
+           CAST(count_if(t_signup IS NOT NULL AND t_view > t_signup
+                    AND t_purchase > t_view) AS BIGINT) AS stage_purchase_after
     FROM per_user
     """,
 )

@@ -16,8 +16,8 @@ from bookstore_aws_lakehouse_spark.registry import golden
     """
     SELECT count(*) AS n_rows,
            count(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct_keys,
-           sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_l_orderkey,
-           sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS nulls_l_linenumber
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_orderkey,
+           CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_linenumber
     FROM lineitem
     """,
 )

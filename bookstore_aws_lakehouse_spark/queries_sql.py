@@ -101,7 +101,7 @@ def q_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CAST_CASE = """
     SELECT o_orderpriority,
            CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS avg_price,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
     FROM orders
     GROUP BY o_orderpriority
 """
@@ -226,8 +226,8 @@ def q_sql_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_COND_AGGS = """
     SELECT l_returnflag,
-           count_if(l_quantity > 25) AS n_big,
-           count_if(l_discount = 0.0) AS n_no_discount,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+           CAST(count_if(l_discount = 0.0) AS BIGINT) AS n_no_discount,
            bool_or(l_tax > 0.07) AS any_high_tax,
            bool_and(l_quantity > 0) AS all_positive_qty
     FROM lineitem

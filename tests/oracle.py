@@ -32,7 +32,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if isinstance(v, float):
-            return f"{v:.9g}"
+            # Never collapse int-valued floats into ints: the driver hashes
+            # float 1085.0 and bigint 1085 differently (q12, round 1), so a
+            # type drift the oracle SQL should CAST away must fail HERE.
+            s = f"{v:.9g}"
+            return s if ("." in s or "e" in s or "inf" in s) else s + ".0"
         if hasattr(v, "isoformat"):
             return v.isoformat()
         if isinstance(v, (list, tuple)):
