@@ -20,6 +20,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 GOLDEN: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+#: defining module (short name) per query — drives the verification-first
+#: ordering in __spark_entry__.queries()
+MODULE: dict[str, str] = {}
 
 _QUERY_MODULES = (
     "bookstore_aws_lakehouse_spark.golden",
@@ -42,6 +45,7 @@ def golden(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 
     def deco(fn: QueryFn) -> QueryFn:
         GOLDEN[name] = fn
+        MODULE[name] = fn.__module__.rsplit(".", 1)[-1]
         if oracle is not None:
             ORACLE[name] = dedent(oracle).strip()
         return fn
