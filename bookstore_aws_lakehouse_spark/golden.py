@@ -1241,19 +1241,25 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: rich-but-inactive customers — a scalar-subquery
     threshold (nudged off the average by a factor so double-epsilon can
-    never flip a row) combined with NOT EXISTS (left-anti join)."""
+    never flip a row) combined with NOT EXISTS (left-anti join). The
+    scalar stays IN the plan as a broadcast single-row cross join (what
+    Catalyst builds for an uncorrelated scalar subquery) — no driver-side
+    collect(), so the query composes lazily and triggers exactly one job."""
     cust = load_table(spark, sf_dir, "customer")
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("a"))
-        .collect()[0]["a"]
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
     from bookstore_aws_lakehouse_spark.operators.joins import anti_join
 
-    rich = cust.filter(F.col("c_acctbal") > avg_bal * 1.0000001)
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal") * 1.0000001)
+        .drop("_avg_bal")
+    )
     inactive = anti_join(rich, orders, "c_custkey")
     return inactive.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),

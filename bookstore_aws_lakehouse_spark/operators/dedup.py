@@ -163,11 +163,19 @@ def jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.4,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted-index self-join: only doc pairs
     sharing ≥1 shingle are ever compared. jaccard = |A∩B| / (|A|+|B|-|A∩B|)
     computed from integer counts — no float accumulation, so the threshold
-    comparison is exact on any engine."""
+    comparison is exact on any engine.
+
+    ``max_df`` (on by default) drops stop-shingles appearing in more than
+    that many docs BEFORE the self-join — the hot-key guard: one
+    ubiquitous shingle otherwise fans out to df² candidate rows and a
+    single straggler partition at 100×. Jaccard is then computed over the
+    filtered shingle sets. ``max_df=None`` opts into unfiltered semantics.
+    """
     from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
 
     sh = ensure_parallelism(df).select(
@@ -179,6 +187,11 @@ def jaccard_pairs(
     # at 10^9 distinct shingles the chance of ANY collision is ~10^-4 —
     # acceptable for candidate generation.)
     sh = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("shingle_h"))
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle_h").select(
+            F.col(id_col), "shingle_h"
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle_h")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle_h")
@@ -236,17 +249,50 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup candidate pairs by SimHash Hamming distance. The pair join
-    here is all-pairs (fixture scale); at 100 TB, band the signature into
-    (max_hamming+1) chunks and index-join on exact chunk matches first
-    (pigeonhole: any pair within distance d agrees on ≥1 chunk)."""
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``, via
+    pigeonhole chunk banding: split the signature into ``max_hamming + 1``
+    bit chunks — any pair within distance d differs in ≤ d chunks, so it
+    agrees EXACTLY on ≥ 1 chunk. Equi-join on (chunk, chunk_val) generates
+    candidates (an inverted index, like MinHash bands), then the exact
+    Hamming filter verifies. Result-identical to the all-pairs scan, but
+    the shuffle is keyed on short chunk values — no cartesian anywhere."""
     sig = simhash_signatures(df, id_col, text_col)
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
-    return (
-        a.crossJoin(b)
+    n_chunks = max_hamming + 1
+    base = SIMHASH_BITS // n_chunks
+    extra = SIMHASH_BITS % n_chunks  # first `extra` chunks get one more bit
+    chunk_structs, lo = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        chunk_structs.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+        )
+        lo += width
+    ch = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select(
+        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.chunk_val").alias("chunk_val")
+    )
+    a = ch.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "chunk_val"
+    )
+    b = ch.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "chunk_val"
+    )
+    cand = (
+        a.join(b, on=["chunk", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        # a pair can agree on several chunks → appears once per agreeing
+        # chunk; dedupe before the (cheap) Hamming verify
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "sig_a", "sig_b", "hamming")
     )

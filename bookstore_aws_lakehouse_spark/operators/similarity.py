@@ -59,22 +59,47 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
+    exact: bool = False,
+    num_planes: int = 4,
+    num_tables: int = 4,
+    num_dims: int = 64,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    All-pairs at fixture scale; at 100 TB run it *after* LSH bucketing
-    (``lsh_buckets``) so only same-bucket pairs are scored."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+    """Embedding near-duplicate pairs with cosine ≥ threshold.
+
+    Default path: multi-table sign-LSH candidate generation
+    (``lsh_bucket_tables``) — a pair is scored only if it shares a bucket
+    in ≥ 1 of ``num_tables`` independent tables, so the join is keyed on
+    (table, bucket) and the corpus never cross-joins itself. With 4
+    tables × 4 planes, P(candidate) ≈ 1-(1-p^4)^4 where p = 1-θ/π:
+    ≈ 0.99 at cosine 0.95, ≈ 0.87 at the 0.8 threshold boundary.
+    ``exact=True`` opts into the all-pairs scan (fixture-scale oracles,
+    recall studies)."""
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        scored = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        tb = lsh_bucket_tables(df, id_col, vec_col, num_planes, num_tables, num_dims)
+        cand = (
+            tb.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+            .join(
+                tb.select(F.col(id_col).alias("id_b"), "tbl", "bucket"),
+                on=["tbl", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
         )
-        .filter(F.col("cosine") >= threshold)
-    )
+        scored = cand.join(
+            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")), "id_a"
+        ).join(
+            df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")), "id_b"
+        )
+    return scored.select(
+        "id_a",
+        "id_b",
+        cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
 
 
 def _plane_signs(plane: int, num_dims: int) -> list[float]:
@@ -113,6 +138,40 @@ def lsh_buckets(
         )
         bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
     return out.withColumn("bucket", bucket.cast("int")).select(id_col, "bucket")
+
+
+def lsh_bucket_tables(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 4,
+    num_dims: int = 64,
+) -> DataFrame:
+    """Multi-table sign-LSH: ``num_tables`` independent bucket assignments
+    per vector (table t uses global plane indices t·num_planes …), long
+    form (id, tbl, bucket). Candidates downstream = same (tbl, bucket) in
+    any table — the OR-amplified construction that trades candidate volume
+    for recall, exactly like MinHash banding. One Project + explode, no
+    shuffle here."""
+    out = df.select(F.col(id_col), F.col(vec_col))
+    tables = []
+    for t in range(num_tables):
+        bucket = F.lit(0)
+        for p in range(num_planes):
+            plane = F.lit(_plane_signs(t * num_planes + p, num_dims))
+            dot_p = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda v, s: v.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
+        tables.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.cast("int").alias("bucket"))
+        )
+    return out.select(id_col, F.explode(F.array(*tables)).alias("tb")).select(
+        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
 
 
 def ivf_assign(

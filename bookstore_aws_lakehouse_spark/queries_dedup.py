@@ -121,13 +121,23 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_SQL = (
-    _SHINGLES_CTE
-    + """,
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+def _jaccard_sql(max_df: int, thresh_ppt: int) -> str:
+    """Jaccard-pairs oracle with the operator's default stop-shingle
+    filter folded in: document-frequency counts, a df ≤ max_df keep
+    filter, then sizes/intersections over the FILTERED shingle sets."""
+    return (
+        _SHINGLES_CTE
+        + f""",
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+kept AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN dfc USING (shingle)
+  WHERE df <= {max_df}
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  FROM kept a JOIN kept b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id
   GROUP BY id_a, id_b
 )
@@ -137,15 +147,17 @@ SELECT id_a, id_b, n_shared,
 FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_shared * 1000 >= 100 * (sa.n_shingles + sb.n_shingles - n_shared)
+WHERE n_shared * 1000 >= {thresh_ppt} * (sa.n_shingles + sb.n_shingles - n_shared)
 """
-)
+    )
 
 
-@golden("dedup_ngram_jaccard", _JACCARD_SQL)
+@golden("dedup_ngram_jaccard", _jaccard_sql(max_df=100, thresh_ppt=100))
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.1 via inverted-index self-join (docs sharing
-    no shingle are never compared); integer cross-multiplied threshold."""
+    no shingle are never compared); integer cross-multiplied threshold.
+    Stop-shingle filtering (df ≤ 100) is the operator default — the
+    hot-key guard is on unless explicitly disabled."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1)
 
@@ -193,10 +205,16 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTERS_SQL = (
     _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
     + """,
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+kept AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN dfc USING (shingle)
+  WHERE df <= 100
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  FROM kept a JOIN kept b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id
   GROUP BY id_a, id_b
 ),
@@ -247,86 +265,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching over the (small, distinct) name
-    dictionary — the entity-resolution modality: dedupe the DICTIONARY
-    all-pairs (cheap: distinct values only), then equi-join the mapping
-    back to the corpus. Never all-pairs the corpus itself."""
+    """Edit-distance fuzzy matching over the distinct name dictionary —
+    the entity-resolution modality. Candidates come from LENGTH-BAND
+    blocking, not a cross join: edit distance ≤ 3 forces |len(a)-len(b)|
+    ≤ 3, so side A explodes to its 7 admissible target lengths and
+    equi-joins B on exact length — lossless blocking (the oracle is the
+    unblocked all-pairs definition), and each unordered pair meets on
+    exactly one length offset, so no dedup pass is needed. The dictionary
+    shuffles by length (bounded key space) instead of replicating d²."""
     from pyspark.sql import functions as F
 
     names = load_table(spark, sf_dir, "part").select("p_name").distinct()
-    a = names.select(F.col("p_name").alias("name_a"))
-    b = names.select(F.col("p_name").alias("name_b"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(*[F.length("p_name") + F.lit(i) for i in range(-3, 4)])
+        ).alias("target_len"),
+    )
+    b = names.select(F.col("p_name").alias("name_b"), F.length("p_name").alias("len_b"))
     return (
-        a.crossJoin(b)
+        a.join(b, a.target_len == b.len_b)
         .filter(F.col("name_a") < F.col("name_b"))
         .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_distance") <= 3)
+        .select("name_a", "name_b", "edit_distance")
     )
 
 
-_JACCARD_STOPFILTERED_SQL = (
-    _SHINGLES_CTE
-    + """,
-df_counts AS (
-  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
-),
-kept AS (
-  SELECT sh.doc_id, sh.shingle
-  FROM sh JOIN df_counts USING (shingle)
-  WHERE df <= 100
-),
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-  FROM kept a JOIN kept b ON a.shingle = b.shingle
-  WHERE a.doc_id < b.doc_id
-  GROUP BY id_a, id_b
-)
-SELECT id_a, id_b, n_shared,
-       sa.n_shingles AS n_a, sb.n_shingles AS n_b
-FROM shared
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_shared * 1000 >= 100 * (sa.n_shingles + sb.n_shingles - n_shared)
-"""
-)
-
-
-@golden("dedup_jaccard_stopfiltered", _JACCARD_STOPFILTERED_SQL)
+@golden("dedup_jaccard_stopfiltered", _jaccard_sql(max_df=20, thresh_ppt=100))
 def q_dedup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaccard candidates with STOP-SHINGLE removal: shingles appearing in
-    >100 docs are dropped before the self-join (SCALING.md's hot-key
-    mitigation — a ubiquitous shingle joins everything to everything;
-    removing it bounds the inverted-index fan-out). Jaccard is then
-    computed over the FILTERED shingle sets on both engines."""
-    from pyspark.sql import functions as F
-
-    from bookstore_aws_lakehouse_spark.operators.dedup import shingles
-    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
-
+    """The stop-shingle dial turned tight: df ≤ 20 (vs the default 100)
+    drops every even-moderately-common shingle before the self-join —
+    SCALING.md's hot-key mitigation at its aggressive end. Same operator,
+    stricter max_df; Jaccard is computed over the filtered sets on both
+    engines."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = ensure_parallelism(docs).select(
-        F.col("doc_id"), F.explode(shingles("text", 3)).alias("shingle")
-    )
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    kept = sh.join(df_counts.filter(F.col("df") <= 100), "shingle")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(
-            F.col("n_shared") * 1000
-            >= 100 * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-        )
-        .select("id_a", "id_b", "n_shared", "n_a", "n_b")
-    )
+    return jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1, max_df=20)

@@ -57,23 +57,61 @@ def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_tables_sql(num_planes: int = 4, num_tables: int = 4) -> str:
+    """Bucket rows (vec_id, tbl, bucket) for every LSH table, as a UNION
+    ALL — replays ``lsh_bucket_tables`` (global plane index t·np+p, same
+    md5-seeded ±1 components, 0-based dim)."""
+    selects = []
+    for t in range(num_tables):
+        terms = []
+        for p in range(num_planes):
+            gp = t * num_planes + p
+            comp = (
+                f"CASE WHEN ('0x' || substring(md5('{gp}:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT & 1 = 1"
+                " THEN 1.0 ELSE -1.0 END"
+            )
+            terms.append(
+                f"(CASE WHEN list_sum([CAST(v[i] AS DOUBLE) * {comp}"
+                f" FOR i IN generate_series(1, len(v))]) > 0 THEN {2**p} ELSE 0 END)"
+            )
+        selects.append(
+            f"  SELECT vec_id, {t} AS tbl, {' + '.join(terms)} AS bucket FROM e"
+        )
+    return "\n  UNION ALL\n".join(selects)
+
+
 @golden(
     "embedding_near_dup",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_COS.format(a="a.v", b="b.v")} AS cosine
-    FROM e a, e b
-    WHERE a.vec_id < b.vec_id
-      AND {_COS.format(a="a.v", b="b.v")} >= 0.8
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    tb AS (
+{_lsh_tables_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT c.id_a, c.id_b, {_COS.format(a="ea.v", b="eb.v")} AS cosine
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b
+    ) WHERE cosine >= 0.4
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.8). All-pairs at fixture
-    scale; the 100 TB path runs the same scorer after ``ann_lsh_buckets``
-    restricts candidates to same-bucket pairs."""
+    """Embedding near-duplicate pairs (cosine ≥ 0.4) over multi-table
+    sign-LSH candidates (4 tables × 4 planes): only same-bucket pairs are
+    ever scored, so the plan is equi-joins keyed on (table, bucket) — the
+    100 TB shape. The oracle replays bucketing, candidate dedup, and
+    scoring; ``cosine_pairs(exact=True)`` remains the all-pairs mode
+    (recall measured in tests/test_vector.py). Threshold 0.4 because the
+    fixture embeddings are random vectors (max pairwise cosine ≈ 0.51, no
+    planted duplicates): a production 0.8 cut would select zero rows and
+    verify nothing."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.8)
+    return cosine_pairs(emb, threshold=0.4)
 
 
 def _lsh_bucket_sql(num_planes: int = 8) -> str:
@@ -265,7 +303,7 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e CROSS JOIN cent
     ),
     assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
-    probes AS (SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2),
+    probes AS (SELECT vec_id, centroid_id FROM ranked WHERE rn <= 4),
     q AS (SELECT p.vec_id AS query_id, p.centroid_id, e.v AS qv
           FROM probes p JOIN e ON p.vec_id = e.vec_id
           WHERE p.vec_id < {N_QUERIES}),
@@ -283,7 +321,7 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with nprobe=2: each probe searches its TWO nearest cells
+    """IVF with nprobe=4: each probe searches its FOUR nearest cells
     (corpus assignment stays single-cell). The recall/cost dial of the
     ANN path — candidate volume doubles, boundary losses shrink;
     tests/test_vector.py measures the recall gain over nprobe=1."""
@@ -306,7 +344,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = top_n_per_group(
-        ranked, ["vec_id"], [("c_cos", True)], 2, tiebreak=["centroid_id"], rank_name="rn"
+        ranked, ["vec_id"], [("c_cos", True)], 4, tiebreak=["centroid_id"], rank_name="rn"
     )
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
     probes = ranked.filter(F.col("vec_id") < N_QUERIES).select(

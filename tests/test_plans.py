@@ -68,6 +68,18 @@ def test_lsh_buckets_no_shuffle(spark, sf_smoke):
     assert "Exchange" not in plan, plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_simhash_pairs", "embedding_near_dup", "fuzzy_part_names"],
+)
+def test_pair_generation_never_cartesian(spark, sf_smoke, name):
+    """The three former all-pairs holdouts are banded/blocked equi-joins
+    now — a cartesian node reappearing is a 100×-scale regression."""
+    plan = plan_of(GOLDEN[name](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_session_defaults_enable_aqe(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

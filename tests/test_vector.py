@@ -73,8 +73,9 @@ def test_ivf_recall_vs_brute_force(spark, sf_smoke):
 
 
 def test_ivf_multiprobe_improves_recall(spark, sf_smoke):
-    """nprobe=2 must recall at least as much of the exact top-3 as
-    nprobe=1 (the whole point of multi-probe)."""
+    """nprobe=4 must recall at least as much of the exact top-3 as
+    nprobe=1, and clear an absolute 0.5 recall bar even on the
+    worst-case (clusterless random) fixture vectors."""
     from bookstore_aws_lakehouse_spark.registry import load_all
 
     g, _ = load_all()
@@ -92,6 +93,56 @@ def test_ivf_multiprobe_improves_recall(spark, sf_smoke):
     r1 = sum(len(ex[q] & s1.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
     r2 = sum(len(ex[q] & s2.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
     assert r2 >= r1, (r1, r2)
+    assert r2 >= 0.5, (r1, r2)
+
+
+def test_cosine_pairs_lsh_recall(spark, sf_smoke):
+    """Bucketed near-dup (multi-table sign-LSH candidates) vs the exact
+    all-pairs scan at the 0.4 threshold: recall ≥ 0.5 at the boundary
+    (theory: P(candidate) = 1-(1-p^4)^4 = 0.50 at cosine exactly 0.4,
+    higher above it; the fixture's random vectors sit right at the
+    boundary — real near-dup corpora at 0.95+ recall ≈ 0.99)."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(emb, threshold=0.4, exact=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert lsh <= exact  # every bucketed pair is verified by real scoring
+    assert len(exact & lsh) / len(exact) >= 0.5, (len(exact), len(lsh))
+
+
+def test_simhash_banding_matches_all_pairs(spark, sf_smoke):
+    """Pigeonhole chunk banding is candidate-complete: the banded
+    simhash_pairs result must EQUAL the brute-force all-pairs scan
+    (any pair within Hamming d of a 16-bit signature split into d+1
+    chunks agrees exactly on ≥ 1 chunk)."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    sig = simhash_signatures(docs, "doc_id", "text")
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute, (len(banded), len(brute))
 
 
 def test_minhash_candidates_capture_high_jaccard_pairs(spark, sf_smoke):
@@ -105,9 +156,13 @@ def test_minhash_candidates_capture_high_jaccard_pairs(spark, sf_smoke):
     )
 
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    # max_df=None: MinHash signatures cover UNFILTERED shingle sets, so
+    # the exact-Jaccard yardstick must use the same sets
     exact = {
         (r["id_a"], r["id_b"])
-        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_df=None
+        ).collect()
     }
     candidates = {
         (r["id_a"], r["id_b"])
