@@ -4,6 +4,9 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query executes fully via a noop-format write (no driver collect, no
 sink I/O in the timing) after a warm-up of the session + input footers.
+Per-query numbers are the p50 of $SPARK_GRAFT_BENCH_RUNS runs (default
+3) — single-run drift at sub-second query times was indistinguishable
+from regression in round 1 (25 s vs 31 s on identical code).
 """
 
 from __future__ import annotations
@@ -76,13 +79,17 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         if name not in GOLDEN:
             continue
-        t0 = time.monotonic()
-        GOLDEN[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            GOLDEN[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
