@@ -105,6 +105,49 @@ def upsert_parquet(
         df.write.mode("overwrite").parquet(path)
 
 
+def upsert_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    partition_col: str,
+) -> None:
+    """Partition-pruned MERGE stand-in: rewrite ONLY the partitions the
+    delta touches, leaving every other partition's files untouched on
+    disk. This is the shape that survives 100 TB — a daily delta hitting
+    3 of 3,000 date partitions rewrites 0.1% of the mart, not all of it
+    (``upsert_parquet`` above rewrites the whole location).
+
+    Mechanics: collect the delta's distinct partition values (bounded by
+    the partition count, not the data), read the existing mart pruned to
+    those partitions (PartitionFilters — only affected directories are
+    scanned), anti-join on the keys, union the delta, and write with
+    dynamic partitionOverwriteMode so Spark replaces exactly the
+    partitions present in the result. The merged result is pinned with
+    localCheckpoint() first because the write deletes the very files the
+    plan reads (at cluster scale: a reliable checkpoint dir or a staging
+    table).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    if not os.path.exists(path):
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+    parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    keep = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+    merged = keep.unionByName(df.select(keep.columns)).localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def save_as_bucketed_table(
     df: DataFrame,
     name: str,

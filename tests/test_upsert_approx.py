@@ -24,6 +24,55 @@ def test_upsert_parquet(spark):
     assert again == got
 
 
+def test_upsert_parquet_partitioned_rewrites_only_touched_partitions(spark):
+    """Partition-pruned MERGE at sf0.1: a delta touching one
+    o_orderstatus partition must leave every other partition's files
+    byte-identical on disk (same names, sizes, mtimes) — the 100 TB
+    contract that upserts cost O(touched partitions), not O(mart)."""
+    import os
+
+    from bookstore_aws_lakehouse_spark.sources.writers import (
+        upsert_parquet_partitioned,
+    )
+
+    path = tempfile.mkdtemp(prefix="blhs_upp_") + "/mart"
+    orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upsert_parquet_partitioned(orders, path, ["o_orderkey"], "o_orderstatus")
+    n0 = spark.read.parquet(path).count()
+
+    def files_of(status):
+        d = f"{path}/o_orderstatus={status}"
+        return {
+            f: (os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    statuses = [r[0] for r in spark.read.parquet(path).select("o_orderstatus").distinct().collect()]
+    touched = statuses[0]
+    untouched_before = {s: files_of(s) for s in statuses if s != touched}
+
+    some_keys = [
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_orderstatus") == touched).limit(5).collect()
+    ]
+    delta = spark.createDataFrame(
+        [(k, touched, -1.0) for k in some_keys]
+        + [(10**9 + 1, touched, -2.0)],  # one brand-new key
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    upsert_parquet_partitioned(delta, path, ["o_orderkey"], "o_orderstatus")
+
+    back = spark.read.parquet(path)
+    assert back.count() == n0 + 1
+    assert back.filter(F.col("o_totalprice") == -1.0).count() == 5
+    assert back.filter(F.col("o_orderkey") == 10**9 + 1).count() == 1
+    for s, before in untouched_before.items():
+        assert files_of(s) == before, f"partition {s} was rewritten"
+
+
 def test_approx_count_distinct_accuracy(spark, sf_oracle):
     """HLL++ sketch (the 100 TB answer to count(DISTINCT) when exactness
     isn't required — no Expand, mergeable partial sketches) stays within
