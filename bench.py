@@ -65,6 +65,11 @@ def main() -> None:
         "asof_last_signup",
         "range_join_followups",
         "dq_snapshot_diff",
+        "dedup_survivors",
+        "dedup_simhash_pairs",
+        "embedding_near_dup",
+        "dataset_stratified_sample",
+        "pii_pseudonymize",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

@@ -36,6 +36,29 @@ def train_test_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    target_per_stratum: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Equalize class sizes: sample each stratum down to ~target rows.
+    Per-stratum keep-rate = target/size, applied as a deterministic
+    id-hash gate — one tiny count aggregate broadcast back, then a
+    map-side filter; the corpus itself never shuffles. ``floor`` before
+    the int cast (Spark truncates double→int, DuckDB rounds)."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    rate = F.least(
+        F.lit(1000), F.floor(target_per_stratum * 1000.0 / F.col("_n")).cast("bigint")
+    )
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .filter(split_bucket(id_col, salt) < rate)
+        .drop("_n")
+    )
+
+
 def weighted_source_mix(
     df: DataFrame,
     id_col: str,

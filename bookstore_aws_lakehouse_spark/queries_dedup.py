@@ -292,6 +292,58 @@ def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SURVIVORS_SQL = (
+    _MINHASH_SQL.replace("WITH toks", "WITH RECURSIVE toks").rsplit("SELECT a.doc_id", 1)[0]
+    + """, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+lab AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN lab USING (doc_id)
+WHERE lab.cluster_id IS NULL OR lab.cluster_id = d.doc_id
+"""
+)
+
+
+@golden("dedup_survivors", _SURVIVORS_SQL)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup pipeline a training-data run actually ships:
+    MinHash+LSH candidate pairs → connected components → keep one
+    canonical doc (min id) per cluster plus every unpaired doc. The
+    oracle replays the whole chain — shingling, seeded minhashing,
+    banding, transitive closure — in one recursive-CTE SQL statement."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_band_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_rows=2, shingle_k=3
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs).withColumnRenamed("doc_id", "cc_id")
+    from pyspark.sql import functions as F
+
+    return (
+        docs.join(cc, docs.doc_id == cc.cc_id, "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == docs.doc_id))
+        .select(docs.doc_id, "lang", "source")
+    )
+
+
 @golden("dedup_jaccard_stopfiltered", _jaccard_sql(max_df=20, thresh_ppt=100))
 def q_dedup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stop-shingle dial turned tight: df ≤ 20 (vs the default 100)

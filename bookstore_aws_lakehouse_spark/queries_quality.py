@@ -108,3 +108,33 @@ def q_dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(old, new, ["c_custkey"])
+
+
+@golden(
+    "pii_pseudonymize",
+    """
+    SELECT md5('cust:' || CAST(c_custkey AS STRING)) AS cust_token,
+           regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+           c_mktsegment,
+           round(floor(c_acctbal / 500.0) * 500.0, 1) AS acctbal_band
+    FROM customer
+    """,
+)
+def q_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training-data release: stable salted-hash
+    pseudonyms for keys (joinable across tables, irreversible without the
+    salt), digit-masking on the name, and value banding on the balance
+    (k-anonymity-style coarsening). All built-in column expressions —
+    map-side only, no shuffle, safe at any scale. The fixture has no
+    free-text PII (synthetic corpus), so the digit mask doubles as the
+    regex-redaction demonstration the real pipeline would point at
+    emails/phones."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.md5(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))).alias(
+            "cust_token"
+        ),
+        F.regexp_replace("c_name", "[0-9]", "X").alias("name_masked"),
+        "c_mktsegment",
+        F.round(F.floor(F.col("c_acctbal") / 500.0) * 500.0, 1).alias("acctbal_band"),
+    )

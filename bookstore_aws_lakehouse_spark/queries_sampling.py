@@ -53,6 +53,35 @@ def q_dataset_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_source_mix(docs, "doc_id", "source", MIX_WEIGHTS)
 
 
+STRATUM_TARGET = 50  # docs per language
+
+
+@golden(
+    "dataset_stratified_sample",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN counts USING (lang)
+    WHERE {_BUCKET.format(salt="strat")} <
+          least(1000, CAST(floor({STRATUM_TARGET} * 1000.0 / n) AS BIGINT))
+    """,
+)
+def q_dataset_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: equalize class sizes by sampling each language
+    down to ~{STRATUM_TARGET} docs — per-stratum rate = target/size, applied as a
+    deterministic id-hash gate. One tiny aggregate for the per-group
+    counts (broadcast back), then a map-side filter: no shuffle of the
+    corpus, reproducible membership, mergeable across ingestion batches.
+    ``floor`` before the int cast because Spark truncates double→int
+    while DuckDB rounds — the one portability trap in rate arithmetic."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "doc_id", "lang", STRATUM_TARGET).select(
+        "doc_id", "lang"
+    )
+
+
 @golden(
     "dataset_decontaminate",
     f"""
