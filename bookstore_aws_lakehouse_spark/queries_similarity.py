@@ -329,18 +329,29 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
-    from bookstore_aws_lakehouse_spark.functions.vector import cosine_similarity
+    from bookstore_aws_lakehouse_spark.functions.vector import l2_norm
+    from bookstore_aws_lakehouse_spark.operators.similarity import _cosine_prenormed
     from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
 
-    c = centroids.select("centroid_id", F.col("embedding").alias("centroid_vec"))
+    c = centroids.select(
+        "centroid_id",
+        F.col("embedding").alias("centroid_vec"),
+        l2_norm(F.col("embedding")).alias("_cen_n"),
+    )
+    # norms hoisted before both cross/equi joins: once per row, not per pair
     ranked = (
-        emb.select("vec_id", "embedding")
+        emb.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_vn")
+        )
         .crossJoin(F.broadcast(c))
         .select(
             "vec_id",
             "embedding",
+            "_vn",
             "centroid_id",
-            cosine_similarity(F.col("embedding"), F.col("centroid_vec")).alias("c_cos"),
+            _cosine_prenormed(
+                F.col("embedding"), F.col("centroid_vec"), F.col("_vn"), F.col("_cen_n")
+            ).alias("c_cos"),
         )
     )
     ranked = top_n_per_group(
@@ -351,15 +362,21 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         "centroid_id",
         F.col("embedding").alias("query_vec"),
+        F.col("_vn").alias("_qn"),
     )
-    cand = assigned.join(emb, "vec_id")
+    cand = assigned.join(
+        emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("_cn")),
+        "vec_id",
+    )
     scored = (
         cand.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine_similarity(F.col("query_vec"), F.col("embedding")).alias("cosine"),
+            _cosine_prenormed(
+                F.col("query_vec"), F.col("embedding"), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
         )
     )
     return top_n_per_group(
