@@ -373,3 +373,108 @@ def q_text_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataF
         F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
         F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
     )
+
+
+@golden(
+    "text_langid_confusion",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql("en")} AS h_en,
+             {_lang_hits_sql("de")} AS h_de,
+             {_lang_hits_sql("fr")} AS h_fr,
+             {_lang_hits_sql("es")} AS h_es
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    ),
+    guessed AS (
+      SELECT lang AS lang_label,
+             CASE
+               WHEN h_es > h_fr AND h_es > h_de AND h_es > h_en AND h_es > 0 THEN 'es'
+               WHEN h_fr > h_de AND h_fr > h_en AND h_fr > 0 THEN 'fr'
+               WHEN h_de > h_en AND h_de > 0 THEN 'de'
+               WHEN h_en > 0 THEN 'en'
+               ELSE 'unknown'
+             END AS lang_guess
+      FROM hits
+    )
+    SELECT lang_label, lang_guess, count(*) AS n
+    FROM guessed GROUP BY lang_label, lang_guess
+    """,
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang × heuristic guess with
+    counts — the accuracy report for the classifier stage of a curation
+    pipeline (zh has no marker set, so it lands in 'unknown' — visible
+    as its own row, exactly what the report is for)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_label"), "text"
+    )
+    out = with_lang_guess(docs)
+    return out.groupBy("lang_label", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@golden(
+    "text_bigram_lm_score",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest([t[i] || ' ' || t[i+1]
+                     FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+      FROM t WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT bigram, count(*) AS c12 FROM big GROUP BY bigram),
+    c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, count(*) AS cw1
+           FROM big GROUP BY 1)
+    SELECT big.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(c12 / cw1)), 6) AS avg_logprob
+    FROM big
+    JOIN c2 USING (bigram)
+    JOIN c1 ON string_split(big.bigram, ' ')[1] = c1.w1
+    GROUP BY big.doc_id
+    """,
+)
+def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    fluency/quality signal real curation pipelines compute with a small
+    LM: avg log P(w_i | w_{i-1}) where P = c(w1 w2)/c(w1·) from the corpus
+    itself. Shape: one explode, two count aggregates joined back (bigram
+    table is corpus-statistics-sized, no broadcast hint — AQE decides),
+    one per-doc aggregate. Rounded to 6 dp: ln() and avg() accumulate in
+    partition order (same documented tolerance as the stats aggregates).
+    Docs with <2 tokens have no bigrams and drop out (no rows)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    big = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"), n.alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.col("n") - 1),
+                    F.slice("t", 2, F.col("n") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram"),
+        )
+    )
+    c2 = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        big.select(F.split("bigram", " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cw1"))
+    )
+    return (
+        big.join(c2, "bigram")
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c12") / F.col("cw1"))), 6).alias("avg_logprob"),
+        )
+    )
