@@ -41,3 +41,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs, "doc_id", "text")
     return extract_media_features(media, fake_decode=True)
+
+
+@golden(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, least(8, greatest(1, n // 64)) - 1)) AS frame_no
+      FROM d
+    )
+    SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+           md5(substring(text, frame_no * 64 + 1, 64)) AS frame_md5
+    FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out through mapInPandas: every 64-byte payload
+    slice becomes a fingerprinted 'frame' row (stub for video frame
+    extraction — one input row fans out to ≤8 output rows inside the
+    Arrow batch). The oracle re-slices the SOURCE text instead: the
+    fixture corpus is pure ASCII, so byte offsets and character offsets
+    coincide and DuckDB's substring+md5 reproduces every frame hash the
+    Python stage emitted — the Arrow byte round-trip is value-checked."""
+    from bookstore_aws_lakehouse_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    return sample_frames(media, every_n_bytes=64, max_frames=8, fake=True)
