@@ -79,3 +79,49 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # replaying batch 2 drops everything (store remembered doc 11 too)
     out3 = incremental_dedup(b2, store).count()
     assert out3 == 0
+
+
+def test_simhash_pairs_empty_and_single(spark):
+    from bookstore_aws_lakehouse_spark.operators.dedup import simhash_pairs
+
+    assert simhash_pairs(_empty_docs(spark), "doc_id", "text").count() == 0
+    one = spark.createDataFrame([(1, "only doc")], "doc_id long, text string")
+    assert simhash_pairs(one, "doc_id", "text").count() == 0
+
+
+def test_cosine_pairs_empty(spark):
+    from bookstore_aws_lakehouse_spark.operators.similarity import cosine_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_pairs(empty).count() == 0
+    assert cosine_pairs(empty, exact=True).count() == 0
+
+
+def test_stratified_sample_empty_and_tiny_stratum(spark):
+    from bookstore_aws_lakehouse_spark.operators.sampling import stratified_sample
+
+    empty = spark.createDataFrame([], "doc_id long, lang string")
+    assert stratified_sample(empty, "doc_id", "lang", 50).count() == 0
+    # a stratum SMALLER than the target keeps all its rows (rate caps at 1000)
+    tiny = spark.createDataFrame(
+        [(i, "xx") for i in range(5)], "doc_id long, lang string"
+    )
+    assert stratified_sample(tiny, "doc_id", "lang", 50).count() == 5
+
+
+def test_jaccard_max_df_bounds_hot_shingle_fanout(spark):
+    """A shingle shared by every doc must NOT fan out into all-pairs
+    candidates when max_df is active: docs sharing ONLY the hot shingle
+    produce zero pairs."""
+    docs = spark.createDataFrame(
+        [(i, f"common phrase here unique{i} word{i} tail{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # every doc contains the 'common phrase here' shingle; with max_df
+    # below the corpus size it is dropped and nothing else is shared
+    assert jaccard_pairs(docs, "doc_id", "text", threshold=0.01, max_df=10).count() == 0
+    # without the guard, the hot shingle creates all 30*29/2 candidates
+    assert (
+        jaccard_pairs(docs, "doc_id", "text", threshold=0.01, max_df=None).count()
+        == 30 * 29 / 2
+    )
