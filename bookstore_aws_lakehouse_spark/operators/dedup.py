@@ -220,13 +220,16 @@ def jaccard_pairs(
     )
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash: per token, each bit of the portable md5 hash votes
+    """32-bit SimHash: per token, each bit of the portable md5 hash votes
     ±1; the signature sets bits with positive vote sums. One explode + one
-    groupBy — the classic map-side-combinable shape."""
+    groupBy — the classic map-side-combinable shape. 32 bits (not the
+    toy 16) so pigeonhole chunks are 8 bits wide: 256 values per chunk
+    means banding actually prunes — at 16 bits every chunk had only 16
+    values and 1/16 of all pairs became candidates."""
     from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
 
     tok = ensure_parallelism(df).select(

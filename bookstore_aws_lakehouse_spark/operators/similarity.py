@@ -172,25 +172,52 @@ def lsh_bucket_tables(
     per vector (table t uses global plane indices t·num_planes …), long
     form (id, tbl, bucket). Candidates downstream = same (tbl, bucket) in
     any table — the OR-amplified construction that trades candidate volume
-    for recall, exactly like MinHash banding. One Project + explode, no
-    shuffle here."""
-    out = df.select(F.col(id_col), F.col(vec_col))
-    tables = []
-    for t in range(num_tables):
-        bucket = F.lit(0)
-        for p in range(num_planes):
-            plane = F.lit(_plane_signs(t * num_planes + p, num_dims))
-            dot_p = F.aggregate(
-                F.zip_with(F.col(vec_col), plane, lambda v, s: v.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
-        tables.append(
-            F.struct(F.lit(t).alias("tbl"), bucket.cast("int").alias("bucket"))
-        )
-    return out.select(id_col, F.explode(F.array(*tables)).alias("tb")).select(
-        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    for recall, exactly like MinHash banding. Map-side only, no shuffle.
+
+    Implementation is an Arrow-batched pandas_udf, not higher-order
+    functions: projecting onto tables×planes hyperplanes is a (batch ×
+    dims) @ (dims × planes) matmul — numpy does it per Arrow batch,
+    where the expression-tree version (16 zip_with/aggregate lambdas over
+    64-element literal arrays) cost more in codegen than the data
+    (measured 3.3 s vs 0.3 s on 2000 rows). Accumulation is an explicit
+    left-to-right loop over dims, so every dot is bit-identical to the
+    JVM ``aggregate`` fold AND to DuckDB's list_sum replay — sign
+    decisions can never drift between engines."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    total = num_tables * num_planes
+    # (dims, total) sign matrix, one column per global plane
+    S = np.array(
+        [_plane_signs(gp, num_dims) for gp in range(total)], dtype="float64"
+    ).T
+    weights = (2 ** np.arange(num_planes)).astype("int64")
+
+    def buckets_of(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(col.to_numpy()).astype("float64")  # (n, dims)
+        acc = np.zeros((v.shape[0], total), dtype="float64")
+        for i in range(S.shape[0]):  # left-to-right over dims: exact fold order
+            acc += v[:, i : i + 1] * S[i][None, :]
+        bits = (acc > 0).astype("int64")
+        per_table = np.stack(
+            [
+                (bits[:, t * num_planes : (t + 1) * num_planes] * weights).sum(axis=1)
+                for t in range(num_tables)
+            ],
+            axis=1,
+        ).astype("int32")
+        return pd.Series(list(per_table))
+
+    buckets_of.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    bucket_udf = pandas_udf(buckets_of, "array<int>")
+    return (
+        df.select(F.col(id_col), bucket_udf(F.col(vec_col)).alias("_buckets"))
+        .select(id_col, F.posexplode("_buckets"))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bucket")
     )
 
 
