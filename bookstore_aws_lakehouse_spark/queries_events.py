@@ -605,3 +605,34 @@ def q_events_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr("percentile(dur_us, 0.9)").alias("p90_dur_us"),
         F.max("dur_us").alias("max_dur_us"),
     )
+
+
+@golden(
+    "events_salted_heavy_key_join",
+    """
+    WITH p AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(user_events) AS BIGINT) AS sum_user_events
+    FROM events JOIN p USING (user_id)
+    GROUP BY event_type
+    """,
+)
+def q_events_salted_heavy_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈profile join via explicit salting
+    (operators/joins.py::salted_join): the skewed side's rows spread over
+    8 salt values, the profile side replicates 8×, and the join key
+    becomes (user_id, salt) — a hot user that would pin one task fans out
+    across 8. Salting must never change RESULTS, only distribution: the
+    oracle is the plain unsalted join, so the driver verifies exactly
+    that invariant. (AQE skew splitting covers most cases; this is the
+    residual-hot-key / non-AQE pattern.)"""
+    from bookstore_aws_lakehouse_spark.operators.joins import salted_join
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    profile = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    joined = salted_join(ev, profile, on="user_id", num_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_events").alias("sum_user_events"),
+    )
