@@ -1480,3 +1480,248 @@ def q_supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 9).alias("nation_share"),
     )
+
+
+# ---- TPC-H shapes whose native tables are absent from the fixtures ------
+# partsupp and l_receiptdate/l_commitdate do not exist here; each query
+# below derives the missing relation from lineitem (partsupp ≈ distinct
+# (l_partkey, l_suppkey) with min unit price as supply cost; "late" ≈
+# shipped >60 days after order date) so the reference SHAPE — the join
+# topology, correlated subqueries, nested semi-joins — is fully exercised
+# and oracle-verified on the data that is available.
+
+
+@golden(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eur AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    ps_eur AS (
+      SELECT ps.*, eur.s_acctbal, eur.s_name, eur.n_name
+      FROM ps JOIN eur ON ps_suppkey = s_suppkey
+    ),
+    min_cost AS (
+      SELECT ps_partkey, min(ps_supplycost) AS best_cost
+      FROM ps_eur GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+    FROM part
+    JOIN ps_eur ON p_partkey = ps_partkey
+    JOIN min_cost USING (ps_partkey)
+    WHERE p_size = 10 AND ps_supplycost = best_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on a derived partsupp: for every size-10 part, the
+    EUROPE supplier(s) offering the minimum derived supply cost
+    (min unit price per (part, supplier) from lineitem). The correlated
+    min subquery decorrelates to a per-part aggregate joined back on
+    equality — the standard Catalyst rewrite, built explicitly. The min
+    is over identical doubles on both engines, so the equality join is
+    exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    ps_eur = ps.join(eur, ps.ps_suppkey == eur.s_suppkey)
+    min_cost = ps_eur.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("best_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    out = (
+        part.join(ps_eur, part.p_partkey == ps_eur.ps_partkey)
+        .join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("best_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+    )
+    return top_k(
+        out,
+        [("s_acctbal", True), ("n_name", False), ("s_name", False)],
+        100,
+        tiebreak=["p_partkey"],
+    )
+
+
+@golden(
+    "q16_supplier_count",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    over the derived part-supplier relation, excluding flagged suppliers
+    (negative balance stands in for the complaints filter) via anti-join.
+    count(DISTINCT) expands to a two-phase de-dup aggregate — the shape
+    that matters at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    from bookstore_aws_lakehouse_spark.operators.joins import anti_join
+
+    ps = anti_join(ps, bad, "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@golden(
+    "q20_stocked_suppliers",
+    """
+    WITH stock AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS stock_qty
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    shipped97 AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty97
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+      SELECT st.l_suppkey
+      FROM stock st
+      JOIN shipped97 sh ON st.l_partkey = sh.l_partkey AND st.l_suppkey = sh.l_suppkey
+      WHERE st.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND st.stock_qty > 0.5 * sh.qty97
+    )
+    """,
+)
+def q20_stocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose pre-1997 'stock' of small-parts
+    exceeds half of what they shipped in 1997 — the nested-semi-join
+    chain (IN inside IN) over two derived aggregates of the same fact
+    table. All semi-joins carry keys only."""
+    from bookstore_aws_lakehouse_spark.operators.joins import semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    end = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    stock = (
+        li.filter(F.col("l_shipdate") < cut)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("stock_qty"))
+    )
+    shipped97 = (
+        li.filter((F.col("l_shipdate") >= cut) & (F.col("l_shipdate") < end))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty97"))
+    )
+    small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    qualifying = (
+        semi_join(stock, small, "l_partkey")
+        .join(shipped97, ["l_partkey", "l_suppkey"])
+        .filter(F.col("stock_qty") > 0.5 * F.col("qty97"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return semi_join(supp, qualifying, "s_suppkey").select("s_name", "s_acctbal")
+
+
+@golden(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    order_stats AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_suppliers
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    late_stats AS (
+      SELECT l_orderkey, count(*) AS n_late_suppliers FROM late GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN late     ON late.l_orderkey = l1.l_orderkey AND late.l_suppkey = l1.l_suppkey
+    JOIN order_stats os ON os.l_orderkey = l1.l_orderkey
+    JOIN late_stats  ls ON ls.l_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND os.n_suppliers > 1
+      AND ls.n_late_suppliers = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier orders
+    ('late' ≈ shipped >60 days after order date, standing in for the
+    missing receipt/commit dates). The EXISTS / NOT-EXISTS pair
+    decorrelates to two per-order aggregates — supplier count > 1 and
+    late-supplier count = 1 — joined back to the late lineitems, which
+    is exactly how Catalyst rewrites the correlated form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late_line = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+    late = late_line.select("l_orderkey", "l_suppkey").distinct()
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    late_stats = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late_suppliers")
+    )
+    out = (
+        late_line.filter(F.col("o_orderstatus") == "F")
+        .join(late, ["l_orderkey", "l_suppkey"])
+        .join(order_stats, "l_orderkey")
+        .join(late_stats, "l_orderkey")
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return top_k(out, [("numwait", True)], 20, tiebreak=["s_name"])
