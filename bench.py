@@ -70,6 +70,9 @@ def main() -> None:
         "embedding_near_dup",
         "dataset_stratified_sample",
         "pii_pseudonymize",
+        "q2_min_cost_supplier",
+        "q21_waiting_suppliers",
+        "text_bigram_lm_score",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
