@@ -125,3 +125,22 @@ def test_jaccard_max_df_bounds_hot_shingle_fanout(spark):
         jaccard_pairs(docs, "doc_id", "text", threshold=0.01, max_df=None).count()
         == 30 * 29 / 2
     )
+
+
+def test_null_text_docs_do_not_crash_dedup(spark):
+    """NULL text (a real condition after a bad join or optional column):
+    tokenize/shingle paths must treat it as no-tokens, not crash."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        fingerprint_duplicates,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    assert jaccard_pairs(docs, "doc_id", "text", threshold=0.1).count() == 1
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(2, 3)}
+    # the null doc still fingerprints (md5 of NULL is NULL -> its own group)
+    assert fingerprint_duplicates(docs, "doc_id", "text").count() == 2
