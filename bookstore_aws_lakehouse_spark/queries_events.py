@@ -636,3 +636,57 @@ def q_events_salted_heavy_key_join(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n"),
         F.sum("user_events").alias("sum_user_events"),
     )
+
+
+@golden(
+    "events_hourly_anomaly",
+    f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch_ns(ts) / {NS_PER_HOUR}.0) AS BIGINT) AS hour_no,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hour_no, n,
+             avg(n) OVER w AS mu,
+             stddev_samp(n) OVER w AS sigma
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_no
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_no, n, round((n - mu) / sigma, 4) AS z
+    FROM scored
+    WHERE sigma > 0 AND abs((n - mu) / sigma) > 2
+    """,
+)
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch: each (type, hour)'s
+    count is z-scored against its own TRAILING 24-hour window (frame ends
+    at 1 PRECEDING so the current hour never contaminates its baseline);
+    |z| > 2 rows are the anomalies. One aggregate + one window shuffle on
+    event_type — the monitoring shape for pipeline health dashboards.
+    z rounds to 4 dp (window stddev accumulates in frame order; same
+    documented tolerance as the stats aggregates)."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts") / NS_PER_HOUR).cast("bigint").alias("hour_no"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_no")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_no",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter((F.col("sigma") > 0) & (F.abs(z) > 2))
+        .select("event_type", "hour_no", "n", F.round(z, 4).alias("z"))
+    )
