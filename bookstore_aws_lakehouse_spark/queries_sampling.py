@@ -131,3 +131,62 @@ def q_dataset_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
     )
     return leaks.filter(F.col("n_shared_shingles") >= 5)
+
+
+CONTEXT_TOKENS = 2048
+PACK_SHARDS = 8
+
+
+@golden(
+    "dataset_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_BUCKET.format(salt="pack")} % {PACK_SHARDS} AS shard
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM d
+    )
+    SELECT doc_id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(floor(start_offset / {CONTEXT_TOKENS}.0) AS BIGINT) AS pack_id
+    FROM o
+    """,
+)
+def q_dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (concat-and-chunk): docs hash into
+    {PACK_SHARDS} independent shards, each shard is a deterministic
+    token stream (ordered by doc_id), and every doc gets its token
+    offset in that stream via a cumulative window; pack_id =
+    offset div {CONTEXT_TOKENS} maps it to its context window. Exactly
+    GPT-style packing (documents straddle window boundaries), integer-
+    exact on both engines. Shards are the parallelism unit: each packs
+    independently, so the window shuffle is one partition per shard and
+    no global order exists anywhere."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (split_bucket("doc_id", "pack") % PACK_SHARDS).alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = d.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return o.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        F.floor(F.col("start_offset") / float(CONTEXT_TOKENS)).cast("bigint").alias("pack_id"),
+    )
