@@ -419,3 +419,61 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(1, 5)
     ]
     return out.select("vec_id", F.round("max_abs", 6).alias("max_abs"), *qs)
+
+
+@golden(
+    "embedding_dedup_survivors",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    tb AS (
+{_lsh_tables_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b, {_COS.format(a="ea.v", b="eb.v")} AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+      ) WHERE cosine >= 0.4
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    lab AS (
+      SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT emb.vec_id
+    FROM embeddings emb LEFT JOIN lab USING (vec_id)
+    WHERE lab.cluster_id IS NULL OR lab.cluster_id = emb.vec_id
+    """,
+)
+def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end on the EMBEDDING side (the twin of
+    dedup_survivors for text): multi-table LSH candidates → cosine ≥ 0.4
+    verified pairs → connected components → keep the min-id vector per
+    cluster plus every unpaired vector. The oracle replays the whole
+    chain — bucketing, candidate dedup, scoring, recursive transitive
+    closure — in one SQL statement."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    cc = connected_components(pairs).withColumnRenamed("doc_id", "cc_id")
+    return (
+        emb.join(cc, emb.vec_id == cc.cc_id, "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == emb.vec_id))
+        .select(emb.vec_id)
+    )
