@@ -210,24 +210,33 @@ def continuous_hourly_aggregate(
 ) -> None:
     """Incrementally-maintained rollup (continuous aggregate): the hourly
     tumbling aggregation streamed through ``foreachBatch`` into a
-    key-upserted parquet mart. Each micro-batch merges only the windows it
-    touched — the lakehouse upgrade of the reference's nightly
-    recompute-everything cron. With Delta/Iceberg, the upsert becomes
-    MERGE INTO and readers get snapshot isolation.
+    key-upserted parquet mart, PARTITIONED BY DAY and merged with the
+    partition-pruned upsert — each micro-batch rewrites only the day
+    directories its windows touch, so a mart holding years of history
+    pays per-batch cost proportional to the batch, not the mart. The
+    lakehouse upgrade of the reference's nightly recompute-everything
+    cron; with Delta/Iceberg the merge becomes MERGE INTO and readers
+    get snapshot isolation.
     """
     from pyspark.sql import functions as F
 
-    from bookstore_aws_lakehouse_spark.sources.writers import upsert_parquet
+    from bookstore_aws_lakehouse_spark.sources.writers import upsert_parquet_partitioned
 
+    ns_per_day = 86_400_000_000_000
     stream = read_events_stream(spark, sf_dir)
     agged = tumbling_agg(stream, window="1 hour", watermark=watermark).select(
         (F.unix_micros(F.col("window.start")) * 1000).alias("window_start_ns"),
         "n_events",
         "total_value",
     )
+    agged = agged.withColumn(
+        "day_no", F.expr(f"window_start_ns div {ns_per_day}")
+    )
 
     def merge_batch(batch_df, batch_id: int) -> None:
-        upsert_parquet(batch_df, out_path, ["window_start_ns"])
+        upsert_parquet_partitioned(
+            batch_df, out_path, ["window_start_ns"], "day_no"
+        )
 
     query = (
         agged.writeStream.outputMode("update")
