@@ -70,7 +70,15 @@ def test_lsh_buckets_no_shuffle(spark, sf_smoke):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_simhash_pairs", "embedding_near_dup", "fuzzy_part_names"],
+    [
+        "dedup_simhash_pairs",
+        "embedding_near_dup",
+        "embedding_dedup_survivors",
+        "fuzzy_part_names",
+        "dedup_survivors",
+        "q2_min_cost_supplier",
+        "q21_waiting_suppliers",
+    ],
 )
 def test_pair_generation_never_cartesian(spark, sf_smoke, name):
     """The three former all-pairs holdouts are banded/blocked equi-joins
