@@ -360,6 +360,41 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def incremental_dedup_bucketed(
+    new_docs: DataFrame,
+    store_table: str = "fingerprint_store",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8,
+) -> DataFrame:
+    """``incremental_dedup`` with the fingerprint store as a BUCKETED
+    catalog table: the store (the side that grows for years) is hash-
+    bucketed by fingerprint at write time, so the daily anti-join reads
+    it with NO exchange — only the (small) incoming batch shuffles into
+    bucket layout. Appends preserve bucketing (Spark writes appended
+    files per bucket), so the store never reshuffles, ever.
+
+    Same survivors contract as the path-based version; the store keeps
+    fingerprints only."""
+    spark = new_docs.sparkSession
+    fp = new_docs.select(
+        F.col(id_col), F.col(text_col), normalized_fingerprint(text_col).alias("fingerprint")
+    )
+    w_min = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    fp = fp.join(w_min, on=["fingerprint", id_col])
+    if spark.catalog.tableExists(store_table):
+        seen = spark.table(store_table).select("fingerprint")
+        fp = fp.join(seen, on="fingerprint", how="left_anti")
+    survivors = fp.localCheckpoint()  # pin before the store changes
+    (
+        survivors.select("fingerprint")
+        .write.mode("append")
+        .bucketBy(num_buckets, "fingerprint")
+        .saveAsTable(store_table)
+    )
+    return survivors.select(id_col, text_col)
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     store_path: str,

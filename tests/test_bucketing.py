@@ -52,3 +52,44 @@ def test_salted_join_equals_plain_join(spark):
     plain = {(r["k"], r["v"], r["tag"]) for r in left.join(right, "k").collect()}
     salted = {(r["k"], r["v"], r["tag"]) for r in salted_join(left, right, "k", num_salts=4).collect()}
     assert salted == plain
+
+
+def test_incremental_dedup_bucketed_store(spark):
+    """Cross-batch dedup against a BUCKETED fingerprint store: same
+    survivors contract as the path-based version, and the store side of
+    the anti-join must read without an Exchange (the store never
+    reshuffles as it grows)."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        incremental_dedup_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS fp_store_test")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    s1 = incremental_dedup_bucketed(b1, "fp_store_test")
+    assert {r["doc_id"] for r in s1.collect()} == {1, 2}  # in-batch dup collapsed
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta")], "doc_id long, text string"
+    )
+    s2 = incremental_dedup_bucketed(b2, "fp_store_test")
+    assert {r["doc_id"] for r in s2.collect()} == {11}  # cross-batch dup dropped
+
+    # the store side of the anti-join is bucket-scanned, not shuffled:
+    # with broadcast disabled, the only Exchange allowed is the NEW side
+    store = spark.table("fp_store_test")
+    probe = spark.createDataFrame([("x",)], "fingerprint string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = probe.join(store, "fingerprint", "left_anti")
+        plan = _plan(joined)
+        import re
+
+        exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+        assert len(exchanges) <= 1, plan  # probe side only; store side bucket-reads
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP TABLE IF EXISTS fp_store_test")
