@@ -50,9 +50,10 @@ _MODULE_PRIORITY = (
 def _driver_rows() -> tuple[set[str], set[str]]:
     """(green, checked) query names across all prior CORRECTNESS_r*.json.
     green ⊆ checked; checked-minus-green are past failures whose fixes
-    deserve the front of the queue."""
-    green: set[str] = set()
-    checked: set[str] = set()
+    deserve the front of the queue. A query's verdict is its LATEST
+    round's row (files sort by round number): a regression in round N
+    must not stay 'green' on the strength of round N-1."""
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -62,15 +63,13 @@ def _driver_rows() -> tuple[set[str], set[str]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            checked.add(name)
-            if row.get("err"):
-                continue
-            if (
+            latest[name] = not row.get("err") and bool(
                 row.get("rows_match")
                 and row.get("schema_match", True)
                 and row.get("hash_match", True)
-            ):
-                green.add(name)
+            )
+    checked = set(latest)
+    green = {name for name, ok in latest.items() if ok}
     return green, checked
 
 

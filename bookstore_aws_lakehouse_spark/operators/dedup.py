@@ -360,6 +360,27 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def _dedup_against_store(new_docs, seen, id_col: str, text_col: str):
+    """Shared core of the incremental-dedup variants: fingerprint the
+    batch, collapse in-batch duplicates (keep min id), anti-join against
+    the ``seen`` store (None on first run). NULL-text docs can't be
+    fingerprinted — they bypass dedup entirely and pass through as
+    survivors (their fingerprint is NULL, which must never enter a join:
+    null-unsafe equality would silently DROP them — a data-loss bug this
+    helper exists to prevent)."""
+    fp = new_docs.select(
+        F.col(id_col), F.col(text_col), normalized_fingerprint(text_col).alias("fingerprint")
+    )
+    nulls = fp.filter(F.col("fingerprint").isNull())
+    fp = fp.filter(F.col("fingerprint").isNotNull())
+    # collapse in-batch duplicates first (deterministic keep: min id)
+    w_min = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    fp = fp.join(w_min, on=["fingerprint", id_col])
+    if seen is not None:
+        fp = fp.join(seen.select("fingerprint"), on="fingerprint", how="left_anti")
+    return fp.unionByName(nulls)
+
+
 def incremental_dedup_bucketed(
     new_docs: DataFrame,
     store_table: str = "fingerprint_store",
@@ -377,17 +398,12 @@ def incremental_dedup_bucketed(
     Same survivors contract as the path-based version; the store keeps
     fingerprints only."""
     spark = new_docs.sparkSession
-    fp = new_docs.select(
-        F.col(id_col), F.col(text_col), normalized_fingerprint(text_col).alias("fingerprint")
-    )
-    w_min = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    fp = fp.join(w_min, on=["fingerprint", id_col])
-    if spark.catalog.tableExists(store_table):
-        seen = spark.table(store_table).select("fingerprint")
-        fp = fp.join(seen, on="fingerprint", how="left_anti")
-    survivors = fp.localCheckpoint()  # pin before the store changes
+    seen = spark.table(store_table) if spark.catalog.tableExists(store_table) else None
+    survivors = _dedup_against_store(new_docs, seen, id_col, text_col)
+    survivors = survivors.localCheckpoint()  # pin before the store changes
     (
         survivors.select("fingerprint")
+        .filter(F.col("fingerprint").isNotNull())
         .write.mode("append")
         .bucketBy(num_buckets, "fingerprint")
         .saveAsTable(store_table)
@@ -408,27 +424,24 @@ def incremental_dedup(
 
     The store holds 16-byte fingerprints only (not documents); the check
     is one anti-join keyed on the fingerprint. Returns the surviving new
-    docs. Batch-internal duplicates also collapse (keep min id). At
-    scale, partition/bucket the store by fingerprint prefix so the
-    anti-join co-locates.
+    docs. Batch-internal duplicates also collapse (keep min id). See
+    ``incremental_dedup_bucketed`` for the store layout that co-locates
+    the anti-join at scale.
     """
     import os
 
     spark = new_docs.sparkSession
-    fp = new_docs.select(
-        F.col(id_col), F.col(text_col), normalized_fingerprint(text_col).alias("fingerprint")
-    )
-    # collapse in-batch duplicates first (deterministic keep: min id)
-    w_min = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    fp = fp.join(w_min, on=["fingerprint", id_col])
-    if os.path.exists(store_path):
-        seen = spark.read.parquet(store_path).select("fingerprint")
-        fp = fp.join(seen, on="fingerprint", how="left_anti")
+    seen = spark.read.parquet(store_path) if os.path.exists(store_path) else None
     # localCheckpoint, not cache(): the append below writes to the same
     # path the plan reads, and Spark invalidates path-dependent caches on
     # write — a cached plan would silently recompute against the UPDATED
     # store and anti-join its own survivors away. Checkpointing pins the
     # result before the store changes.
-    survivors = fp.localCheckpoint()
-    survivors.select("fingerprint").write.mode("append").parquet(store_path)
+    survivors = _dedup_against_store(new_docs, seen, id_col, text_col).localCheckpoint()
+    (
+        survivors.select("fingerprint")
+        .filter(F.col("fingerprint").isNotNull())
+        .write.mode("append")
+        .parquet(store_path)
+    )
     return survivors.select(id_col, text_col)

@@ -198,6 +198,14 @@ def lsh_bucket_tables(
         if len(col) == 0:
             return pd.Series([], dtype=object)
         v = np.stack(col.to_numpy()).astype("float64")  # (n, dims)
+        if v.shape[1] != S.shape[0]:
+            # a mismatch must be loud: silently projecting onto the wrong
+            # plane count would diverge from the SQL oracle (which sums
+            # over the ACTUAL vector length) and quietly wreck recall
+            raise ValueError(
+                f"lsh_bucket_tables: vectors have {v.shape[1]} dims, "
+                f"but planes were built for num_dims={S.shape[0]}"
+            )
         acc = np.zeros((v.shape[0], total), dtype="float64")
         for i in range(S.shape[0]):  # left-to-right over dims: exact fold order
             acc += v[:, i : i + 1] * S[i][None, :]

@@ -69,7 +69,10 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_duplicates(docs, "doc_id", "text")
 
 
-def _minhash_sql() -> str:
+def _minhash_bands_cte() -> str:
+    """Shared CTE prefix (shingles → portable hashes → wide minhash
+    signatures → band rows) used by both the pair query and the
+    end-to-end survivors query — one builder, no string surgery."""
     from bookstore_aws_lakehouse_spark.operators.dedup import MINHASH_P, minhash_params
 
     mins = ",\n         ".join(
@@ -97,16 +100,19 @@ wide AS (
 ),
 bands AS (
 {band_selects}
-)
+)"""
+    )
+
+
+_MINHASH_SQL = (
+    _minhash_bands_cte()
+    + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 GROUP BY id_a, id_b
 """
-    )
-
-
-_MINHASH_SQL = _minhash_sql()
+)
 
 
 @golden("dedup_minhash_pairs", _MINHASH_SQL)
@@ -196,7 +202,7 @@ WHERE a.doc_id < b.doc_id
 
 @golden("dedup_simhash_pairs", _simhash_sql())
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup pairs (Hamming ≤ 3); per-token md5 bits vote
+    """32-bit SimHash near-dup pairs (Hamming ≤ 3); per-token md5 bits vote
     ±1. The oracle recomputes every vote."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
@@ -293,7 +299,7 @@ def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SURVIVORS_SQL = (
-    _MINHASH_SQL.replace("WITH toks", "WITH RECURSIVE toks").rsplit("SELECT a.doc_id", 1)[0]
+    _minhash_bands_cte().replace("WITH toks", "WITH RECURSIVE toks")
     + """, pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key

@@ -68,7 +68,7 @@ STRATUM_TARGET = 50  # docs per language
 )
 def q_dataset_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling: equalize class sizes by sampling each language
-    down to ~{STRATUM_TARGET} docs — per-stratum rate = target/size, applied as a
+    down to ~50 docs (STRATUM_TARGET) — per-stratum rate = target/size, applied as a
     deterministic id-hash gate. One tiny aggregate for the per-group
     counts (broadcast back), then a map-side filter: no shuffle of the
     corpus, reproducible membership, mergeable across ingestion batches.
@@ -159,10 +159,10 @@ PACK_SHARDS = 8
 )
 def q_dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining (concat-and-chunk): docs hash into
-    {PACK_SHARDS} independent shards, each shard is a deterministic
+    8 (PACK_SHARDS) independent shards, each shard is a deterministic
     token stream (ordered by doc_id), and every doc gets its token
     offset in that stream via a cumulative window; pack_id =
-    offset div {CONTEXT_TOKENS} maps it to its context window. Exactly
+    offset div 2048 (CONTEXT_TOKENS) maps it to its context window. Exactly
     GPT-style packing (documents straddle window boundaries), integer-
     exact on both engines. Shards are the parallelism unit: each packs
     independently, so the window shuffle is one partition per shard and

@@ -137,7 +137,15 @@ def upsert_parquet_partitioned(
         df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
     parts = [r[0] for r in df.select(partition_col).distinct().collect()]
-    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    # isin() is null-unsafe: a NULL partition value in the delta would
+    # select NO existing rows while dynamic overwrite still replaces the
+    # null partition — deleting every unrelated key in it. Build the
+    # pruning predicate null-safely.
+    non_null = [p for p in parts if p is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(p is None for p in parts):
+        cond = cond | F.col(partition_col).isNull()
+    existing = spark.read.parquet(path).filter(cond)
     keep = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
     merged = keep.unionByName(df.select(keep.columns)).localCheckpoint()
     (

@@ -144,3 +144,21 @@ def test_null_text_docs_do_not_crash_dedup(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(2, 3)}
     # the null doc still fingerprints (md5 of NULL is NULL -> its own group)
     assert fingerprint_duplicates(docs, "doc_id", "text").count() == 2
+
+
+def test_incremental_dedup_passes_null_text_through(spark, tmp_path):
+    """NULL-text docs can't be fingerprinted; they must pass through as
+    survivors — a null-unsafe join would silently DROP them (data loss)."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import incremental_dedup
+
+    store = str(tmp_path / "fp_store")
+    batch = spark.createDataFrame(
+        [(1, None), (2, "x y z"), (3, "x y z")], "doc_id long, text string"
+    )
+    surv = {r["doc_id"] for r in incremental_dedup(batch, store).collect()}
+    assert surv == {1, 2}  # null passes through; in-batch dup collapsed
+    # a second null-text doc in a later batch also survives (no NULL ever
+    # enters the store or the anti-join)
+    b2 = spark.createDataFrame([(9, None), (10, "x y z")], "doc_id long, text string")
+    surv2 = {r["doc_id"] for r in incremental_dedup(b2, store).collect()}
+    assert surv2 == {9}

@@ -114,3 +114,21 @@ def test_save_as_table_and_read_json(spark, tmp_path):
     df.write.json(jpath)
     back = read_json(spark, jpath, schema="id long, v string")
     assert {r["id"] for r in back.collect()} == {1, 2}
+
+
+def test_upsert_partitioned_null_partition_preserves_unrelated_keys(spark, tmp_path):
+    """A delta touching the NULL partition must not delete the other keys
+    living there: isin() is null-unsafe, so the pruning predicate needs an
+    explicit isNull branch."""
+    from bookstore_aws_lakehouse_spark.sources.writers import upsert_parquet_partitioned
+
+    path = str(tmp_path / "mart")
+    base = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "p1", "c")],
+        "k long, part string, v string",
+    )
+    upsert_parquet_partitioned(base, path, ["k"], "part")
+    delta = spark.createDataFrame([(1, None, "A2")], "k long, part string, v string")
+    upsert_parquet_partitioned(delta, path, ["k"], "part")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "A2", 2: "b", 3: "c"}

@@ -119,8 +119,8 @@ def test_cosine_pairs_lsh_recall(spark, sf_smoke):
 def test_simhash_banding_matches_all_pairs(spark, sf_smoke):
     """Pigeonhole chunk banding is candidate-complete: the banded
     simhash_pairs result must EQUAL the brute-force all-pairs scan
-    (any pair within Hamming d of a 16-bit signature split into d+1
-    chunks agrees exactly on ≥ 1 chunk)."""
+    (any pair within Hamming d of a signature split into d+1
+    chunks agrees exactly on ≥ 1 chunk, whatever SIMHASH_BITS is)."""
     from bookstore_aws_lakehouse_spark.operators.dedup import (
         simhash_pairs,
         simhash_signatures,
