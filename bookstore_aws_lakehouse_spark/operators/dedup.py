@@ -428,10 +428,13 @@ def incremental_dedup(
     ``incremental_dedup_bucketed`` for the store layout that co-locates
     the anti-join at scale.
     """
-    import os
+    from bookstore_aws_lakehouse_spark.sources.writers import _fs_path_exists
 
     spark = new_docs.sparkSession
-    seen = spark.read.parquet(store_path) if os.path.exists(store_path) else None
+    # Hadoop FS existence check, not os.path: on s3a://-style stores a
+    # local-only check is always False, which would silently disable
+    # cross-batch dedup forever (every day a "first run")
+    seen = spark.read.parquet(store_path) if _fs_path_exists(spark, store_path) else None
     # localCheckpoint, not cache(): the append below writes to the same
     # path the plan reads, and Spark invalidates path-dependent caches on
     # write — a cached plan would silently recompute against the UPDATED

@@ -18,10 +18,10 @@ from pyspark.sql import functions as F
 from bookstore_aws_lakehouse_spark.operators.dedup import md5_hash64
 
 
-def split_bucket(id_col: Column | str, salt: str = "split") -> Column:
-    """Stable bucket in [0, 1000) from the record id (md5-portable)."""
+def split_bucket(id_col: Column | str, salt: str = "split", modulus: int = 1000) -> Column:
+    """Stable bucket in [0, modulus) from the record id (md5-portable)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(md5_hash64(F.concat_ws(":", F.lit(salt), c.cast("string"))), F.lit(1000))
+    return F.pmod(md5_hash64(F.concat_ws(":", F.lit(salt), c.cast("string"))), F.lit(modulus))
 
 
 def train_test_split(
@@ -36,6 +36,9 @@ def train_test_split(
     )
 
 
+SAMPLE_PPM = 1_000_000
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -44,18 +47,30 @@ def stratified_sample(
     salt: str = "strat",
 ) -> DataFrame:
     """Equalize class sizes: sample each stratum down to ~target rows.
-    Per-stratum keep-rate = target/size, applied as a deterministic
-    id-hash gate — one tiny count aggregate broadcast back, then a
-    map-side filter; the corpus itself never shuffles. ``floor`` before
-    the int cast (Spark truncates double→int, DuckDB rounds)."""
+    Per-stratum keep-rate = target/size in PARTS-PER-MILLION, applied as
+    a deterministic id-hash gate — one tiny count aggregate broadcast
+    back, then a map-side filter; the corpus itself never shuffles.
+    ``floor`` before the int cast (Spark truncates double→int, DuckDB
+    rounds).
+
+    Two guarded edges: the rate clamps to ≥1 ppm so a stratum more than
+    10⁶× the target still yields ~n/10⁶ rows instead of silently
+    vanishing (the largest classes are the whole point of downsampling);
+    and the counts join is NULL-SAFE so a NULL stratum (e.g. undetected
+    language) samples like any other class instead of being dropped."""
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
-    rate = F.least(
-        F.lit(1000), F.floor(target_per_stratum * 1000.0 / F.col("_n")).cast("bigint")
+    counts = counts.select(F.col(stratum_col).alias("_stratum"), "_n")
+    rate = F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(SAMPLE_PPM),
+            F.floor(target_per_stratum * float(SAMPLE_PPM) / F.col("_n")).cast("bigint"),
+        ),
     )
     return (
-        df.join(F.broadcast(counts), stratum_col)
-        .filter(split_bucket(id_col, salt) < rate)
-        .drop("_n")
+        df.join(F.broadcast(counts), df[stratum_col].eqNullSafe(counts["_stratum"]))
+        .filter(split_bucket(id_col, salt, modulus=SAMPLE_PPM) < rate)
+        .drop("_n", "_stratum")
     )
 
 

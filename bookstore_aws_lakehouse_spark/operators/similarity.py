@@ -222,7 +222,11 @@ def lsh_bucket_tables(
     buckets_of.__annotations__ = {"col": pd.Series, "return": pd.Series}
     bucket_udf = pandas_udf(buckets_of, "array<int>")
     return (
-        df.select(F.col(id_col), bucket_udf(F.col(vec_col)).alias("_buckets"))
+        # NULL vectors can't be bucketed (np.stack would crash the task);
+        # dropping them here matches the exact path's semantics, where a
+        # NULL operand yields NULL cosine and never crosses a threshold
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), bucket_udf(F.col(vec_col)).alias("_buckets"))
         .select(id_col, F.posexplode("_buckets"))
         .withColumnRenamed("pos", "tbl")
         .withColumnRenamed("col", "bucket")

@@ -56,24 +56,32 @@ def q_dataset_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATUM_TARGET = 50  # docs per language
 
 
+_BUCKET_PPM = (
+    "((('0x' || substring(md5('{salt}:' || CAST(doc_id AS STRING)), 1, 15))::BIGINT % 1000000) + 1000000) % 1000000"
+)
+
+
 @golden(
     "dataset_stratified_sample",
     f"""
     WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
     SELECT d.doc_id, d.lang
-    FROM documents d JOIN counts USING (lang)
-    WHERE {_BUCKET.format(salt="strat")} <
-          least(1000, CAST(floor({STRATUM_TARGET} * 1000.0 / n) AS BIGINT))
+    FROM documents d JOIN counts c ON d.lang IS NOT DISTINCT FROM c.lang
+    WHERE {_BUCKET_PPM.format(salt="strat")} <
+          greatest(1, least(1000000,
+              CAST(floor({STRATUM_TARGET} * 1000000.0 / n) AS BIGINT)))
     """,
 )
 def q_dataset_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling: equalize class sizes by sampling each language
-    down to ~50 docs (STRATUM_TARGET) — per-stratum rate = target/size, applied as a
-    deterministic id-hash gate. One tiny aggregate for the per-group
-    counts (broadcast back), then a map-side filter: no shuffle of the
-    corpus, reproducible membership, mergeable across ingestion batches.
-    ``floor`` before the int cast because Spark truncates double→int
-    while DuckDB rounds — the one portability trap in rate arithmetic."""
+    down to ~50 docs (STRATUM_TARGET) — per-stratum rate = target/size in
+    parts-per-million, applied as a deterministic id-hash gate (rate
+    clamps to ≥1 ppm so giant strata never vanish; the stratum join is
+    null-safe). One tiny aggregate for the per-group counts (broadcast
+    back), then a map-side filter: no shuffle of the corpus, reproducible
+    membership, mergeable across ingestion batches. ``floor`` before the
+    int cast because Spark truncates double→int while DuckDB rounds —
+    the one portability trap in rate arithmetic."""
     from bookstore_aws_lakehouse_spark.operators.sampling import stratified_sample
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")

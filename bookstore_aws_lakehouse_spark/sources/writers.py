@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -70,6 +71,31 @@ def compact_parquet(df_path: str, spark, target_partitions: int | None = None) -
     return target_partitions
 
 
+def _fs_path_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so s3a:// /
+    hdfs:// / file:// paths all answer correctly — ``os.path.exists`` is
+    silently False for every non-local URI, which would turn an
+    incremental merge into a daily full truncate on object storage."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _anti_join_null_safe(existing: DataFrame, delta_keys: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """existing ANTI delta_keys on all key columns with NULL-SAFE equality:
+    a plain ``on=keys`` anti-join never matches NULL keys, so a NULL-keyed
+    row would survive every merge and duplicate on each re-delivery."""
+    import functools
+
+    right = delta_keys.select(*[F.col(k).alias(f"_dk_{k}") for k in keys]).distinct()
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [existing[k].eqNullSafe(right[f"_dk_{k}"]) for k in keys],
+    )
+    return existing.join(right, on=cond, how="left_anti")
+
+
 def upsert_parquet(
     df: DataFrame,
     path: str,
@@ -79,29 +105,31 @@ def upsert_parquet(
     no-extra-dependency stand-in for Delta/Iceberg ``MERGE`` (with those
     formats installed this whole function is one ``MERGE INTO``; the
     call-site contract is identical). New rows replace existing rows with
-    the same key; unrelated rows are preserved.
+    the same key (NULL keys included — the anti-join is null-safe);
+    unrelated rows are preserved.
 
     Mechanics: anti-join existing data against the incoming keys, union,
     rewrite. The rewrite goes through a staging directory because the
     union plan reads the same files the overwrite deletes. At scale,
     partition the location and rewrite only affected partitions
-    (``spark.sql.sources.partitionOverwriteMode=dynamic``).
+    (see ``upsert_parquet_partitioned``).
     """
-    import os
     import shutil
     import tempfile
 
     spark = df.sparkSession
     keys = list(key_cols)
-    if os.path.exists(path):
+    if _fs_path_exists(spark, path):
         existing = spark.read.parquet(path)
-        keep = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+        keep = _anti_join_null_safe(existing, df.select(*keys), keys)
         merged = keep.unionByName(df)
         staging = tempfile.mkdtemp(prefix="blhs_upsert_") + "/data"
         merged.write.mode("overwrite").parquet(staging)
         shutil.rmtree(path)
         shutil.move(staging, path)
     else:
+        if df.isEmpty():
+            return  # a schema-less empty directory would poison later reads
         df.write.mode("overwrite").parquet(path)
 
 
@@ -120,23 +148,32 @@ def upsert_parquet_partitioned(
     Mechanics: collect the delta's distinct partition values (bounded by
     the partition count, not the data), read the existing mart pruned to
     those partitions (PartitionFilters — only affected directories are
-    scanned), anti-join on the keys, union the delta, and write with
-    dynamic partitionOverwriteMode so Spark replaces exactly the
-    partitions present in the result. The merged result is pinned with
-    localCheckpoint() first because the write deletes the very files the
-    plan reads (at cluster scale: a reliable checkpoint dir or a staging
-    table).
+    scanned), anti-join on the keys (null-safe), union the delta, and
+    write with dynamic partitionOverwriteMode so Spark replaces exactly
+    the partitions present in the result. The merged result is pinned
+    with localCheckpoint() first because the write deletes the very
+    files the plan reads (at cluster scale: a reliable checkpoint dir or
+    a staging table).
+
+    CONTRACT: ``partition_col`` must be functionally dependent on the
+    keys (e.g. a date derived from the keyed window). If a key can MOVE
+    between partitions, its old copy lives in a partition the delta does
+    not touch and survives the merge — use the full-rewrite
+    ``upsert_parquet`` for that shape.
     """
-    import os
-
-    from pyspark.sql import functions as F
-
     spark = df.sparkSession
     keys = list(key_cols)
-    if not os.path.exists(path):
+    # pin the delta once: it is otherwise evaluated three times below
+    # (partition collect, key anti-join, union)
+    df = df.localCheckpoint()
+    if not _fs_path_exists(spark, path):
+        if df.isEmpty():
+            return  # a schema-less empty directory would poison later reads
         df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
     parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+    if not parts:
+        return  # empty delta: nothing to merge
     # isin() is null-unsafe: a NULL partition value in the delta would
     # select NO existing rows while dynamic overwrite still replaces the
     # null partition — deleting every unrelated key in it. Build the
@@ -146,7 +183,7 @@ def upsert_parquet_partitioned(
     if any(p is None for p in parts):
         cond = cond | F.col(partition_col).isNull()
     existing = spark.read.parquet(path).filter(cond)
-    keep = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+    keep = _anti_join_null_safe(existing, df.select(*keys), keys)
     merged = keep.unionByName(df.select(keep.columns)).localCheckpoint()
     (
         merged.write.mode("overwrite")

@@ -132,3 +132,41 @@ def test_upsert_partitioned_null_partition_preserves_unrelated_keys(spark, tmp_p
     upsert_parquet_partitioned(delta, path, ["k"], "part")
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: "A2", 2: "b", 3: "c"}
+
+
+def test_upsert_null_key_is_idempotent(spark, tmp_path):
+    """NULL key values must merge like any other key (null-safe anti-join)
+    — re-delivering the same NULL-keyed row may not duplicate it."""
+    from bookstore_aws_lakehouse_spark.sources.writers import (
+        upsert_parquet,
+        upsert_parquet_partitioned,
+    )
+
+    p1 = str(tmp_path / "flat")
+    upsert_parquet(spark.createDataFrame([(None, "v1"), (1, "a")], "k long, v string"), p1, ["k"])
+    upsert_parquet(spark.createDataFrame([(None, "v2")], "k long, v string"), p1, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(p1).collect()}
+    assert got == {None: "v2", 1: "a"}
+
+    p2 = str(tmp_path / "parted")
+    base = spark.createDataFrame([(None, "d1", "v1"), (1, "d1", "a")], "k long, part string, v string")
+    upsert_parquet_partitioned(base, p2, ["k"], "part")
+    upsert_parquet_partitioned(
+        spark.createDataFrame([(None, "d1", "v2")], "k long, part string, v string"),
+        p2, ["k"], "part",
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(p2).collect()}
+    assert got == {None: "v2", 1: "a"}
+
+
+def test_upsert_partitioned_empty_first_delta_is_noop(spark, tmp_path):
+    """An empty delta before the mart exists must not create a schema-less
+    directory that poisons every later read."""
+    from bookstore_aws_lakehouse_spark.sources.writers import upsert_parquet_partitioned
+
+    path = str(tmp_path / "mart")
+    empty = spark.createDataFrame([], "k long, part string, v string")
+    upsert_parquet_partitioned(empty, path, ["k"], "part")
+    real = spark.createDataFrame([(1, "p", "x")], "k long, part string, v string")
+    upsert_parquet_partitioned(real, path, ["k"], "part")  # must not crash
+    assert spark.read.parquet(path).count() == 1
