@@ -1328,19 +1328,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_suppkey, value
     FROM supplier_value
-    WHERE value > (SELECT sum(value) * 0.011 FROM supplier_value)
+    WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 0.011
+                   FROM supplier_value)
     ORDER BY value DESC, l_suppkey
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (partsupp-free variant): suppliers whose revenue
     exceeds a fraction of the GLOBAL total — per-group aggregate filtered
-    by a scalar over the same aggregate (computed once, broadcast)."""
+    by a scalar over the same aggregate (computed once, broadcast). The
+    threshold total is a DECIMAL sum (order-independent, identical on
+    both engines) — a plain double sum accumulates in partition order
+    and could flip a boundary supplier between runs."""
     li = load_table(spark, sf_dir, "lineitem")
     sv = li.groupBy("l_suppkey").agg(
         exact_sum("l_extendedprice").alias("value")
     )
-    threshold = sv.agg((F.sum("value") * 0.011).alias("t"))
+    threshold = sv.agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") * 0.011).alias("t")
+    )
     out = sv.join(F.broadcast(threshold), F.col("value") > F.col("t")).select(
         "l_suppkey", "value"
     )

@@ -180,6 +180,12 @@ def run_etl(
         },
         cache=True,
     )
-    for name, df in branches.items():
-        df.write.mode("overwrite").format(fmt).save(f"{out_dir}/{name}")
+    try:
+        for name, df in branches.items():
+            df.write.mode("overwrite").format(fmt).save(f"{out_dir}/{name}")
+    finally:
+        # the cached clean prefix served its purpose (4 sink jobs, 1
+        # compute); leaving it cached would leak executor storage for the
+        # session lifetime across repeated run_etl calls
+        clean.unpersist()
     return branches

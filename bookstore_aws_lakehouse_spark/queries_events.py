@@ -119,10 +119,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 # exact clock; Spark truncates its ns long with integer division
 # (``ts div 1000`` — `div`, not `/`, to stay in exact long arithmetic).
 
-
-@golden(
-    "events_sessionize",
-    f"""
+#: shared sessionization CTEs (marked -> sessions) — ONE source of truth
+#: for the gap predicate and ordering keys, used by every session query
+_SESSIONS_CTE = f"""
     WITH marked AS (
       SELECT user_id, event_id, epoch_us(ts) AS t_us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
@@ -136,19 +135,12 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
              CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM marked
-    )
-    SELECT user_id, session_no,
-           count(*) AS n_events,
-           min(t_us) AS session_start_us,
-           max(t_us) AS session_end_us
-    FROM sessions
-    GROUP BY user_id, session_no
-    """,
-)
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (gap > 30 min starts a new session): lag +
-    cumulative-sum windows, then per-session rollup. The window shuffles
-    once on user_id — the same keying a streaming session_window uses."""
+    )"""
+
+
+def _sessionized(spark, sf_dir):
+    """Shared Spark-side sessionization (the _SESSIONS_CTE twin): events
+    keyed (user_id, event_id, t_us) with a session_no per row."""
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_id", F.expr("ts div 1000").alias("t_us")
     )
@@ -161,11 +153,29 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
-    sessions = marked.withColumn(
+    return marked.withColumn(
         "session_no",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return sessions.groupBy("user_id", "session_no").agg(
+
+
+@golden(
+    "events_sessionize",
+    _SESSIONS_CTE
+    + """
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           min(t_us) AS session_start_us,
+           max(t_us) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 30 min starts a new session): lag +
+    cumulative-sum windows, then per-session rollup. The window shuffles
+    once on user_id — the same keying a streaming session_window uses."""
+    return _sessionized(spark, sf_dir).groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("t_us").alias("session_start_us"),
         F.max("t_us").alias("session_end_us"),
@@ -184,11 +194,15 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user total (cumulative window frame); decimal
-    accumulation keeps every prefix sum exact."""
+    accumulation keeps every prefix sum exact. The window orders by
+    MICROsecond time (``ts div 1000``) + event_id, matching the oracle's
+    ``epoch_us`` clock exactly — ordering by raw nanoseconds would
+    diverge the prefix sums the first time two events of one user share
+    a microsecond with ns-order opposite to id-order."""
     ev = load_events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.expr("ts div 1000"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
@@ -208,6 +222,7 @@ def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(k, 0.75) AS q75_k
     FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
+    WHERE k IS NOT NULL
     GROUP BY user_id
     """,
 )
@@ -216,12 +231,15 @@ def q_events_user_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JSON `k` field via numpy — the Arrow path for per-group logic that
     outgrows SQL aggregates. Determinism: k is integer and numpy's default
     'linear' percentile interpolation is the same closed formula as
-    quantile_cont, so doubles match exactly."""
+    quantile_cont, so doubles match exactly. Rows with missing/non-numeric
+    `k` are filtered in BOTH twins: np.percentile propagates NaN while
+    quantile_cont skips NULLs, so an unfiltered missing key would poison
+    the whole user's quantiles on the Spark side only."""
     import pandas as pd
 
     ev = load_events(spark, sf_dir).select(
         "user_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
-    )
+    ).filter(F.col("k").isNotNull())
 
     def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -266,13 +284,12 @@ def q_map_functions_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NS_PER_DAY_ = 86_400_000_000_000
 
 
 @golden(
     "events_daily_from_hourly",
     f"""
-    SELECT CAST(floor(epoch_ns(ts) / {NS_PER_DAY_}.0) AS BIGINT) AS day_no,
+    SELECT CAST(floor(epoch_ns(ts) / {NS_PER_DAY}.0) AS BIGINT) AS day_no,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
@@ -300,7 +317,7 @@ def q_events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hourly.withColumn(
-            "day_no", F.floor(F.col("window_start_ns") / NS_PER_DAY_).cast("bigint")
+            "day_no", F.floor(F.col("window_start_ns") / NS_PER_DAY).cast("bigint")
         )
         .groupBy("day_no")
         .agg(
@@ -344,7 +361,7 @@ def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH days AS (
       SELECT user_id,
-             CAST(floor(epoch_ns(ts) / {NS_PER_DAY_}.0) AS BIGINT) AS day_no
+             CAST(floor(epoch_ns(ts) / {NS_PER_DAY}.0) AS BIGINT) AS day_no
       FROM events
     ),
     cohorts AS (SELECT user_id, min(day_no) AS cohort_day FROM days GROUP BY user_id)
@@ -363,10 +380,12 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct per cell)."""
     ev = load_events(spark, sf_dir)
     days = ev.select(
-        "user_id", F.floor(F.col("ts") / NS_PER_DAY_).cast("bigint").alias("day_no")
+        "user_id", F.floor(F.col("ts") / NS_PER_DAY).cast("bigint").alias("day_no")
     )
+    # no broadcast hint: cohorts is one row PER USER — fact-scaling, not a
+    # bounded dim; AQE broadcasts at fixture scale and shuffle-joins at 100 TB
     cohorts = days.groupBy("user_id").agg(F.min("day_no").alias("cohort_day"))
-    joined = days.join(F.broadcast(cohorts), "user_id").withColumn(
+    joined = days.join(cohorts, "user_id").withColumn(
         "day_offset", F.col("day_no") - F.col("cohort_day")
     )
     return (
@@ -445,11 +464,11 @@ def q_events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(generate_series(0, 29)) AS day_offset
     ),
     actual AS (
-      SELECT CAST(floor(epoch_ns(ts) / {NS_PER_DAY_}.0) AS BIGINT) AS day_no,
+      SELECT CAST(floor(epoch_ns(ts) / {NS_PER_DAY}.0) AS BIGINT) AS day_no,
              count(*) AS n
       FROM events WHERE user_id = 7 GROUP BY day_no
     ),
-    base AS (SELECT min(CAST(floor(epoch_ns(ts) / {NS_PER_DAY_}.0) AS BIGINT)) AS d0 FROM events)
+    base AS (SELECT min(CAST(floor(epoch_ns(ts) / {NS_PER_DAY}.0) AS BIGINT)) AS d0 FROM events)
     SELECT d0 + day_offset AS day_no, coalesce(n, 0) AS n_events
     FROM days CROSS JOIN base
     LEFT JOIN actual ON actual.day_no = d0 + day_offset
@@ -461,7 +480,7 @@ def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     time series every charting/forecasting consumer needs (generated
     spine, never a scan; the fact side stays filtered+aggregated)."""
     ev = load_events(spark, sf_dir)
-    day_no = F.floor(F.col("ts") / NS_PER_DAY_).cast("bigint")
+    day_no = F.floor(F.col("ts") / NS_PER_DAY).cast("bigint")
     actual = (
         ev.filter(F.col("user_id") == 7)
         .groupBy(day_no.alias("day_no"))
@@ -480,13 +499,12 @@ def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NS_PER_HOUR_ = 3_600_000_000_000
 
 
 @golden(
     "events_hour_of_day_profile",
     f"""
-    SELECT CAST((floor(epoch_ns(ts) / {NS_PER_HOUR_}.0) % 24) AS BIGINT) AS hour_of_day,
+    SELECT CAST((floor(epoch_ns(ts) / {NS_PER_HOUR}.0) % 24) AS BIGINT) AS hour_of_day,
            event_type,
            count(*) AS n
     FROM events
@@ -498,7 +516,7 @@ def q_events_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is midnight-aligned so hour-index mod 24 IS the UTC hour — pure
     integer bucketing, no calendar functions in the hash path)."""
     ev = load_events(spark, sf_dir)
-    hod = (F.floor(F.col("ts") / NS_PER_HOUR_) % 24).cast("bigint")
+    hod = (F.floor(F.col("ts") / NS_PER_HOUR) % 24).cast("bigint")
     return ev.groupBy(hod.alias("hour_of_day"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -550,21 +568,8 @@ def q_events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @golden(
     "events_session_duration_stats",
-    f"""
-    WITH marked AS (
-      SELECT user_id, event_id, epoch_us(ts) AS t_us,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
-                    OR lag(epoch_us(ts)) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-    ),
-    sessions AS (
-      SELECT user_id, t_us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM marked
-    ),
+    _SESSIONS_CTE
+    + """,
     durations AS (
       SELECT user_id, session_no, max(t_us) - min(t_us) AS dur_us
       FROM sessions GROUP BY user_id, session_no
@@ -579,24 +584,10 @@ def q_events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-duration distribution: the sessionization pipeline rolled
     up to engagement stats (median/p90/max duration) — integer-µs
-    durations keep the percentile interpolation exact."""
-    ev = load_events(spark, sf_dir).select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("t_us")
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    marked = ev.withColumn(
-        "new_session",
-        F.when(
-            (F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US)
-            | F.lag("t_us").over(w).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    sessions = marked.withColumn(
-        "session_no",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    durations = sessions.groupBy("user_id", "session_no").agg(
+    durations keep the percentile interpolation exact. Shares the
+    _sessionized builder with events_sessionize: the gap predicate and
+    ordering keys exist exactly once."""
+    durations = _sessionized(spark, sf_dir).groupBy("user_id", "session_no").agg(
         (F.max("t_us") - F.min("t_us")).alias("dur_us")
     )
     return durations.agg(
@@ -655,9 +646,10 @@ def q_events_salted_heavy_key_join(spark: SparkSession, sf_dir: str) -> DataFram
       WINDOW w AS (PARTITION BY event_type ORDER BY hour_no
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_type, hour_no, n, round((n - mu) / sigma, 4) AS z
-    FROM scored
-    WHERE sigma > 0 AND abs((n - mu) / sigma) > 2
+    SELECT event_type, hour_no, n, z FROM (
+      SELECT event_type, hour_no, n, round((n - mu) / sigma, 4) AS z
+      FROM scored WHERE sigma > 0
+    ) WHERE abs(z) > 2
     """,
 )
 def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,8 +658,11 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1 PRECEDING so the current hour never contaminates its baseline);
     |z| > 2 rows are the anomalies. One aggregate + one window shuffle on
     event_type — the monitoring shape for pipeline health dashboards.
-    z rounds to 4 dp (window stddev accumulates in frame order; same
-    documented tolerance as the stats aggregates)."""
+    z rounds to 4 dp BEFORE the threshold filter: window stddev
+    accumulates in frame order and can differ between engines in the
+    last ulps, so filtering on the unrounded value could flip a
+    boundary row's membership — the same class the rounded output
+    column already guards, applied to the predicate too."""
     ev = load_events(spark, sf_dir)
     hourly = ev.groupBy(
         "event_type",
@@ -685,8 +680,10 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n").over(w).alias("mu"),
         F.stddev_samp("n").over(w).alias("sigma"),
     )
-    z = (F.col("n") - F.col("mu")) / F.col("sigma")
-    return (
-        scored.filter((F.col("sigma") > 0) & (F.abs(z) > 2))
-        .select("event_type", "hour_no", "n", F.round(z, 4).alias("z"))
+    z_rounded = scored.filter(F.col("sigma") > 0).select(
+        "event_type",
+        "hour_no",
+        "n",
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
     )
+    return z_rounded.filter(F.abs(F.col("z")) > 2)

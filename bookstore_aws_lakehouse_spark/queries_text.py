@@ -232,11 +232,20 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # tiny scalar; at scale pass via a config or agg-join
-    scored = tf.join(F.broadcast(df_), "token").select(
-        "doc_id",
-        "token",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    # corpus size stays IN the plan (broadcast single-row cross join, the
+    # q22 pattern) — an eager .count() here would launch a job every time
+    # the query is merely constructed
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
 

@@ -26,6 +26,11 @@ DEFAULT_CONF: dict[str, str] = {
     # parquet scan efficiency
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # pin size(NULL) = NULL explicitly: Spark 4 defaults to it, but on the
+    # permitted pyspark>=3.5 the legacy default returns -1, which would
+    # silently diverge every size()/split()-on-NULL expression from the
+    # DuckDB oracles (len(NULL) IS NULL)
+    "spark.sql.legacy.sizeOfNull": "false",
 }
 
 
