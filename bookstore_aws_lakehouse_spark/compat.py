@@ -60,8 +60,13 @@ class CleanDataTransformer:
     @staticmethod
     def transform(
         dataframe: DataFrame,
-        columns: list[str] = ["Customer-ID", "ISBN", "Book-Rating", "Country", "State", "City"],
+        columns: list[str] | None = None,
     ) -> DataFrame:
+        # None-sentinel, not a mutable list default: a shared default list
+        # mutated by any caller would corrupt every later call of this
+        # public drop-in API
+        if columns is None:
+            columns = ["Customer-ID", "ISBN", "Book-Rating", "Country", "State", "City"]
         return drop_null_keys(null_normalize(dataframe, null_tokens=(" ",)), columns)
 
 
@@ -69,8 +74,10 @@ class CustomersDimensionTableTransformer:
     @staticmethod
     def transform(
         dataframe: DataFrame,
-        schema: list[str] = ["Customer-ID", "Age", "City", "State", "Country"],
+        schema: list[str] | None = None,
     ) -> DataFrame:
+        if schema is None:
+            schema = ["Customer-ID", "Age", "City", "State", "Country"]
         return dataframe.select(schema).distinct()
 
 
@@ -78,8 +85,10 @@ class BooksDimensionTableTransformer:
     @staticmethod
     def transform(
         dataframe: DataFrame,
-        schema: list[str] = ["ISBN", "Book-Title", "Book-Author", "Year-Of-Publication", "Publisher"],
+        schema: list[str] | None = None,
     ) -> DataFrame:
+        if schema is None:
+            schema = ["ISBN", "Book-Title", "Book-Author", "Year-Of-Publication", "Publisher"]
         return dataframe.select(schema).distinct()
 
 
@@ -87,8 +96,10 @@ class RatingsFactTableTransformer:
     @staticmethod
     def transform(
         dataframe: DataFrame,
-        schema: list[str] = ["ISBN", "Customer-ID", "Book-Rating"],
+        schema: list[str] | None = None,
     ) -> DataFrame:
+        if schema is None:
+            schema = ["ISBN", "Customer-ID", "Book-Rating"]
         return dataframe.select(schema)
 
 
@@ -99,8 +110,10 @@ class Top100BooksTransformer:
     @staticmethod
     def transform(
         dataframe: DataFrame,
-        columns: list[str] = ["ISBN", "Book-Title", "Book-Rating"],
+        columns: list[str] | None = None,
     ) -> DataFrame:
+        if columns is None:
+            columns = ["ISBN", "Book-Title", "Book-Rating"]
         from bookstore_aws_lakehouse_spark.operators.aggregates import group_agg
         from bookstore_aws_lakehouse_spark.operators.filters import filter_expr
 

@@ -127,13 +127,11 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_sql(max_df: int, thresh_ppt: int) -> str:
-    """Jaccard-pairs oracle with the operator's default stop-shingle
-    filter folded in: document-frequency counts, a df ≤ max_df keep
-    filter, then sizes/intersections over the FILTERED shingle sets."""
-    return (
-        _SHINGLES_CTE
-        + f""",
+def _jaccard_core_cte(max_df: int) -> str:
+    """Shared CTE block (df counts → stop-filtered shingles → sizes →
+    intersections) used by the pairs oracle AND the clusters oracle —
+    one source of truth for the stop-filter and intersection logic."""
+    return f"""
 dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
 kept AS (
   SELECT sh.doc_id, sh.shingle
@@ -146,7 +144,18 @@ shared AS (
   FROM kept a JOIN kept b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id
   GROUP BY id_a, id_b
-)
+)"""
+
+
+def _jaccard_sql(max_df: int, thresh_ppt: int) -> str:
+    """Jaccard-pairs oracle with the operator's default stop-shingle
+    filter folded in: document-frequency counts, a df ≤ max_df keep
+    filter, then sizes/intersections over the FILTERED shingle sets."""
+    return (
+        _SHINGLES_CTE
+        + ","
+        + _jaccard_core_cte(max_df)
+        + f"""
 SELECT id_a, id_b, n_shared,
        sa.n_shingles AS n_a, sb.n_shingles AS n_b,
        n_shared / CAST(sa.n_shingles + sb.n_shingles - n_shared AS DOUBLE) AS jaccard
@@ -210,20 +219,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTERS_SQL = (
     _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+    + ","
+    + _jaccard_core_cte(max_df=100)
     + """,
-dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-kept AS (
-  SELECT sh.doc_id, sh.shingle
-  FROM sh JOIN dfc USING (shingle)
-  WHERE df <= 100
-),
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-  FROM kept a JOIN kept b ON a.shingle = b.shingle
-  WHERE a.doc_id < b.doc_id
-  GROUP BY id_a, id_b
-),
 pairs AS (
   SELECT id_a, id_b
   FROM shared

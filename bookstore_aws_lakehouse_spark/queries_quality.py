@@ -15,7 +15,8 @@ from bookstore_aws_lakehouse_spark.registry import golden
     "dq_profile_lineitem",
     """
     SELECT count(*) AS n_rows,
-           count(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct_keys,
+           count(DISTINCT CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                               THEN (l_orderkey, l_linenumber) END) AS n_distinct_keys,
            CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_orderkey,
            CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_linenumber
     FROM lineitem
@@ -32,13 +33,16 @@ def q_dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_fk_orphans",
     """
     SELECT 'lineitem->part' AS fk, count(*) AS n_orphans
-    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    WHERE p_partkey IS NULL
     UNION ALL
     SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
-    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey IS NULL
     UNION ALL
     SELECT 'orders->customer' AS fk, count(*) AS n_orphans
-    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey IS NULL
     """,
 )
 def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,9 +20,14 @@ from bookstore_aws_lakehouse_spark.operators.similarity import (
 )
 from bookstore_aws_lakehouse_spark.registry import golden
 
+# Zero-norm guard mirrors Spark's cosine_similarity (NULL, never NaN):
+# unguarded 0/0 in DuckDB yields NaN, which DuckDB orders ABOVE every
+# number — an all-zero vector would rank first in top-k and pass every
+# >= threshold filter on the oracle side only.
 _COS = (
-    "list_dot_product({a}, {b})"
-    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    "CASE WHEN list_dot_product({a}, {a}) > 0 AND list_dot_product({b}, {b}) > 0"
+    " THEN list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END"
 )
 
 N_QUERIES = 10  # vec_id < 10 are the probe vectors

@@ -17,8 +17,16 @@ from bookstore_aws_lakehouse_spark.catalog import register_views
 from bookstore_aws_lakehouse_spark.registry import golden
 
 
+_VIEWS_READY: set[tuple[int, str]] = set()
+
+
 def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    # register the 10 fixture views once per (session, sf_dir), not per
+    # query — re-registration re-reads every table's parquet footers
+    key = (id(spark), sf_dir)
+    if key not in _VIEWS_READY:
+        register_views(spark, sf_dir)
+        _VIEWS_READY.add(key)
     return spark.sql(sql)
 
 
@@ -100,7 +108,7 @@ def q_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CAST_CASE = """
     SELECT o_orderpriority,
-           CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS avg_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
     FROM orders
     GROUP BY o_orderpriority
@@ -110,7 +118,11 @@ _SQL_CAST_CASE = """
 @golden("sql_cast_case", _SQL_CAST_CASE)
 def q_sql_cast_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit CAST + CASE WHEN in SQL (reference F6/F3,
-    `external-table-queries.sql:14,37`); decimal avg for determinism."""
+    `external-table-queries.sql:14,37`). The mean is exact-decimal-sum /
+    count, NOT avg(DECIMAL): Spark's decimal avg rounds to 6 fractional
+    digits (DECIMAL(22,6)) while DuckDB's returns a full-precision
+    double — same SQL text, different doubles (verified). sum/count is
+    bit-identical on both."""
     return _sql(spark, sf_dir, _SQL_CAST_CASE)
 
 

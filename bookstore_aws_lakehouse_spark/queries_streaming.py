@@ -177,7 +177,7 @@ def q_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in exactly two panes. The oracle enumerates both candidate pane
     starts per event (its 30-min bucket and the one before) — the
     closed-form of Spark's window expansion."""
-    from bookstore_aws_lakehouse_spark.streaming.jobs import read_events_stream, run_available_now, sliding_agg
+    from bookstore_aws_lakehouse_spark.streaming.jobs import sliding_agg
 
     stream = read_events_stream(spark, sf_dir)
     agged = sliding_agg(stream, window="1 hour", slide="30 minutes")
@@ -233,7 +233,6 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream state, re-read per micro-batch. Oracle: the equivalent batch
     join."""
     from bookstore_aws_lakehouse_spark.catalog import load_events
-    from bookstore_aws_lakehouse_spark.streaming.jobs import read_events_stream, run_available_now
 
     features = (
         load_events(spark, sf_dir)

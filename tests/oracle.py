@@ -32,10 +32,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if isinstance(v, float):
-            # Never collapse int-valued floats into ints: the driver hashes
-            # float 1085.0 and bigint 1085 differently (q12, round 1), so a
-            # type drift the oracle SQL should CAST away must fail HERE.
-            s = f"{v:.9g}"
+            # Full 17-significant-digit rendering (round-trip exact for
+            # float64): the engine's determinism policy makes every value
+            # either bit-exact or explicitly rounded, so ANY sub-ulp drift
+            # is a real bug this check must catch — the earlier %.9g
+            # masked exactly the avg(DECIMAL) divergence the driver would
+            # have failed. Never collapse int-valued floats into ints
+            # either: the driver hashes 1085.0 and 1085 differently.
+            s = f"{v:.17g}"
             return s if ("." in s or "e" in s or "inf" in s) else s + ".0"
         if hasattr(v, "isoformat"):
             return v.isoformat()
