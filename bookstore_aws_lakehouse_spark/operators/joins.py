@@ -52,10 +52,25 @@ def salted_join(
     AQE's skew-join splitting (on in session.py) handles most cases
     automatically; salting is for the residual ones — a single pathological
     key inside one shuffle block, or non-AQE engines.
+
+    Only inner/left-flavored joins are allowed: the replicated side
+    appears ``num_salts`` times, so right/full-outer would emit every
+    unmatched replicated row once PER SALT (verified: num_salts copies).
+    The salt is a per-partition round-robin counter, not a row hash —
+    exact duplicate rows of the hot key must land on DIFFERENT salts or
+    the hot key still pins one task. Salt values never affect join
+    RESULTS (only distribution), so the counter's run-to-run instability
+    is harmless.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: the "
+            "salt-replicated side would duplicate unmatched rows per salt"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted_l = skewed.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)).cast("int")
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int")
     )
     salted_r = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))

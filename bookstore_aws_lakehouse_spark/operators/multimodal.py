@@ -92,20 +92,26 @@ def extract_media_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payloads (a NULL source column through attach_payload)
+            # must yield NULL features, not a len(None) TypeError that
+            # kills the whole task
             dims = [
-                decode_media(p, t, fake=fake_decode)
+                decode_media(p, t, fake=fake_decode) if p is not None else (None, None)
                 for p, t in zip(payloads, pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "content_md5": payloads.map(
-                        lambda b: hashlib.md5(b).hexdigest()
+                    "n_bytes": pd.array(
+                        [len(b) if b is not None else None for b in payloads],
+                        dtype="Int64",
                     ),
-                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
                 }
             )
 
@@ -168,6 +174,8 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, f
                 )
             rows = {"doc_id": [], "frame_no": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # no payload, no frames — never crash the task
                 for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
                     chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
                     rows["doc_id"].append(doc_id)

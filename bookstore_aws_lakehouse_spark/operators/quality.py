@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 
 def profile(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     """One-row profile: row count, per-key-column null counts, distinct
-    key combinations (uniqueness check: distinct == rows ⇒ key is unique).
-    Single scan, one partial+final aggregate."""
+    key combinations (uniqueness check: distinct == rows ⇒ key is unique
+    AND null-free — count_distinct skips rows with a NULL in any key
+    column, so null-keyed rows show up in the nulls_* columns, not in
+    n_distinct_keys; the DuckDB oracle mirrors this with an explicit
+    not-null filter because its tuple-count would otherwise include
+    them). Single scan, one partial+final aggregate."""
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(*[F.col(c) for c in key_cols]).alias("n_distinct_keys"),
@@ -44,17 +48,37 @@ def snapshot_diff(
     changed key with status 'added' / 'removed' / 'changed'. Row content
     is compared by a portable md5 over all non-key columns (sorted by
     name) — the engines never compare full payloads, just 32-byte hashes.
-    Unchanged keys are dropped."""
+    Unchanged keys are dropped.
+
+    Two hardenings: every field is LENGTH-PREFIXED before hashing
+    (`len:value`), so a delimiter character inside a value can never make
+    two different rows hash alike (plain concat_ws is ambiguous); and the
+    key join is NULL-SAFE, so a NULL-keyed row present unchanged in both
+    snapshots is correctly reported as unchanged instead of a phantom
+    removed+added pair."""
+    import functools
+
     keys = list(key_cols)
+
+    def field(c: str) -> F.Column:
+        cs = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(cs).cast("string"), F.lit(":"), cs), F.lit("N")
+        )
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
         value_cols = sorted(c for c in df.columns if c not in keys)
-        h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in value_cols]))
+        h = F.md5(F.concat_ws("\x1f", *[field(c) for c in value_cols]))
         return df.select(*keys, h.alias(f"hash_{tag}"))
 
     o = hashed(old, "old")
-    n = hashed(new, "new")
-    joined = o.join(n, on=keys, how="full_outer")
+    n = hashed(new, "new").select(
+        *[F.col(k).alias(f"_n_{k}") for k in keys], "hash_new"
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b, [o[k].eqNullSafe(n[f"_n_{k}"]) for k in keys]
+    )
+    joined = o.join(n, on=cond, how="full_outer")
     status = (
         F.when(F.col("hash_old").isNull(), F.lit("added"))
         .when(F.col("hash_new").isNull(), F.lit("removed"))
@@ -63,5 +87,7 @@ def snapshot_diff(
     return (
         joined.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select(*keys, "status")
+        .select(
+            *[F.coalesce(o[k], n[f"_n_{k}"]).alias(k) for k in keys], "status"
+        )
     )

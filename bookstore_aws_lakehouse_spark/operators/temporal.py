@@ -53,13 +53,21 @@ def asof_join(
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
-    for c in value_cols:
-        l = l.withColumn(f"_rv_{c}", F.lit(None))
-        r = r.withColumn(f"_rv_{c}", F.col(c))
-    r = r.withColumn("_rt", F.col(time_col))
-    l = l.withColumn("_rt", F.lit(None))
-    unioned = l.select(*lcols, "_side", "_rt", *[f"_rv_{c}" for c in value_cols]).unionByName(
-        r.select(*lcols, "_side", "_rt", *[f"_rv_{c}" for c in value_cols])
+    # the right row travels as ONE struct (time + values): F.last with
+    # ignorenulls over separate columns would skip a genuinely-NULL value
+    # column independently and pair the latest right TIME with an older
+    # right VALUE — the struct is non-null whenever a right row exists,
+    # so the whole row wins or loses atomically
+    r = r.withColumn(
+        "_rrow",
+        F.struct(
+            F.col(time_col).alias("_rt"),
+            *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        ),
+    )
+    l = l.withColumn("_rrow", F.lit(None).cast(r.schema["_rrow"].dataType))
+    unioned = l.select(*lcols, "_side", "_rrow").unionByName(
+        r.select(*lcols, "_side", "_rrow")
     )
     w = (
         Window.partitionBy(*keys)
@@ -69,13 +77,17 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "_side",
-        F.last("_rt", ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
+        F.last("_rrow", ignorenulls=True).over(w).alias("_asof_row"),
+    )
+    out = filled.filter(F.col("_side") == 1).select(
+        *lcols,
+        F.col("_asof_row._rt").alias(f"{time_col}{suffix}"),
         *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            F.col(f"_asof_row._rv_{c}").alias(f"{c}{suffix}")
             for c in value_cols
         ],
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return out
 
 
 def range_join_bucketed(
@@ -93,10 +105,15 @@ def range_join_bucketed(
     Left rows explode into the two range-cells their window can touch;
     the equi-join on (key, cell) prunes everything else; the exact
     predicate finishes the job.
+
+    Cells use INTEGER division (``div``), not float floor: epoch-ns
+    values exceed 2^53, where ``floor(t / gap)`` in double assigns
+    boundary-adjacent rows to the wrong cell and silently drops matching
+    pairs from the equi-join.
     """
-    cell_l = F.floor(F.col(time_l) / max_gap)
+    cell_l = F.expr(f"{time_l} div {int(max_gap)}")
     l = left.withColumn("_cell", F.explode(F.array(cell_l, cell_l + 1)))
-    r = right.withColumn("_cell", F.floor(F.col(time_r) / max_gap))
+    r = right.withColumn("_cell", F.expr(f"{time_r} div {int(max_gap)}"))
     joined = l.join(r, on=[key, "_cell"])
     return (
         joined.filter(

@@ -111,18 +111,22 @@ def embed_documents_stub(
     if dim & (dim - 1) != 0:
         raise ValueError("dim must be a power of two (sign bit is h >> log2(dim))")
     shift = dim.bit_length() - 1
-    toks = tokenize(text_col)
+    # hash each token ONCE into an array, then fold the precomputed
+    # hashes per dimension — the inlined alternative evaluates md5+conv
+    # 2·dim times per token (32× the work at dim=16) and builds the kind
+    # of giant codegen tree that costs more than the data
+    toks_h = F.transform(tokenize(text_col), lambda t: md5_hash64(t))
     components = []
     for d in range(dim):
         # Σ over tokens hashing to dimension d: sign = the next hash bit
         # (exact integer bit ops — no float division in the hash path)
         contrib = F.aggregate(
-            toks,
+            toks_h,
             F.lit(0).cast("bigint"),
-            lambda acc, t: acc
+            lambda acc, h: acc
             + F.when(
-                md5_hash64(t) % dim == d,
-                F.when(F.shiftright(md5_hash64(t), shift) % 2 == 0, 1).otherwise(-1),
+                h % dim == d,
+                F.when(F.shiftright(h, shift) % 2 == 0, 1).otherwise(-1),
             ).otherwise(0),
         )
         components.append((contrib / EMBED_SCALE).cast("float"))

@@ -83,15 +83,15 @@ def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN o.c_custkey IS NULL THEN 'added'
                   WHEN n.c_custkey IS NULL THEN 'removed'
                   WHEN md5(concat_ws(chr(31),
-                         coalesce(CAST(o.c_acctbal AS STRING), chr(0)),
-                         coalesce(o.c_mktsegment, chr(0)),
-                         coalesce(o.c_name, chr(0)),
-                         coalesce(CAST(o.c_nationkey AS STRING), chr(0))))
+                         coalesce(CAST(length(CAST(o.c_acctbal AS STRING)) AS STRING) || ':' || CAST(o.c_acctbal AS STRING), 'N'),
+                         coalesce(CAST(length(CAST(o.c_mktsegment AS STRING)) AS STRING) || ':' || CAST(o.c_mktsegment AS STRING), 'N'),
+                         coalesce(CAST(length(CAST(o.c_name AS STRING)) AS STRING) || ':' || CAST(o.c_name AS STRING), 'N'),
+                         coalesce(CAST(length(CAST(o.c_nationkey AS STRING)) AS STRING) || ':' || CAST(o.c_nationkey AS STRING), 'N')))
                     != md5(concat_ws(chr(31),
-                         coalesce(CAST(n.c_acctbal AS STRING), chr(0)),
-                         coalesce(n.c_mktsegment, chr(0)),
-                         coalesce(n.c_name, chr(0)),
-                         coalesce(CAST(n.c_nationkey AS STRING), chr(0))))
+                         coalesce(CAST(length(CAST(n.c_acctbal AS STRING)) AS STRING) || ':' || CAST(n.c_acctbal AS STRING), 'N'),
+                         coalesce(CAST(length(CAST(n.c_mktsegment AS STRING)) AS STRING) || ':' || CAST(n.c_mktsegment AS STRING), 'N'),
+                         coalesce(CAST(length(CAST(n.c_name AS STRING)) AS STRING) || ':' || CAST(n.c_name AS STRING), 'N'),
+                         coalesce(CAST(length(CAST(n.c_nationkey AS STRING)) AS STRING) || ':' || CAST(n.c_nationkey AS STRING), 'N')))
                   THEN 'changed'
              END AS status
       FROM old o FULL OUTER JOIN new n USING (c_custkey)

@@ -212,3 +212,62 @@ def test_cosine_pairs_tolerates_null_vectors(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in cosine_pairs(df, threshold=0.4).collect()}
     assert pairs == {(2, 3)}
+
+
+def test_asof_join_null_value_in_latest_right_row(spark):
+    """The as-of row wins ATOMICALLY: when the most recent right row has a
+    NULL value column, the result must carry that NULL — not an older
+    row's value paired with the newer row's time."""
+    left = spark.createDataFrame([(10, 3)], "user_id long, t long")
+    right = spark.createDataFrame(
+        [(10, 1, 5), (10, 2, None)], "user_id long, t long, v long"
+    )
+    row = asof_join(left, right, time_col="t", by=["user_id"], value_cols=["v"]).collect()[0]
+    assert row["t_asof"] == 2 and row["v_asof"] is None
+
+
+def test_snapshot_diff_null_keys_and_delimiter_values(spark):
+    """NULL-keyed rows unchanged in both snapshots are NOT phantom
+    added+removed pairs (null-safe key join), and delimiter characters
+    inside values cannot make different rows hash alike (length-prefixed
+    fields)."""
+    from bookstore_aws_lakehouse_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "same"), (1, "a\x1fb,c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "same"), (1, "a,b\x1fc")], "k long, v string"
+    )
+    got = {(r["k"], r["status"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    # NULL key row is unchanged -> absent; key 1 moved the delimiter -> changed
+    assert got == {(1, "changed")}
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest as _pytest
+
+    from bookstore_aws_lakehouse_spark.operators.joins import salted_join
+
+    l = spark.createDataFrame([("k", 1)], ["k", "v"])
+    r = spark.createDataFrame([("k", "x")], ["k", "t"])
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(l, r, on="k", how="full")
+
+
+def test_multimodal_null_payload_does_not_crash(spark):
+    from bookstore_aws_lakehouse_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_features,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "hello world")], "doc_id long, text string"
+    )
+    media = attach_payload(docs, "doc_id", "text")
+    feats = {r["doc_id"]: r for r in extract_media_features(media, fake_decode=True).collect()}
+    assert feats[1]["n_bytes"] is None and feats[1]["content_md5"] is None
+    assert feats[2]["n_bytes"] == 11
+    frames = sample_frames(media, fake=True).collect()
+    assert {r["doc_id"] for r in frames} == {2}
