@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,7 +55,16 @@ def _driver_rows() -> tuple[set[str], set[str]]:
     round's row (files sort by round number): a regression in round N
     must not stay 'green' on the strength of round N-1."""
     latest: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+
+    def _round_no(path: str) -> int:
+        # numeric sort: lexicographic would order r100 before r11 and let
+        # older rounds overwrite newer verdicts
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(
+        glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")), key=_round_no
+    ):
         try:
             with open(path) as f:
                 rows = json.load(f)

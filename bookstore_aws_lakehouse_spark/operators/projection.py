@@ -38,14 +38,20 @@ def null_normalize(
     token set; non-string columns pass through untouched (the reference would
     silently cast them — a bug class we avoid).
     """
+    if columns is not None:
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            # a typo'd column in a CLEANING step must fail loudly — a
+            # silent no-op lets sentinel rows flow into results unfiltered
+            raise ValueError(f"null_normalize: columns not in DataFrame: {missing}")
     columns = list(columns) if columns is not None else df.columns
     string_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
+    from bookstore_aws_lakehouse_spark.functions.scalar import null_if_in
+
     exprs = []
     for c in df.columns:
         if c in columns and c in string_cols:
-            exprs.append(
-                F.when(F.col(c).isin(list(null_tokens)), F.lit(None)).otherwise(F.col(c)).alias(c)
-            )
+            exprs.append(null_if_in(F.col(c), tuple(null_tokens)).alias(c))
         else:
             exprs.append(F.col(c))
     return df.select(*exprs)
@@ -65,8 +71,14 @@ def expand_delimited(
     (`workflow/Transformer.py:15-18`). The reference leaves leading spaces on
     split tokens (latent bug, SURVEY §7.1.4); ``trim=True`` is our documented
     deviation. A single ``withColumns`` keeps it one Project node.
+
+    ``delimiter`` is a LITERAL string: Spark's split takes a Java regex,
+    so metachars are escaped here — an unescaped '|' would match the
+    empty string and shred every value into single characters.
     """
-    parts = F.split(F.col(source), delimiter)
+    import re
+
+    parts = F.split(F.col(source), re.escape(delimiter))
     new_cols = {}
     for i, name in enumerate(names):
         item = parts.getItem(i)

@@ -19,10 +19,18 @@ from pyspark.sql import DataFrame
 
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Repartition ``df`` to the cluster's default parallelism iff its
-    current partition count is below ``min_fraction`` of it."""
+    current partition count is below ``min_fraction`` of it.
+
+    Intended for SCAN-STAGE DataFrames only: reading ``.rdd`` partition
+    counts on a plan that contains an exchange would, under AQE,
+    materialize every upstream shuffle just to count partitions — so
+    plans with an Exchange are detected (plan text, no execution) and
+    returned untouched; their shuffles already repartition them."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
+        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+            return df
         current = df.rdd.getNumPartitions()
     except Exception:
         return df

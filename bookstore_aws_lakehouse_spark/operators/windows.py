@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bookstore_aws_lakehouse_spark.operators.sort import _order_cols
+
 
 def top_n_per_group(
     df: DataFrame,
@@ -29,8 +31,12 @@ def top_n_per_group(
     without it the selected rows are partition-order dependent, which breaks
     reproducibility (and the oracle comparison).
     """
-    order = [F.col(c).desc() if d else F.col(c).asc() for c, d in order_by]
-    order += [F.col(c).asc() for c in tiebreak]
+    if not partition_by:
+        raise ValueError(
+            "top_n_per_group: empty partition_by funnels the whole dataset "
+            "through one task (use orderBy().limit() / top_k for global top-N)"
+        )
+    order = _order_cols(order_by) + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(*partition_by).orderBy(*order)
     return (
         df.withColumn(rank_name, F.row_number().over(w))
@@ -44,9 +50,19 @@ def running_agg(
     order_by: Sequence[tuple[str, bool]],
     agg: Column,
     name: str,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
-    """Cumulative aggregate (rows unbounded-preceding → current) per group."""
-    order = [F.col(c).desc() if d else F.col(c).asc() for c, d in order_by]
+    """Cumulative aggregate (rows unbounded-preceding → current) per group.
+
+    ``tiebreak`` (ascending) pins the frame order under ties — without it
+    the cumulative value of tied rows is partition-order dependent, the
+    same determinism rule top_n_per_group enforces."""
+    if not partition_by:
+        raise ValueError(
+            "running_agg: empty partition_by funnels the whole dataset "
+            "through one task"
+        )
+    order = _order_cols(order_by) + [F.col(c).asc() for c in tiebreak]
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(*order)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import shutil
 import tempfile
 import time
 
@@ -43,7 +44,9 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false"},
     )
 
-    # stage the reference-shaped raw table (reference column names)
+    # stage the reference-shaped raw table (reference column names);
+    # removed on exit — repeated benchmark runs would otherwise fill /tmp
+    # with a full raw table + two marts per invocation
     staging = tempfile.mkdtemp(prefix="blhs_cmp_")
     raw_path = f"{staging}/book-ratings.parquet"
     renames = {
@@ -95,7 +98,7 @@ def main() -> None:
     t0 = time.monotonic()
     back = {b: a for a, b in renames.items()}
     raw_engine = spark.read.parquet(raw_path).select(
-        [F.col(b).alias(a) for b, a in [(b, back[b]) for b in back]]
+        [F.col(b).alias(a) for a, b in renames.items()]
     )
     clean_e = CLEAN_PREFIX.run(raw_engine)
     branches = fan_out(
@@ -127,6 +130,7 @@ def main() -> None:
         )
     )
     spark.stop()
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 if __name__ == "__main__":
