@@ -1359,17 +1359,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size >= 25
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
     GROUP BY p_brand, p_type
     ORDER BY supplier_cnt DESC, p_brand, p_type
     """,
 )
 def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part class with a
-    NOT IN exclusion subquery (anti-join; the fixture's s_acctbal is
-    never NULL, so NOT IN's three-valued-logic trap stays disarmed —
-    documented here because on nullable columns NOT IN silently returns
-    empty, and left_anti is the safe spelling)."""
+    supplier-exclusion subquery (anti-join; the oracle is written as
+    NOT EXISTS rather than NOT IN so that a NULL s_suppkey can never
+    trip NOT IN's three-valued-logic trap — left_anti / NOT EXISTS is
+    the null-safe spelling on both engines)."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = filter_expr(load_table(spark, sf_dir, "part"), F.col("p_size") >= 25)
     bad = (
@@ -1577,7 +1578,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ps JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#1'
       AND p_size IN (1, 5, 10, 15, 20, 25)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
     GROUP BY p_brand, p_type, p_size
     """,
 )
