@@ -17,16 +17,23 @@ from bookstore_aws_lakehouse_spark.catalog import register_views
 from bookstore_aws_lakehouse_spark.registry import golden
 
 
-_VIEWS_READY: set[tuple[int, str]] = set()
+import weakref
+
+# keyed on the live session object (weakly) — id() can be reused after a
+# stopped session is garbage-collected, which would silently skip
+# register_views on the successor session
+_VIEWS_READY: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     # register the 10 fixture views once per (session, sf_dir), not per
     # query — re-registration re-reads every table's parquet footers
-    key = (id(spark), sf_dir)
-    if key not in _VIEWS_READY:
+    ready = _VIEWS_READY.setdefault(spark, set())
+    if sf_dir not in ready:
         register_views(spark, sf_dir)
-        _VIEWS_READY.add(key)
+        ready.add(sf_dir)
     return spark.sql(sql)
 
 

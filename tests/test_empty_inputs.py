@@ -102,7 +102,8 @@ def test_stratified_sample_empty_and_tiny_stratum(spark):
 
     empty = spark.createDataFrame([], "doc_id long, lang string")
     assert stratified_sample(empty, "doc_id", "lang", 50).count() == 0
-    # a stratum SMALLER than the target keeps all its rows (rate caps at 1000)
+    # a stratum SMALLER than the target keeps all its rows (keep-rate caps
+    # at SAMPLE_PPM = 1e6 ppm)
     tiny = spark.createDataFrame(
         [(i, "xx") for i in range(5)], "doc_id long, lang string"
     )
