@@ -357,3 +357,72 @@ def q_dedup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1, max_df=20)
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against a bucketed fingerprint store (two-batch proof)
+# --------------------------------------------------------------------------
+
+_INCREMENTAL_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+  FROM documents
+),
+a AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+b AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+canon_a AS (
+  SELECT fingerprint, min(doc_id) AS doc_id
+  FROM a WHERE fingerprint IS NOT NULL GROUP BY fingerprint
+),
+canon_b AS (
+  SELECT fingerprint, min(doc_id) AS doc_id
+  FROM b WHERE fingerprint IS NOT NULL GROUP BY fingerprint
+),
+keep_b AS (
+  SELECT cb.doc_id FROM canon_b cb
+  WHERE NOT EXISTS (SELECT 1 FROM canon_a ca WHERE ca.fingerprint = cb.fingerprint)
+),
+surv AS (
+  SELECT 1 AS batch, doc_id FROM canon_a
+  UNION ALL SELECT 1, doc_id FROM a WHERE fingerprint IS NULL
+  UNION ALL SELECT 2, doc_id FROM keep_b
+  UNION ALL SELECT 2, doc_id FROM b WHERE fingerprint IS NULL
+)
+SELECT CAST(s.batch AS INTEGER) AS batch, f.doc_id, f.text
+FROM surv s JOIN fp f ON s.doc_id = f.doc_id
+"""
+
+
+@golden("dedup_incremental_bucketed", _INCREMENTAL_SQL)
+def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedup against the BUCKETED fingerprint store
+    (operators/dedup.py::incremental_dedup_bucketed — the production
+    daily-ingestion shape): day 1 ingests the even doc_ids (store starts
+    empty → in-batch collapse only, keep min id), day 2 ingests the odd
+    doc_ids and is additionally anti-joined against every fingerprint
+    day 1 persisted. The store is hash-bucketed by fingerprint at write
+    time so the daily anti-join never reshuffles the store side.
+
+    Idempotent per call: the store table is dropped before and after
+    (survivors are localCheckpointed inside the operator, so the result
+    outlives the drop). The oracle replays both days declaratively."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import incremental_dedup_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = "blhs_fp_store_twobatch"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        surv_a = incremental_dedup_bucketed(
+            docs.filter(F.col("doc_id") % 2 == 0), store_table=table
+        ).withColumn("batch", F.lit(1))
+        surv_b = incremental_dedup_bucketed(
+            docs.filter(F.col("doc_id") % 2 == 1), store_table=table
+        ).withColumn("batch", F.lit(2))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return surv_a.unionByName(surv_b).select(
+        F.col("batch").cast("int").alias("batch"), "doc_id", "text"
+    )
