@@ -19,6 +19,9 @@ shuffles).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -65,22 +68,90 @@ def attach_payload(df: DataFrame, id_col: str, content_col: str, media_type: str
     )
 
 
+def make_bmp(width: int, height: int, fill: int = 0) -> bytes:
+    """A real, spec-conforming 24-bpp BMP (BITMAPINFOHEADER), built with
+    stdlib ``struct`` only. Rows are bottom-up and padded to 4 bytes per
+    the format; every pixel byte is ``fill`` so payloads are deterministic.
+    Used by tests/fixtures so ``decode_media`` has a genuinely-decodable
+    format in an environment without codec libraries."""
+    row_stride = (width * 3 + 3) // 4 * 4
+    image_size = row_stride * height
+    file_size = 54 + image_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    return header + dib + bytes([fill % 256]) * image_size
+
+
+def make_wav(n_frames: int, n_channels: int = 1, sample_rate: int = 8000) -> bytes:
+    """A real RIFF/WAVE payload via the stdlib ``wave`` module: 16-bit PCM,
+    ``n_frames`` frames of silence. 44-byte canonical header + 2 bytes per
+    sample, so total size is SQL-predictable: 44 + n_frames·2·n_channels."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * (n_frames * n_channels))
+    return buf.getvalue()
+
+
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> tuple[int, int]:
     """Decode a media payload to (width, height).
 
-    STUB: real decoding needs PIL/av which are not installed here. The
-    ``fake`` path derives deterministic pseudo-dimensions from the payload
-    bytes so the distributed plumbing is testable with stable outputs.
+    Real branches (stdlib-only, run everywhere): BMP — width/height
+    struct-read from the DIB header; WAV — (n_channels, n_frames) via the
+    ``wave`` module. Formats needing PIL/ffmpeg (JPEG, MP4, ...) are not
+    decodable in this environment: the ``fake`` path derives deterministic
+    pseudo-dimensions from the payload bytes so that plumbing for those
+    formats stays testable with stable outputs.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires codec libraries not present in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
-    h = hashlib.md5(payload).digest()
-    width = 64 + (h[0] | (h[1] << 8)) % 1985  # 64..2048
-    height = 64 + (h[2] | (h[3] << 8)) % 1985
-    return width, height
+    if fake:
+        h = hashlib.md5(payload).digest()
+        width = 64 + (h[0] | (h[1] << 8)) % 1985  # 64..2048
+        height = 64 + (h[2] | (h[3] << 8)) % 1985
+        return width, height
+    if payload[:2] == b"BM":
+        width, height = struct.unpack_from("<ii", payload, 18)
+        return width, abs(height)  # negative height = top-down row order
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return w.getnchannels(), w.getnframes()
+    raise NotImplementedError(
+        f"decoding {media_type!r} requires codec libraries not present in "
+        "this environment; only BMP/WAV decode natively — pass fake=True "
+        "for the deterministic stub"
+    )
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-format payloads from an id column (fixture
+    generator for the no-codec environment): even ids become 24-bpp BMPs
+    with width = 1 + id%16, height = 1 + id%8; odd ids become mono 16-bit
+    WAVs with 1 + id%100 frames. Every byte is a pure function of the id,
+    so an SQL oracle can predict the decoded dimensions AND payload sizes
+    without reconstructing the bytes. Map-side mapInPandas — no shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            types, payloads = [], []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    types.append("image/bmp")
+                    payloads.append(make_bmp(1 + i % 16, 1 + i % 8, fill=i))
+                else:
+                    types.append("audio/wav")
+                    payloads.append(make_wav(1 + i % 100))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        build, schema=MULTIMODAL_SCHEMA
+    )
 
 
 def extract_media_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:

@@ -44,6 +44,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @golden(
+    "multimodal_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+             1 + doc_id % 16 AS w,
+             1 + doc_id % 8 AS h,
+             1 + doc_id % 100 AS frames
+      FROM documents
+    )
+    SELECT doc_id, media_type,
+           CAST(CASE WHEN media_type = 'image/bmp'
+                     THEN 54 + h * ((w * 3 + 3) // 4 * 4)
+                     ELSE 44 + frames * 2 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN media_type = 'image/bmp' THEN w ELSE 1 END AS INT) AS width,
+           CAST(CASE WHEN media_type = 'image/bmp' THEN h ELSE frames END AS INT) AS height
+    FROM m
+    """,
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-stub) media decode, stdlib-only: synthesize spec-valid
+    BMP/WAV payloads from doc_ids (`synthesize_media`), then run the
+    Arrow-batched feature extractor with ``fake_decode=False`` so the BMP
+    DIB header and WAV RIFF header are genuinely parsed (struct / wave
+    module — operators/multimodal.py:decode_media). The oracle predicts
+    decoded width/height AND the exact payload byte size from the id
+    formulas: BMP = 54-byte headers + 4-byte-padded rows, WAV = 44-byte
+    canonical header + 2 bytes/frame. A decoder bug (wrong header offset,
+    wrong padding) breaks the hash match. content_md5 is projected out —
+    byte-level hashing is covered by `multimodal_features`'s oracle."""
+    from bookstore_aws_lakehouse_spark.operators.multimodal import synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_media_features(synthesize_media(docs), fake_decode=False)
+    return feats.select("doc_id", "media_type", "n_bytes", "width", "height")
+
+
+@golden(
     "multimodal_frame_sample",
     """
     WITH d AS (

@@ -12,8 +12,64 @@ from bookstore_aws_lakehouse_spark.operators.multimodal import (
 
 
 def test_decode_media_stub_is_gated():
+    # non-BMP/WAV payloads still require the fake path
     with pytest.raises(NotImplementedError):
         decode_media(b"payload", "image")
+
+
+def test_decode_media_real_bmp_roundtrip():
+    from bookstore_aws_lakehouse_spark.operators.multimodal import make_bmp
+
+    for w, h in [(1, 1), (3, 2), (16, 8), (640, 480)]:
+        payload = make_bmp(w, h, fill=7)
+        assert payload[:2] == b"BM"
+        assert decode_media(payload, "image/bmp") == (w, h)
+        # spec size: 54-byte headers + 4-byte-padded rows
+        assert len(payload) == 54 + h * ((w * 3 + 3) // 4 * 4)
+
+
+def test_decode_media_real_bmp_topdown_rows():
+    # negative DIB height = top-down row order; decoded height is positive
+    import struct
+
+    from bookstore_aws_lakehouse_spark.operators.multimodal import make_bmp
+
+    payload = bytearray(make_bmp(4, 3))
+    payload[22:26] = struct.pack("<i", -3)
+    assert decode_media(bytes(payload), "image/bmp") == (4, 3)
+
+
+def test_decode_media_real_wav_roundtrip():
+    from bookstore_aws_lakehouse_spark.operators.multimodal import make_wav
+
+    for frames, channels in [(1, 1), (50, 1), (100, 2)]:
+        payload = make_wav(frames, n_channels=channels)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        assert decode_media(payload, "audio/wav") == (channels, frames)
+        assert len(payload) == 44 + frames * 2 * channels
+
+
+def test_extract_features_real_decode(spark):
+    """End-to-end: synthesized real BMP/WAV payloads through the Arrow
+    mapInPandas extractor with fake_decode=False — the non-stub branch."""
+    from bookstore_aws_lakehouse_spark.operators.multimodal import synthesize_media
+
+    df = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    feats = {
+        r["doc_id"]: r
+        for r in extract_media_features(
+            synthesize_media(df), fake_decode=False
+        ).collect()
+    }
+    assert len(feats) == 8
+    for i in range(8):
+        r = feats[i]
+        if i % 2 == 0:
+            assert r["media_type"] == "image/bmp"
+            assert (r["width"], r["height"]) == (1 + i % 16, 1 + i % 8)
+        else:
+            assert r["media_type"] == "audio/wav"
+            assert (r["width"], r["height"]) == (1, 1 + i % 100)
 
 
 def test_decode_media_fake_is_deterministic():
