@@ -233,6 +233,111 @@ def lsh_bucket_tables(
     )
 
 
+def kmeans_update(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """One Lloyd iteration as pure DataFrame ops: assign every vector to
+    its nearest centroid (broadcast centroids — `ivf_assign`), then each
+    new centroid is the per-dimension mean of its members (posexplode →
+    per-(cell, dim) avg → re-assemble ordered by dim). Clusters that
+    capture no members disappear (k shrinks), matching textbook Lloyd.
+
+    Scale shape: the corpus is scanned once per iteration with no
+    self-join; the only shuffles are the two aggregations keyed on
+    (cell, dim) / cell — both map-side-combinable. Iteration count is a
+    small constant (codebook training), not data-dependent."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id)
+    members = assigned.select(id_col, centroid_id).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    comp = members.select(
+        centroid_id, F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    means = comp.groupBy(centroid_id, "pos").agg(F.avg("col").alias("m"))
+    return (
+        means.groupBy(centroid_id)
+        # struct sort is lexicographic on (pos, m): ordered by dimension
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_s"))
+        .select(
+            centroid_id, F.transform("_s", lambda t: t["m"]).alias(vec_col)
+        )
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell; each query probes its ``nprobe`` nearest cells and scores only
+    those cells' members. Output (query_id, vec_id, cosine, rank);
+    self-matches excluded. The join is keyed on the cell id — corpus-side
+    work drops ~|centroids|/nprobe× vs brute force and nothing ever
+    cross-joins the corpus with itself."""
+    c = centroids.select(
+        F.col("centroid_id"),
+        F.col(vec_col).alias("centroid_vec"),
+        l2_norm(F.col(vec_col)).alias("_cen_n"),
+    )
+    ranked = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+        )
+        .crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "query_vec",
+            "_qn",
+            "centroid_id",
+            _cosine_prenormed(
+                F.col("query_vec"), F.col("centroid_vec"), F.col("_qn"), F.col("_cen_n")
+            ).alias("_c_cos"),
+        )
+    )
+    probes = top_n_per_group(
+        ranked,
+        ["query_id"],
+        [("_c_cos", True)],
+        nprobe,
+        tiebreak=["centroid_id"],
+        rank_name="_pn",
+    ).select("query_id", "query_vec", "_qn", "centroid_id")
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    ).join(
+        corpus.select(F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_cn")),
+        id_col,
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            _cosine_prenormed(
+                F.col("query_vec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
+        )
+        # no dedup needed: every corpus vector lives in exactly ONE cell
+        # (ivf_assign keeps rn=1) and a query probes distinct cells, so a
+        # (query, vector) pair is scored at most once
+    )
+    return top_n_per_group(
+        scored, ["query_id"], [("cosine", True)], k, tiebreak=[id_col], rank_name="rank"
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
