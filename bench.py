@@ -99,6 +99,8 @@ def main() -> None:
             runs.append(time.monotonic() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
+    skew = _skew_section(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -107,11 +109,85 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "skew": skew,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+
+def _skew_section(spark) -> dict[str, float]:
+    """Skew-join evidence on synthesized zipfian data (the fixtures have
+    no heavy key): a 4M-row fact where ONE key holds 40% of rows joins a
+    200k-row dim too big to broadcast. Three strategies, one timed run
+    each (own key so the headline total stays round-comparable):
+
+    - plain_noaqe  — sort-merge, no mitigation: the hot key's partition
+      is the straggler every other task waits on.
+    - aqe_skew     — AQE skew-join split (thresholds lowered so the
+      optimization actually triggers at this data size; at production
+      partition sizes the defaults trigger on their own).
+    - salted       — operators/joins.py::salted_join, num_salts=16:
+      works even where AQE can't see the skew (single shuffle block,
+      non-AQE engines).
+    """
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.joins import salted_join
+
+    fact = spark.range(4_000_000).select(
+        F.when(F.col("id") % 5 < 2, F.lit(0))
+        .otherwise(F.pmod(F.hash("id"), F.lit(200_000)))
+        .alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    dim = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("grp")
+    )
+
+    def agg_of(joined):
+        return joined.groupBy("grp").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        )
+
+    saved = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    out: dict[str, float] = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t0 = time.monotonic()
+        agg_of(fact.join(dim, "k")).write.format("noop").mode("overwrite").save()
+        out["plain_noaqe"] = round(time.monotonic() - t0, 3)
+
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        t0 = time.monotonic()
+        agg_of(fact.join(dim, "k")).write.format("noop").mode("overwrite").save()
+        out["aqe_skew"] = round(time.monotonic() - t0, 3)
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t0 = time.monotonic()
+        agg_of(salted_join(fact, dim, on="k", num_salts=16)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out["salted"] = round(time.monotonic() - t0, 3)
+    finally:
+        for c, v in saved.items():
+            spark.conf.set(c, v)
+    return out
 
 
 if __name__ == "__main__":

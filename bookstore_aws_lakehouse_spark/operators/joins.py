@@ -56,11 +56,14 @@ def salted_join(
     Only inner/left-flavored joins are allowed: the replicated side
     appears ``num_salts`` times, so right/full-outer would emit every
     unmatched replicated row once PER SALT (verified: num_salts copies).
-    The salt is a per-partition round-robin counter, not a row hash —
-    exact duplicate rows of the hot key must land on DIFFERENT salts or
-    the hot key still pins one task. Salt values never affect join
-    RESULTS (only distribution), so the counter's run-to-run instability
-    is harmless.
+    The salt is a HASHED per-partition counter, not a row hash — exact
+    duplicate rows of the hot key must land on DIFFERENT salts or the hot
+    key still pins one task (row hash can't do that), and the raw counter
+    mod num_salts can't either: strided inputs (every 2nd row hot — e.g.
+    sorted or interleaved data) would cycle through only a coset of the
+    salts; murmur-hashing the counter first breaks any stride. Salt
+    values never affect join RESULTS (only distribution), so the
+    counter's run-to-run instability is harmless.
     """
     normalized = how.lower().replace("_", "")
     if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
@@ -70,7 +73,7 @@ def salted_join(
         )
     keys = [on] if isinstance(on, str) else list(on)
     salted_l = skewed.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int")
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(num_salts)).cast("int")
     )
     salted_r = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))

@@ -88,6 +88,51 @@ def test_pair_generation_never_cartesian(spark, sf_smoke, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """Skew evidence at the task level: with a key holding ~50% of the
+    fact, a shuffle join pins that key's whole output on ONE partition (a
+    straggler at scale); salted_join must spread it so no partition holds
+    more than a third of what the plain join's worst partition holds.
+    Measured on actual executed partitions (spark_partition_id), not plan
+    text. Broadcast and AQE are disabled so the shuffle path is what's
+    measured (broadcast joins don't shuffle and AQE coalescing would
+    remix tiny test partitions)."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 40_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        def max_partition_fraction(df):
+            counts = [
+                r["count"]
+                for r in df.select(F.spark_partition_id().alias("pid"))
+                .groupBy("pid")
+                .count()
+                .collect()
+            ]
+            return max(counts) / sum(counts)
+
+        plain = max_partition_fraction(fact.join(dim, "k"))
+        salted = max_partition_fraction(salted_join(fact, dim, on="k", num_salts=16))
+        assert plain >= 0.4, plain  # the hot key really does pin one task
+        assert salted <= plain / 3, (plain, salted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_session_defaults_enable_aqe(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
