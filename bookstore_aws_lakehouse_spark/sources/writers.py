@@ -47,27 +47,22 @@ def compact_parquet(df_path: str, spark, target_partitions: int | None = None) -
     sink eventually needs — thousands of tiny files destroy scan
     performance via per-file open cost and starved row-group sizes).
     Rewrites the location to ``target_partitions`` files (default: sized
-    by data volume at ~96 MB per file) through a staging directory.
-    Returns the new file count. With Delta/Iceberg this is OPTIMIZE /
-    rewrite_data_files."""
+    by data volume at ~96 MB per file) through a same-filesystem staging
+    directory, then swaps via the Hadoop FS API — so s3a:///hdfs://
+    locations compact exactly like local ones. Returns the new file
+    count. With Delta/Iceberg this is OPTIMIZE / rewrite_data_files."""
     import math
-    import os
-    import shutil
-    import tempfile
 
     df = spark.read.parquet(df_path)
     if target_partitions is None:
-        size_bytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(df_path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(df_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        size_bytes = fs.getContentSummary(hpath).getLength()
         target_partitions = max(1, math.ceil(size_bytes / (96 * 1024 * 1024)))
-    staging = tempfile.mkdtemp(prefix="blhs_compact_") + "/data"
+    staging = _staging_sibling(df_path)
     df.repartition(target_partitions).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(df_path)
-    shutil.move(staging, df_path)
+    _fs_swap_into(spark, staging, df_path)
     return target_partitions
 
 
@@ -82,10 +77,39 @@ def _fs_path_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
-def _anti_join_null_safe(existing: DataFrame, delta_keys: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """existing ANTI delta_keys on all key columns with NULL-SAFE equality:
-    a plain ``on=keys`` anti-join never matches NULL keys, so a NULL-keyed
-    row would survive every merge and duplicate on each re-delivery."""
+def _staging_sibling(path: str) -> str:
+    """A staging location NEXT TO the destination (same filesystem):
+    a /tmp staging dir would make the final rename a cross-filesystem
+    copy — impossible via FileSystem.rename for s3a://dst, and a full
+    data copy even locally."""
+    import uuid
+
+    return path.rstrip("/") + f"__staging_{uuid.uuid4().hex[:12]}"
+
+
+def _fs_swap_into(spark, staging: str, path: str) -> None:
+    """Replace ``path`` with ``staging`` through the Hadoop FileSystem
+    API (delete + rename) so file:// , hdfs:// and s3a:// all work —
+    shutil handles only local paths, which would strand an object-store
+    merge after its staging write. Not atomic on object stores (rename
+    there is copy+delete); Delta/Iceberg commit protocols are the real
+    answer when the jars are available."""
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise OSError(f"rename {staging} -> {path} failed on {fs.getUri()}")
+
+
+def _key_join_null_safe(
+    existing: DataFrame, delta_keys: DataFrame, keys: Sequence[str], how: str
+) -> DataFrame:
+    """existing ⋈ delta_keys on all key columns with NULL-SAFE equality:
+    a plain ``on=keys`` join never matches NULL keys, so under anti-join a
+    NULL-keyed row would survive every merge and duplicate on each
+    re-delivery (and under semi-join a moved NULL key would go unseen)."""
     import functools
 
     right = delta_keys.select(*[F.col(k).alias(f"_dk_{k}") for k in keys]).distinct()
@@ -93,7 +117,11 @@ def _anti_join_null_safe(existing: DataFrame, delta_keys: DataFrame, keys: Seque
         lambda a, b: a & b,
         [existing[k].eqNullSafe(right[f"_dk_{k}"]) for k in keys],
     )
-    return existing.join(right, on=cond, how="left_anti")
+    return existing.join(right, on=cond, how=how)
+
+
+def _anti_join_null_safe(existing: DataFrame, delta_keys: DataFrame, keys: Sequence[str]) -> DataFrame:
+    return _key_join_null_safe(existing, delta_keys, keys, "left_anti")
 
 
 def upsert_parquet(
@@ -109,24 +137,21 @@ def upsert_parquet(
     unrelated rows are preserved.
 
     Mechanics: anti-join existing data against the incoming keys, union,
-    rewrite. The rewrite goes through a staging directory because the
-    union plan reads the same files the overwrite deletes. At scale,
-    partition the location and rewrite only affected partitions
-    (see ``upsert_parquet_partitioned``).
+    rewrite. The rewrite goes through a SAME-FILESYSTEM staging directory
+    (the union plan reads the very files the overwrite deletes), then the
+    Hadoop FS API swaps it in — local and remote (s3a://, hdfs://) paths
+    behave identically. At scale, partition the location and rewrite only
+    affected partitions (see ``upsert_parquet_partitioned``).
     """
-    import shutil
-    import tempfile
-
     spark = df.sparkSession
     keys = list(key_cols)
     if _fs_path_exists(spark, path):
         existing = spark.read.parquet(path)
         keep = _anti_join_null_safe(existing, df.select(*keys), keys)
         merged = keep.unionByName(df)
-        staging = tempfile.mkdtemp(prefix="blhs_upsert_") + "/data"
+        staging = _staging_sibling(path)
         merged.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(path)
-        shutil.move(staging, path)
+        _fs_swap_into(spark, staging, path)
     else:
         if df.isEmpty():
             return  # a schema-less empty directory would poison later reads
@@ -138,6 +163,7 @@ def upsert_parquet_partitioned(
     path: str,
     key_cols: Sequence[str],
     partition_col: str,
+    check_key_moves: bool = False,
 ) -> None:
     """Partition-pruned MERGE stand-in: rewrite ONLY the partitions the
     delta touches, leaving every other partition's files untouched on
@@ -159,7 +185,11 @@ def upsert_parquet_partitioned(
     keys (e.g. a date derived from the keyed window). If a key can MOVE
     between partitions, its old copy lives in a partition the delta does
     not touch and survives the merge — use the full-rewrite
-    ``upsert_parquet`` for that shape.
+    ``upsert_parquet`` for that shape. ``check_key_moves=True`` audits
+    this contract: it scans the UNTOUCHED partitions' key columns for any
+    incoming key and raises before writing anything. That scan reads the
+    whole mart's key columns — an audit/backfill tool, not a default
+    (the default trusts the contract and stays partition-pruned).
     """
     spark = df.sparkSession
     keys = list(key_cols)
@@ -182,6 +212,23 @@ def upsert_parquet_partitioned(
     cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
     if any(p is None for p in parts):
         cond = cond | F.col(partition_col).isNull()
+    if check_key_moves:
+        # untouched partitions = NOT(cond) with NULL folded to "untouched"
+        outside = spark.read.parquet(path).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        moved = _key_join_null_safe(
+            outside.select(*keys), df.select(*keys), keys, "left_semi"
+        )
+        hit = moved.limit(1).collect()
+        if hit:
+            raise ValueError(
+                f"upsert_parquet_partitioned: incoming key {hit[0].asDict()} "
+                f"already exists in a partition the delta does not touch — "
+                f"'{partition_col}' is not functionally dependent on "
+                f"{keys}; the old copy would survive the merge. Use "
+                f"upsert_parquet (full rewrite) for keys that move."
+            )
     existing = spark.read.parquet(path).filter(cond)
     keep = _anti_join_null_safe(existing, df.select(*keys), keys)
     merged = keep.unionByName(df.select(keep.columns)).localCheckpoint()

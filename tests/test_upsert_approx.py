@@ -73,6 +73,77 @@ def test_upsert_parquet_partitioned_rewrites_only_touched_partitions(spark):
         assert files_of(s) == before, f"partition {s} was rewritten"
 
 
+def test_upsert_partitioned_key_move_contract_edge(spark, tmp_path):
+    """The documented contract edge (writers.py): a key whose partition
+    value CHANGES leaves its old copy in an untouched partition. Default
+    mode exhibits exactly that (characterized here so a behavior change
+    is loud); check_key_moves=True must detect the move and refuse
+    before writing anything."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.writers import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "mart")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0)],
+        ["k", "day", "v"],
+    )
+    upsert_parquet_partitioned(base, path, ["k"], "day")
+
+    # key 1 moves from partition d1 to d2: contract violation
+    moved = spark.createDataFrame([(1, "d2", 11.0)], ["k", "day", "v"])
+
+    with pytest.raises(ValueError, match="not functionally dependent"):
+        upsert_parquet_partitioned(moved, path, ["k"], "day", check_key_moves=True)
+    # the refusal happened BEFORE any write: mart unchanged
+    assert {(r["k"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()} == {
+        (1, "d1", 10.0),
+        (2, "d1", 20.0),
+        (3, "d2", 30.0),
+    }
+
+    # default (pruned, trusting) mode: the old copy survives — documented
+    upsert_parquet_partitioned(moved, path, ["k"], "day")
+    rows = {(r["k"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert (1, "d2", 11.0) in rows
+    assert (1, "d1", 10.0) in rows  # the stale copy the contract warns about
+
+    # a delta that RESPECTS the contract passes the audit
+    ok = spark.createDataFrame([(4, "d1", 40.0)], ["k", "day", "v"])
+    upsert_parquet_partitioned(ok, path, ["k"], "day", check_key_moves=True)
+    assert (4, "d1", 40.0) in {
+        (r["k"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_upsert_and_compact_swap_via_hadoop_fs(spark, tmp_path):
+    """The rewrite path stages NEXT TO the destination and swaps via the
+    Hadoop FileSystem API (delete+rename) — no /tmp staging, no shutil:
+    the same code path a remote (s3a/hdfs) mart would take. Verifies no
+    staging directory is left behind and data survives both swaps."""
+    import os
+
+    from bookstore_aws_lakehouse_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"])
+    upsert_parquet(base, path, ["k"])
+    delta = spark.createDataFrame([(5, "V5"), (200, "v200")], ["k", "v"])
+    upsert_parquet(delta, path, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[5] == "V5" and got[200] == "v200" and len(got) == 101
+    n = compact_parquet(path, spark, target_partitions=1)
+    assert n == 1
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert len(spark.read.parquet(path).collect()) == 101
+    # no stranded staging siblings
+    siblings = [d for d in os.listdir(tmp_path) if "__staging_" in d]
+    assert siblings == [], siblings
+
+
 def test_approx_count_distinct_accuracy(spark, sf_oracle):
     """HLL++ sketch (the 100 TB answer to count(DISTINCT) when exactness
     isn't required — no Expand, mergeable partial sketches) stays within
