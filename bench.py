@@ -27,7 +27,16 @@ def main() -> None:
         app_name="bookstore-lakehouse-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # local[32] on the default 1g driver heap GC-thrashes on the
+            # bigger sections; the JVM then prints unified-logging GC
+            # warnings on STDOUT, which can land AFTER the JSON line and
+            # corrupt the one-line protocol — size the heap and silence
+            # JVM logging to stdout outright
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
+        },
     )
 
     from bookstore_aws_lakehouse_spark.registry import load_all
@@ -100,6 +109,7 @@ def main() -> None:
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     skew = _skew_section(spark)
+    growth = _growth_section(spark, sf_dir, GOLDEN)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -110,11 +120,96 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "skew": skew,
+                "growth": growth,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+
+def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
+    """Sub-quadratic-growth proof for the banded dedup/ANN paths: time the
+    same queries on the fixture corpus and on a 10×-synthesized one; an
+    all-pairs shape would grow ~100×, the banded shapes should grow
+    ~linearly (10–25× with fixed overheads amortizing).
+
+    The synthesized copies are deliberately NOT near-duplicates of their
+    parents (doc copy c drops every (c+2)-th word; embedding copy c
+    rotates the dimensions by c) — pure duplication would multiply every
+    LSH bucket's size by 10 and quadratize the within-bucket work, which
+    is a different (dup-density) experiment, not a scale-up one.
+    """
+    import functools
+    import shutil
+    import tempfile
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    names = [
+        "dedup_minhash_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
+        "ann_lsh_buckets",
+    ]
+    factor = 10
+    tmp = tempfile.mkdtemp(prefix="bench_growth_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+        doc_copies = [docs]
+        for c in range(1, factor):
+            words = F.split(F.col("text"), " ")
+            kept = F.filter(words, lambda x, i: (i + F.lit(c)) % (c + 2) != 0)
+            doc_copies.append(
+                docs.select(
+                    (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                    F.array_join(kept, " ").alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        functools.reduce(DataFrame.unionByName, doc_copies).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+
+        emb_copies = [emb]
+        for c in range(1, factor):
+            v = F.col("embedding")
+            dim = F.size(v)
+            rot = F.concat(F.slice(v, c + 1, 4096), F.slice(v, 1, c))
+            emb_copies.append(
+                emb.select(
+                    (F.col("vec_id") + c * 10_000_000).alias("vec_id"),
+                    rot.alias("embedding"),
+                    "label",
+                )
+            )
+        functools.reduce(DataFrame.unionByName, emb_copies).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/embeddings.parquet")
+
+        out = {"factor": factor, "queries": {}}
+        for name in names:
+            if name not in GOLDEN:
+                continue
+            t0 = time.monotonic()
+            GOLDEN[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            base = time.monotonic() - t0
+            t0 = time.monotonic()
+            GOLDEN[name](spark, tmp).write.format("noop").mode("overwrite").save()
+            big = time.monotonic() - t0
+            out["queries"][name] = {
+                "base_s": round(base, 3),
+                "x10_s": round(big, 3),
+                "ratio": round(big / base, 2) if base > 0 else None,
+            }
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _skew_section(spark) -> dict[str, float]:
