@@ -135,7 +135,10 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf[id_col]
+            # the select below has already normalized the id column's
+            # name — indexing by the caller's id_col would KeyError for
+            # any non-default id column
+            ids = pdf["doc_id"]
             types, payloads = [], []
             for i in ids:
                 i = int(i)
