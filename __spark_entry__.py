@@ -48,13 +48,16 @@ _MODULE_PRIORITY = (
 )
 
 
-def _driver_rows() -> tuple[set[str], set[str]]:
-    """(green, checked) query names across all prior CORRECTNESS_r*.json.
-    green ⊆ checked; checked-minus-green are past failures whose fixes
-    deserve the front of the queue. A query's verdict is its LATEST
+def _driver_rows() -> dict[str, tuple[bool, int]]:
+    """name -> (green, round_last_checked) across all prior
+    CORRECTNESS_r*.json. Non-green checked names are past failures whose
+    fixes deserve the front of the queue. A query's verdict is its LATEST
     round's row (files sort by round number): a regression in round N
-    must not stay 'green' on the strength of round N-1."""
-    latest: dict[str, bool] = {}
+    must not stay 'green' on the strength of round N-1. The round number
+    feeds an age tiebreaker: with few unchecked queries left, the driver
+    window re-verifies the STALEST greens first, so every row re-proves
+    itself every few rounds instead of coasting on a round-1 check."""
+    latest: dict[str, tuple[bool, int]] = {}
 
     def _round_no(path: str) -> int:
         # numeric sort: lexicographic would order r100 before r11 and let
@@ -73,14 +76,13 @@ def _driver_rows() -> tuple[set[str], set[str]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            latest[name] = not row.get("err") and bool(
+            ok = not row.get("err") and bool(
                 row.get("rows_match")
                 and row.get("schema_match", True)
                 and row.get("hash_match", True)
             )
-    checked = set(latest)
-    green = {name for name, ok in latest.items() if ok}
-    return green, checked
+            latest[name] = (ok, _round_no(path))
+    return latest
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -95,16 +97,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first (the driver checks a bounded prefix per round): past failures
     whose fixes need re-verification lead, then the never-checked by
     module priority (registration order within a module);
-    already-green queries follow in registration order.
+    already-green queries follow OLDEST driver check first (age-based
+    rotation — with the unchecked backlog cleared, the window's free
+    slots re-verify stale round-1 greens instead of re-running last
+    round's), module/registration order breaking ties within a round.
     """
-    green, checked = _driver_rows()
+    latest = _driver_rows()
     reg_index = {name: i for i, name in enumerate(GOLDEN)}
     mod_rank = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
 
     def key(name: str) -> tuple:
+        green, rnd = latest.get(name, (False, 0))
         return (
-            name in green,
-            name not in checked,  # fixed failures outrank never-checked
+            green,
+            # non-green: fixed failures (rnd > 0) outrank never-checked;
+            # green: stalest (lowest last-checked round) first
+            (rnd == 0) if not green else rnd,
             mod_rank.get(MODULE.get(name, ""), len(_MODULE_PRIORITY)),
             reg_index[name],
         )
