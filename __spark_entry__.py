@@ -85,6 +85,89 @@ def _driver_rows() -> dict[str, tuple[bool, int]]:
     return latest
 
 
+#: modules whose query builders are pure plan construction (safe to build
+#: for an analysis-only probe). Excluded: queries_streaming (building runs
+#: availableNow jobs), queries_dedup / queries_similarity (iterative /
+#: k-means training executes), queries_etl (sink queries write),
+#: queries_multimodal / queries_pipeline (may execute on build).
+_PROBE_MODULES = frozenset(
+    {
+        "golden",
+        "queries_sql",
+        "queries_events",
+        "queries_temporal",
+        "queries_text",
+        "queries_sampling",
+        "queries_quality",
+    }
+)
+
+
+#: queries broken by the round-4 fixture regeneration (events.ts ns→µs)
+#: and fixed in round 5 (catalog.load_events made schema-adaptive): their
+#: r02/r03 green rows predate the regeneration, so force them into the
+#:  next driver window ahead of stale-but-valid greens. Drop each name
+#: once a fresh green row lands (they then rotate normally).
+_FORCE_REVERIFY = frozenset(
+    {
+        "events_daily_agg",
+        "events_hourly_tumbling",
+        "events_sessionize",
+        "events_running_value",
+        "events_daily_from_hourly",
+        "events_type_transitions",
+        "events_retention_cohorts",
+        "events_daily_gapfill",
+        "events_hour_of_day_profile",
+        "events_conversion_funnel",
+        "events_session_duration_stats",
+        "events_hourly_anomaly",
+        "asof_last_signup",
+        "range_join_followups",
+        # changed in round 5 (real text decode became the default, new
+        # oracle) — its round-2 green checked different semantics
+        "multimodal_features",
+    }
+)
+
+
+_PROBE_CACHE: set[str] | None = None
+
+
+def _analysis_probe() -> set[str]:
+    """Build every probe-safe GOLDEN entry against sf0.001 and force
+    ``.schema`` (Catalyst analysis only — no jobs). Returns the names that
+    FAIL analysis. Purpose: an environmental change (e.g. the round-4
+    fixture regeneration flipping events.ts from ns to µs) can break
+    queries that hold fresh driver greens; the rotation would otherwise
+    leave them out of the verification window for rounds. Costs a few
+    seconds of footer reads; any probe-level failure degrades to 'no
+    information' rather than breaking queries()."""
+    global _PROBE_CACHE
+    if _PROBE_CACHE is not None:
+        return _PROBE_CACHE
+    broken: set[str] = set()
+    try:
+        from bookstore_aws_lakehouse_spark.session import get_spark
+
+        # match the machine: if no session exists yet, the one we create
+        # here is the one the driver's getOrCreate() will reuse — a
+        # local[4] probe session would quietly throttle the whole run
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
+        spark = get_spark(master=f"local[{cpus}]")
+        for name, fn in GOLDEN.items():
+            if MODULE.get(name, "") not in _PROBE_MODULES:
+                continue
+            try:
+                fn(spark, SMOKE_SF_DIR).schema
+            except Exception:
+                broken.add(name)
+    except Exception:
+        return set()
+    _PROBE_CACHE = broken
+    return broken
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (reference Top-100-Books pattern) on sf0.001."""
     return GOLDEN["topk_books"](spark, SMOKE_SF_DIR)
@@ -101,18 +184,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation — with the unchecked backlog cleared, the window's free
     slots re-verify stale round-1 greens instead of re-running last
     round's), module/registration order breaking ties within a round.
+
+    Before ordering, an analysis-only self-probe builds each probe-safe
+    query against sf0.001; queries failing analysis jump to the very
+    front regardless of green age — a green row from a prior round means
+    nothing once the fixtures change under it.
     """
     latest = _driver_rows()
+    broken = _analysis_probe()
+    # fixture-regen casualties with a fix but no fresh green row yet:
+    # treat like past failures until the driver re-verifies them
+    max_round = max((r for _, r in latest.values()), default=0)
+    for name in _FORCE_REVERIFY:
+        g, rnd = latest.get(name, (False, 0))
+        if g and rnd < max_round:  # green row predates the regen → stale
+            latest[name] = (False, rnd)
     reg_index = {name: i for i, name in enumerate(GOLDEN)}
     mod_rank = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
 
     def key(name: str) -> tuple:
         green, rnd = latest.get(name, (False, 0))
+        if name in broken:  # analysis-broken: ahead of everything
+            green = False
+        # non-green, ordered: analysis-broken (-1), then past failures
+        # whose fixes need re-checking (0), then never-checked (1);
+        # green: stalest (lowest last-checked round) first
+        if not green:
+            rank2 = -1 if name in broken else (0 if rnd > 0 else 1)
+        else:
+            rank2 = rnd
         return (
             green,
-            # non-green: fixed failures (rnd > 0) outrank never-checked;
-            # green: stalest (lowest last-checked round) first
-            (rnd == 0) if not green else rnd,
+            rank2,
             mod_rank.get(MODULE.get(name, ""), len(_MODULE_PRIORITY)),
             reg_index[name],
         )

@@ -10,6 +10,8 @@ catalog; temp views over parquet locations (tests/driver) or
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 #: every driver-generated fixture table (TESTDATA.md)
 TABLES: tuple[str, ...] = (
@@ -36,13 +38,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan the ``events`` table, whose ``ts`` is parquet TIMESTAMP(NANOS) —
-    a type Spark's vectorized reader rejects by default. We opt into
-    nanos-as-long (``ts`` arrives as bigint epoch-nanoseconds) and keep all
-    event-time arithmetic in integer nanos: exact, timezone-free, and
-    identical on every engine (DuckDB twin: ``epoch_ns(ts)``)."""
+    """Scan the ``events`` table and deliver ``ts`` as **bigint
+    epoch-nanoseconds** regardless of how the file stores it.
+
+    The fixture generator has shipped ``ts`` both as parquet
+    TIMESTAMP(NANOS) (rounds 1-3) and as ``timestamp[us]`` (round 4+), so
+    this loader is schema-adaptive rather than assuming one precision:
+
+    - TIMESTAMP(NANOS) file: Spark's vectorized reader rejects nanos by
+      default; the ``nanosAsLong`` opt-in surfaces it as bigint epoch-ns
+      directly.
+    - µs-precision file (TIMESTAMP / TIMESTAMP_NTZ): project
+      ``unix_micros(ts) * 1000``. The session zone is pinned to UTC first
+      so a TIMESTAMP_NTZ → TIMESTAMP cast is an exact micros passthrough,
+      matching DuckDB's naive-as-UTC ``epoch_ns(ts)`` oracle semantics.
+
+    Downstream code sees one contract — integer nanos: exact,
+    timezone-free, and identical on every engine."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df  # ns file read via nanosAsLong: already epoch-ns bigint
+    # timestamp-typed file: convert to the same epoch-ns bigint contract
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return df.withColumn(
+        "ts",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+            "bigint"
+        ),
+    )
 
 
 def load_tables(
@@ -50,7 +75,7 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     return {
         name: load_events(spark, sf_dir)
-        if name == "events"  # ns timestamps need the nanosAsLong opt-in
+        if name == "events"  # ts normalized to epoch-ns bigint (any precision)
         else load_table(spark, sf_dir, name)
         for name in names
     }

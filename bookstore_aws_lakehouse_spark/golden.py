@@ -1354,41 +1354,6 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @golden(
-    "q16_supplier_counts",
-    """
-    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_size >= 25
-      AND NOT EXISTS (SELECT 1 FROM supplier
-                      WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
-    GROUP BY p_brand, p_type
-    ORDER BY supplier_cnt DESC, p_brand, p_type
-    """,
-)
-def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: distinct-supplier counts per part class with a
-    supplier-exclusion subquery (anti-join; the oracle is written as
-    NOT EXISTS rather than NOT IN so that a NULL s_suppkey can never
-    trip NOT IN's three-valued-logic trap — left_anti / NOT EXISTS is
-    the null-safe spelling on both engines)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pt = filter_expr(load_table(spark, sf_dir, "part"), F.col("p_size") >= 25)
-    bad = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
-        .select(F.col("s_suppkey").alias("l_suppkey"))
-    )
-    from bookstore_aws_lakehouse_spark.operators.joins import anti_join
-
-    j = join_dim_fact(li, pt, on=F.col("l_partkey") == F.col("p_partkey"))
-    j = anti_join(j, bad, "l_suppkey")
-    agged = j.groupBy("p_brand", "p_type").agg(
-        F.countDistinct("l_suppkey").alias("supplier_cnt")
-    )
-    return agged.orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
-
-
-@golden(
     "q17_small_quantity_revenue",
     """
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
@@ -1586,9 +1551,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
     over the derived part-supplier relation, excluding flagged suppliers
-    (negative balance stands in for the complaints filter) via anti-join.
-    count(DISTINCT) expands to a two-phase de-dup aggregate — the shape
-    that matters at scale."""
+    (negative balance stands in for the complaints filter) via anti-join
+    (the oracle says NOT EXISTS, not NOT IN, so a NULL s_suppkey can
+    never trip NOT IN's three-valued-logic trap). count(DISTINCT)
+    expands to a two-phase de-dup aggregate — the shape that matters at
+    scale. Sole q16 in the registry: a simplified per-(brand,type)
+    variant was folded into this full formulation in round 5."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select("l_partkey", "l_suppkey").distinct()
     bad = (

@@ -21,6 +21,30 @@ from bookstore_aws_lakehouse_spark.registry import golden
 @golden(
     "multimodal_features",
     """
+    SELECT doc_id, 'text' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(list_max(list_transform(string_split(text, chr(10)),
+                                        x -> octet_length(encode(x)))) AS INT) AS width,
+           CAST(len(string_split(text, chr(10))) AS INT) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline with the REAL decoder (the default): attach
+    binary payloads (UTF-8 text), then Arrow-batched mapInPandas feature
+    extraction. Text payloads decode to their layout box — width = longest
+    line in bytes, height = line count — which the oracle recomputes with
+    string_split over the source column (ASCII corpus: byte and char
+    offsets coincide)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    return extract_media_features(media)
+
+
+@golden(
+    "multimodal_features_stub",
+    """
     WITH m AS (
       SELECT doc_id, 'text' AS media_type,
              octet_length(encode(text)) AS n_bytes,
@@ -33,11 +57,11 @@ from bookstore_aws_lakehouse_spark.registry import golden
     FROM m
     """,
 )
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline: attach binary payloads (UTF-8 text stand-ins),
-    then Arrow-batched mapInPandas feature extraction with the
-    deterministic stub decoder. The oracle reconstructs width/height from
-    md5 little-endian byte pairs — bit-for-bit the stub's formula."""
+def q_multimodal_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic STUB decoder (the opt-in path for codec-less
+    formats like JPEG/MP4), value-checked: the oracle reconstructs the
+    pseudo width/height from md5 little-endian byte pairs — bit-for-bit
+    the stub's formula — so even the fake path can't drift silently."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs, "doc_id", "text")
     return extract_media_features(media, fake_decode=True)
@@ -78,6 +102,47 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     feats = extract_media_features(synthesize_media(docs), fake_decode=False)
+    return feats.select("doc_id", "media_type", "n_bytes", "width", "height")
+
+
+@golden(
+    "multimodal_resize_real",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+             1 + doc_id % 100 AS frames
+      FROM documents
+    )
+    SELECT doc_id, media_type,
+           CAST(CASE WHEN media_type = 'image/bmp'
+                     THEN 54 + 4 * 24      -- 8x4 24bpp: stride 24, no pad
+                     ELSE 44 + frames * 2  -- WAV passes through unresized
+                     END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN media_type = 'image/bmp' THEN 8 ELSE 1 END AS INT) AS width,
+           CAST(CASE WHEN media_type = 'image/bmp' THEN 4 ELSE frames END AS INT) AS height
+    FROM m
+    """,
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize path end-to-end: synthesize spec-valid BMP/WAV
+    payloads, nearest-neighbor resample the BMPs to 8×4 with the
+    stdlib-only re-encoder (`resize_bmp`), then REAL-decode the resized
+    bytes. The oracle predicts the resized BMP's exact byte size (54-byte
+    headers + 4 rows × 24-byte stride) and decoded dims from the id
+    formulas; a re-encoder bug (wrong stride, wrong header field) breaks
+    the decode or the size. Pixel-level fidelity is asserted in
+    tests/test_multimodal.py (uniform-fill and gradient resamples)."""
+    from bookstore_aws_lakehouse_spark.operators.multimodal import (
+        resize_media,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_media(synthesize_media(docs), 8, 4)
+    feats = extract_media_features(
+        resized.select("doc_id", "media_type", "payload"), fake_decode=False
+    )
     return feats.select("doc_id", "media_type", "n_bytes", "width", "height")
 
 

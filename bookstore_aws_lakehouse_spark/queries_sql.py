@@ -21,19 +21,21 @@ import weakref
 
 # keyed on the live session object (weakly) — id() can be reused after a
 # stopped session is garbage-collected, which would silently skip
-# register_views on the successor session
-_VIEWS_READY: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+# register_views on the successor session. The value is the sf_dir the
+# views CURRENTLY point at: view names are global per session, so a set
+# of ever-registered dirs would wrongly skip re-registration when the
+# caller switches back to an earlier sf_dir.
+_VIEWS_READY: "weakref.WeakKeyDictionary[SparkSession, str]" = (
     weakref.WeakKeyDictionary()
 )
 
 
 def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    # register the 10 fixture views once per (session, sf_dir), not per
-    # query — re-registration re-reads every table's parquet footers
-    ready = _VIEWS_READY.setdefault(spark, set())
-    if sf_dir not in ready:
+    # register the 10 fixture views once per (session, sf_dir) switch, not
+    # per query — re-registration re-reads every table's parquet footers
+    if _VIEWS_READY.get(spark) != sf_dir:
         register_views(spark, sf_dir)
-        ready.add(sf_dir)
+        _VIEWS_READY[spark] = sf_dir
     return spark.sql(sql)
 
 

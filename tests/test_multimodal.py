@@ -89,6 +89,57 @@ def test_extract_features_roundtrip(spark):
     assert out[2]["content_md5"] == hashlib.md5(b"world").hexdigest()
 
 
+def test_resize_bmp_uniform_fill_exact_bytes():
+    # nearest-neighbor of a uniform image is uniform: the resized payload
+    # must equal make_bmp at the target dims byte-for-byte (pad-free 8x4)
+    from bookstore_aws_lakehouse_spark.operators.multimodal import make_bmp, resize_bmp
+
+    for w, h, fill in [(1, 1, 0), (16, 8, 7), (5, 3, 255)]:
+        assert resize_bmp(make_bmp(w, h, fill=fill), 8, 4) == make_bmp(8, 4, fill=fill)
+
+
+def test_resize_bmp_gradient_nearest_pixels():
+    # non-uniform source: check the nearest map src = dst*src/dst picks the
+    # expected source pixel. Build a 4x2 BMP whose pixel (x,y) has all
+    # three channels = 10*y + x, downsample to 2x1 and verify pixels.
+    import struct
+
+    from bookstore_aws_lakehouse_spark.operators.multimodal import decode_media, make_bmp, resize_bmp
+
+    src = bytearray(make_bmp(4, 2))
+    stride = (4 * 3 + 3) // 4 * 4
+    # rows indexed as stored (bottom-up) — resize_bmp preserves row order
+    for y in range(2):
+        for x in range(4):
+            v = 10 * y + x
+            off = 54 + y * stride + x * 3
+            src[off : off + 3] = bytes([v, v, v])
+    out = resize_bmp(bytes(src), 2, 1)
+    assert decode_media(out, "image/bmp") == (2, 1)
+    # nearest map: dst row 0 ← src row 0*2//1=0; dst x=0 ← src x=0*4//2=0,
+    # dst x=1 ← src x=1*4//2=2 → channel values 0 and 2
+    px0 = out[54:57]
+    px1 = out[57:60]
+    assert px0 == bytes([0, 0, 0]) and px1 == bytes([2, 2, 2])
+
+
+def test_resize_media_real_branch(spark):
+    from bookstore_aws_lakehouse_spark.operators.multimodal import (
+        resize_media,
+        synthesize_media,
+    )
+
+    df = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in resize_media(synthesize_media(df), 8, 4).collect()}
+    for i in range(6):
+        payload = bytes(out[i]["payload"])
+        if i % 2 == 0:  # BMP: genuinely resampled to 8x4 (stride 24, no pad)
+            assert payload[:2] == b"BM"
+            assert len(payload) == 54 + 4 * 24
+        else:  # WAV passes through unresized
+            assert payload[:4] == b"RIFF"
+
+
 def test_resize_stub_plumbing(spark):
     from bookstore_aws_lakehouse_spark.operators.multimodal import resize_media
 
