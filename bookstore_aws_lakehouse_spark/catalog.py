@@ -9,6 +9,8 @@ catalog; temp views over parquet locations (tests/driver) or
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -28,13 +30,28 @@ TABLES: tuple[str, ...] = (
 )
 
 
+#: per-session DataFrame cache: a read DataFrame is an immutable logical
+#: plan, so reusing it is safe — and skips the footer/schema-inference
+#: I/O that every one of the ~150 registry builders would otherwise
+#: re-pay per call (the driver builds all of them per round). Weakly
+#: keyed so a stopped session's plans don't pin its JVM state.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table (reference S1: `workflow/Extractor.py:3-5`).
 
     Plain ``spark.read.parquet`` — schema from the footer, vectorized reader,
     predicate pushdown and column pruning all come from Catalyst for free.
+    Memoized per (session, sf_dir, table): the returned plan is immutable.
     """
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return cache[key]
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,19 +72,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Downstream code sees one contract — integer nanos: exact,
     timezone-free, and identical on every engine."""
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "events@ns")  # distinct from the raw 'events' entry
+    if key in cache:
+        return cache[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = df.schema["ts"].dataType
-    if isinstance(ts_type, LongType):
-        return df  # ns file read via nanosAsLong: already epoch-ns bigint
-    # timestamp-typed file: convert to the same epoch-ns bigint contract
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return df.withColumn(
-        "ts",
-        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
-            "bigint"
-        ),
-    )
+    if not isinstance(ts_type, LongType):
+        # timestamp-typed file: convert to the epoch-ns bigint contract
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "bigint"
+            ),
+        )
+    cache[key] = df
+    return df
 
 
 def load_tables(

@@ -1535,6 +1535,91 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @golden(
+    "q9_product_profit",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(min(floor(100 * l_extendedprice / l_quantity)) AS BIGINT) AS ps_cost_cents
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           - CAST(sum(ps_cost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_profit
+    FROM lineitem
+    JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2      -- positional: 'nation' would bind to the table
+    ORDER BY 1, 2 DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit) on the derived partsupp:
+    profit per nation per order-year for parts matching a name pattern —
+    revenue minus supply cost. Exactness: revenue is the established
+    DECIMAL(18,2) product-sum; the derived supply cost is floored to
+    integer CENTS before the min (floor of an IEEE-identical double is
+    exact on both engines), so the cost side is a pure bigint sum and
+    the final subtraction is one deterministic double op. Plan shape:
+    the 5-way star — part filter → broadcast; supplier⋈nation →
+    broadcast; the derived ps aggregates lineitem on (partkey, suppkey)
+    and joins straight back on the same keys (one shuffle, reused);
+    orders joins on the orderkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.floor(F.lit(100) * F.col("l_extendedprice") / F.col("l_quantity"))
+        )
+        .cast("bigint")
+        .alias("ps_cost_cents")
+    )
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supp_nation = join_dim_fact(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+        on=F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    j = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agged = j.groupBy(F.col("n_name").alias("nation"), "o_year").agg(
+        (
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double")
+            - F.sum(
+                F.col("ps_cost_cents") * F.col("l_quantity").cast("bigint")
+            ).cast("bigint")
+            / F.lit(100.0)
+        ).alias("sum_profit")
+    )
+    return agged.orderBy("nation", F.col("o_year").desc())
+
+
+@golden(
     "q16_supplier_count",
     """
     WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)

@@ -157,3 +157,15 @@ def test_partitioned_mart_gets_partition_pruning(spark, sf_smoke, tmp_path):
     plan = plan_of(back)
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "l_returnflag" in pf, pf  # pruning: only the A directory is read
+
+
+def test_q9_star_shape(spark, sf_smoke):
+    plan = plan_of(GOLDEN["q9_product_profit"](spark, sf_smoke))
+    # filtered part and supplier⋈nation broadcast — the fact side never
+    # shuffles for the dimension joins
+    assert plan.count("BroadcastHashJoin") >= 3
+    # derived partsupp: partial + final aggregate pair, and the p_name
+    # pattern filter reaches the part scan
+    assert plan.count("HashAggregate") >= 2
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_name" in l for l in pushed), pushed
