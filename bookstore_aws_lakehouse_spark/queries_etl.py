@@ -167,6 +167,30 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, scratch, schema=NATION_DDL)
 
 
+@golden("scan_jsonl", "SELECT * FROM nation")
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL scan (beyond-reference source format; the lingua franca of
+    LLM training corpora): write nation as JSON lines, read back with an
+    explicit schema — no inference pass, same discipline as the CSV path
+    (inference on JSONL is a full extra scan at 100 TB)."""
+    from bookstore_aws_lakehouse_spark.sources.readers import read_json
+
+    scratch = os.path.join(tempfile.mkdtemp(prefix="blhs_jsonl_"), "nation_jsonl")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").json(scratch)
+    return read_json(spark, scratch, schema=NATION_DDL)
+
+
+@golden("scan_orc", "SELECT * FROM nation")
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (beyond-reference; Spark-native columnar alternative):
+    write nation as ORC, scan it back. Same vectorized-reader/pushdown
+    machinery as parquet — the format a warehouse migration most often
+    brings along."""
+    scratch = os.path.join(tempfile.mkdtemp(prefix="blhs_orc_"), "nation_orc")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(scratch)
+    return spark.read.orc(scratch)
+
+
 @golden(
     "sink_roundtrip",
     """
