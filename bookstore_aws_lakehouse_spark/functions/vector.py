@@ -63,3 +63,43 @@ def make_cosine_similarity_pandas():
 
     cosine_pandas.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
     return pandas_udf(cosine_pandas, "double")
+
+
+def make_cosine_similarity_exact_pandas():
+    """Arrow-vectorized cosine that is BIT-IDENTICAL to the JVM
+    ``cosine_similarity`` (and to the DuckDB ``list_dot_product`` oracle):
+    all three accumulators fold left-to-right over dims — an explicit
+    per-dim loop of vectorized ops, the same trick as
+    ``operators/similarity.py::lsh_bucket_tables`` — so hash-level parity
+    survives while the per-row expression-tree cost (3 aggregates × dims
+    lambda steps per pair) collapses into ~dims numpy passes per batch.
+    Use for scoring large candidate-pair sets; inputs must be non-null
+    (candidate generation already drops null vectors). Zero-norm rows
+    yield NULL, exactly like the JVM ``when`` with no ``otherwise``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def cosine_exact(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="Float64")
+        va = np.stack(a.to_numpy()).astype("float64")
+        vb = np.stack(b.to_numpy()).astype("float64")
+        ab = np.zeros(len(a), dtype="float64")
+        aa = np.zeros(len(a), dtype="float64")
+        bb = np.zeros(len(a), dtype="float64")
+        for i in range(va.shape[1]):  # left-to-right: exact fold order
+            ab += va[:, i] * vb[:, i]
+            aa += va[:, i] * va[:, i]
+            bb += vb[:, i] * vb[:, i]
+        na, nb = np.sqrt(aa), np.sqrt(bb)
+        ok = (na > 0) & (nb > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = ab / (na * nb)
+        out = pd.array(vals, dtype="Float64")
+        out[~ok] = pd.NA
+        return pd.Series(out, dtype="Float64")
+
+    cosine_exact.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(cosine_exact, "double")

