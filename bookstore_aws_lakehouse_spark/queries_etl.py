@@ -180,6 +180,33 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json(spark, scratch, schema=NATION_DDL)
 
 
+@golden(
+    "sql_ctas_roundtrip",
+    """
+    SELECT n_name, count(*) AS customer_count
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sql_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML surface: CTAS into the session catalog (the Glue/Spectrum
+    write path analog — reference loads marts for SQL clients to query by
+    name), then read the TABLE back by name. Values must survive the
+    catalog round-trip bit-exactly. DROP + CTAS rather than INSERT
+    OVERWRITE keeps the query idempotent across repeated driver runs."""
+    from bookstore_aws_lakehouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS ctas_customer_counts")
+    spark.sql(
+        """CREATE TABLE ctas_customer_counts USING parquet AS
+           SELECT n_name, count(*) AS customer_count
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name"""
+    )
+    return spark.sql("SELECT n_name, customer_count FROM ctas_customer_counts")
+
+
 @golden("scan_orc", "SELECT * FROM nation")
 def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC scan (beyond-reference; Spark-native columnar alternative):

@@ -43,3 +43,35 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_analysis_probe_flags_broken_query(spark):
+    """The rotation's blind-spot guard: a query that fails Catalyst
+    analysis (e.g. after a fixture schema change) must be detected by the
+    analysis-only self-probe and promoted to the head of the driver
+    window, regardless of any green history."""
+    import __spark_entry__ as e
+
+    def broken(spark, sf_dir):
+        # references a column that does not exist -> AnalysisException
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .withColumn("x", F.col("no_such_column") + 1)
+        )
+
+    from bookstore_aws_lakehouse_spark import registry
+
+    name = "zz_probe_canary"
+    e.GOLDEN[name] = broken
+    registry.MODULE[name] = "golden"  # a probe-safe module
+    saved_cache = e._PROBE_CACHE
+    e._PROBE_CACHE = None  # force a fresh probe
+    try:
+        ordered = list(e.queries())
+        assert ordered[0] == name, ordered[:5]
+    finally:
+        del e.GOLDEN[name]
+        del registry.MODULE[name]
+        e._PROBE_CACHE = saved_cache
