@@ -86,10 +86,9 @@ def _driver_rows() -> dict[str, tuple[bool, int]]:
 
 
 #: modules whose query builders are pure plan construction (safe to build
-#: for an analysis-only probe). Excluded: queries_streaming (building runs
-#: availableNow jobs), queries_dedup / queries_similarity (iterative /
-#: k-means training executes), queries_etl (sink queries write),
-#: queries_multimodal / queries_pipeline (may execute on build).
+#: for an analysis-only probe). Excluded wholesale: queries_streaming
+#: (building runs availableNow jobs) and queries_etl (the source/sink
+#: round-trip queries write files on build).
 _PROBE_MODULES = frozenset(
     {
         "golden",
@@ -99,6 +98,20 @@ _PROBE_MODULES = frozenset(
         "queries_text",
         "queries_sampling",
         "queries_quality",
+        "queries_dedup",
+        "queries_similarity",
+        "queries_multimodal",
+        "queries_pipeline",
+    }
+)
+
+#: probe-safe modules' builders that nonetheless EXECUTE on build
+#: (iterative convergence loops / store-table writes) — skipped by name
+_PROBE_EXCLUDE = frozenset(
+    {
+        "dedup_clusters",
+        "dedup_survivors",
+        "dedup_incremental_bucketed",
     }
 )
 
@@ -156,7 +169,7 @@ def _analysis_probe() -> set[str]:
         cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
         spark = get_spark(master=f"local[{cpus}]")
         for name, fn in GOLDEN.items():
-            if MODULE.get(name, "") not in _PROBE_MODULES:
+            if MODULE.get(name, "") not in _PROBE_MODULES or name in _PROBE_EXCLUDE:
                 continue
             try:
                 fn(spark, SMOKE_SF_DIR).schema
