@@ -157,6 +157,46 @@ def minhash_band_pairs(
     )
 
 
+def _shingle_shared(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front end of the n-gram similarity family: shingle →
+    portable-hash → optional stop-shingle filter → inverted-index
+    self-join. Returns (shared, sizes): unordered pair intersection
+    counts (id_a < id_b) and per-doc filtered shingle-set sizes.
+
+    The self-join is keyed on the 8-byte portable hash, not the shingle
+    string: the shuffle carries fixed-width keys instead of ~20-char
+    text. (60-bit md5 collisions would add a phantom shared-shingle
+    count; at 10^9 distinct shingles the chance of ANY collision is
+    ~10^-4 — acceptable for candidate generation.)"""
+    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
+    sh = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("shingle_h"))
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle_h").select(
+            F.col(id_col), "shingle_h"
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle_h")
+    shared = (
+        a.join(b, "shingle_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared, sizes
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -176,31 +216,7 @@ def jaccard_pairs(
     single straggler partition at 100×. Jaccard is then computed over the
     filtered shingle sets. ``max_df=None`` opts into unfiltered semantics.
     """
-    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
-
-    sh = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
-    )
-    # join on the 8-byte portable hash, not the shingle string: the
-    # self-join shuffle carries fixed-width keys instead of ~20-char text.
-    # (60-bit md5 collisions would add a phantom shared-shingle count;
-    # at 10^9 distinct shingles the chance of ANY collision is ~10^-4 —
-    # acceptable for candidate generation.)
-    sh = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("shingle_h"))
-    if max_df is not None:
-        df_counts = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle_h").select(
-            F.col(id_col), "shingle_h"
-        )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle_h")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle_h")
-    shared = (
-        a.join(b, "shingle_h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    shared, sizes = _shingle_shared(df, id_col, text_col, shingle_k, max_df)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -218,6 +234,47 @@ def jaccard_pairs(
         )
         .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Directed n-gram containment: emit (id_sub, id_super) where
+    containment(sub→super) = |sub ∩ super| / |sub| ≥ threshold — the
+    asymmetric companion to Jaccard that catches a document QUOTED or
+    EMBEDDED inside a larger one (jaccard stays low when |super| ≫ |sub|,
+    containment does not). The curation use: drop near-subset docs while
+    keeping their containers.
+
+    Same inverted-index front end as ``jaccard_pairs`` (one self-join on
+    unordered pairs — directed rows derive from it, so candidate volume
+    does NOT double); integer cross-multiplied threshold, exact on any
+    engine."""
+    shared, sizes = _shingle_shared(df, id_col, text_col, shingle_k, max_df)
+    t = F.lit(int(round(threshold * 1000)))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    j = shared.join(sa, "id_a").join(sb, "id_b")
+    dir_a = j.filter(F.col("n_shared") * 1000 >= t * F.col("n_a")).select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        "n_shared",
+        F.col("n_a").alias("n_sub"),
+        (F.col("n_shared") / F.col("n_a")).alias("containment"),
+    )
+    dir_b = j.filter(F.col("n_shared") * 1000 >= t * F.col("n_b")).select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        "n_shared",
+        F.col("n_b").alias("n_sub"),
+        (F.col("n_shared") / F.col("n_b")).alias("containment"),
+    )
+    return dir_a.unionByName(dir_b)
 
 
 SIMHASH_BITS = 32

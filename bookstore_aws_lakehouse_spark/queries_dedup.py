@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bookstore_aws_lakehouse_spark.catalog import load_table
 from bookstore_aws_lakehouse_spark.operators.dedup import (
     SIMHASH_BITS,
+    containment_pairs,
     exact_duplicates,
     fingerprint_duplicates,
     jaccard_pairs,
@@ -175,6 +176,41 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-key guard is on unless explicitly disabled."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1)
+
+
+def _containment_sql(max_df: int, thresh_ppt: int) -> str:
+    """Directed-containment oracle over the same shared/sizes CTEs as
+    the Jaccard twin: each unordered intersection row yields up to two
+    directed rows (sub→super both ways), integer cross-multiplied
+    threshold."""
+    return (
+        _SHINGLES_CTE
+        + ","
+        + _jaccard_core_cte(max_df)
+        + f"""
+SELECT id_sub, id_super, n_shared, n_sub,
+       n_shared / CAST(n_sub AS DOUBLE) AS containment
+FROM (
+  SELECT id_a AS id_sub, id_b AS id_super, n_shared, sa.n_shingles AS n_sub
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a
+  WHERE n_shared * 1000 >= {thresh_ppt} * sa.n_shingles
+  UNION ALL
+  SELECT id_b, id_a, n_shared, sb.n_shingles
+  FROM shared JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_shared * 1000 >= {thresh_ppt} * sb.n_shingles
+)
+"""
+    )
+
+
+@golden("dedup_containment_pairs", _containment_sql(max_df=100, thresh_ppt=500))
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment ≥ 0.5 (|sub∩super| / |sub|) over the
+    shingle inverted index — finds documents quoted/embedded in larger
+    ones, which symmetric Jaccard misses when the container is much
+    bigger. One unordered self-join; directed rows derived after."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
 
 
 def _simhash_sql() -> str:
