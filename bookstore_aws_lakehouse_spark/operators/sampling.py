@@ -36,6 +36,32 @@ def train_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    test_fraction: float = 0.2,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Split by duplicate GROUP, not by row: the bucket hashes the
+    normalized text fingerprint, so every exact/near-exact copy of a
+    document lands on the same side. A per-id split silently leaks —
+    copy A trains while copy B evaluates; hashing the content
+    fingerprint makes that structurally impossible. Still map-side only
+    (an expression per row — no join, no shuffle, no dedup pass), and
+    stable under data growth like the id split."""
+    from bookstore_aws_lakehouse_spark.operators.text import normalized_fingerprint
+
+    cut = int(round(test_fraction * 1000))
+    return df.withColumn(
+        "split",
+        F.when(
+            split_bucket(normalized_fingerprint(text_col), salt) < cut,
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+
+
 SAMPLE_PPM = 1_000_000
 
 

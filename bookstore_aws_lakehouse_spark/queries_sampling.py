@@ -32,6 +32,36 @@ def q_dataset_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_test_split(docs, "doc_id", test_fraction=0.2)
 
 
+#: bucket over an arbitrary SQL string expression (not just doc_id)
+_BUCKET_EXPR = (
+    "((('0x' || substring(md5('{salt}:' || {expr}), 1, 15))::BIGINT % 1000) + 1000) % 1000"
+)
+_FINGERPRINT_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+@golden(
+    "dataset_leakage_safe_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_EXPR.format(salt="gsplit", expr=_FINGERPRINT_SQL)} < 200
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/20 split: the bucket hashes the normalized TEXT
+    fingerprint instead of the row id, so exact/near-exact duplicate
+    documents always land on the same side — a per-id split lets copy A
+    train while copy B evaluates. Map-side expression only: no dedup
+    join, no shuffle."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return leakage_safe_split(docs, "doc_id", "text", test_fraction=0.2).select(
+        "doc_id", "split"
+    )
+
+
 MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 

@@ -139,3 +139,29 @@ def test_null_if_in_helper(spark):
     df = spark.createDataFrame([("x",), (" ",), ("",)], ["v"])
     out = [r["v"] for r in df.select(null_if_in("v", ("", " ")).alias("v")).collect()]
     assert out == ["x", None, None]
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    """The whole point of the fingerprint-bucketed split: rows with the
+    same normalized text (exact copies, case/whitespace variants) must
+    always receive the same split label, while an id-bucketed split can
+    and does separate them."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import leakage_safe_split
+
+    rows = []
+    for g in range(200):  # 200 duplicate groups x 3 variants
+        base = f"doc number {g} with some words"
+        rows += [
+            (3 * g, base),
+            (3 * g + 1, base.upper()),          # case variant
+            (3 * g + 2, "  " + base + "  "),    # whitespace variant
+        ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_split(df, "doc_id", "text", test_fraction=0.3).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["doc_id"] // 3, set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    # both sides are populated (the split actually splits)
+    labels = {r["split"] for r in out}
+    assert labels == {"train", "test"}
