@@ -36,6 +36,44 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+def chunk_sliding_windows(
+    df,
+    id_col: str,
+    text_col: str,
+    window: int = 128,
+    stride: int = 64,
+):
+    """Overlapping context-window chunking for pretraining: each doc's
+    token stream yields windows of ``window`` tokens starting every
+    ``stride`` tokens (stride < window → overlap; the trailing window is
+    shorter). One explode per doc — map-side fan-out, no shuffle, no
+    driver involvement; chunk identity is the md5 of the re-joined token
+    slice so an engine-portable oracle can verify every chunk's exact
+    content."""
+    e = (
+        df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= 1)
+    )
+    e = e.select(
+        F.col(id_col),
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("_n") - 1) / F.lit(stride)).cast("int"),
+            )
+        ).alias("chunk_no"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_no") * stride + 1, window)
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
 def stopword_count(col: Column | str, stopwords: Sequence[str] = STOPWORDS) -> Column:
     toks = tokenize(col)
     return F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))

@@ -172,6 +172,43 @@ def q_dataset_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTEXT_TOKENS = 2048
+CHUNK_WINDOW = 128
+CHUNK_STRIDE = 64
+
+
+@golden(
+    "dataset_chunk_windows",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST((n - 1) // {CHUNK_STRIDE} AS INT))) AS chunk_no
+      FROM d WHERE n >= 1
+    )
+    SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+           CAST(len(t[chunk_no * {CHUNK_STRIDE} + 1 : chunk_no * {CHUNK_STRIDE} + {CHUNK_WINDOW}]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(t[chunk_no * {CHUNK_STRIDE} + 1 : chunk_no * {CHUNK_STRIDE} + {CHUNK_WINDOW}], ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def q_dataset_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context windows (128 tokens, stride 64) per document —
+    the chunking a pretraining tokenizer pipeline applies before packing.
+    Map-side explode fan-out; every chunk's exact token content is
+    verified via md5 of the re-joined slice (both engines slice the same
+    1-based inclusive window)."""
+    from bookstore_aws_lakehouse_spark.operators.text import chunk_sliding_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_sliding_windows(
+        docs, "doc_id", "text", window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    )
+
+
 PACK_SHARDS = 8
 
 
