@@ -992,6 +992,38 @@ def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @golden(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders_to_date,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS revenue_to_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame running totals (the default frame under ORDER BY —
+    RANGE UNBOUNDED PRECEDING..CURRENT ROW): all PEER rows (same order
+    date) share the same running count/revenue, the semantic that a
+    ROWS frame breaks on ties. Exact under ties because the windowed sum
+    is a decimal sum (order-independent) and the count is tie-invariant
+    by construction — no tiebreak column needed or wanted."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders_to_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_to_date"),
+    )
+
+
+@golden(
     "q4_order_priority_check",
     """
     SELECT o_orderpriority, count(*) AS order_count

@@ -71,10 +71,13 @@ def attach_payload(df: DataFrame, id_col: str, content_col: str, media_type: str
 
 def make_bmp(width: int, height: int, fill: int = 0) -> bytes:
     """A real, spec-conforming 24-bpp BMP (BITMAPINFOHEADER), built with
-    stdlib ``struct`` only. Rows are bottom-up and padded to 4 bytes per
-    the format; every pixel byte is ``fill`` so payloads are deterministic.
-    Used by tests/fixtures so ``decode_media`` has a genuinely-decodable
-    format in an environment without codec libraries."""
+    stdlib ``struct`` only. Rows are bottom-up and zero-padded to 4 bytes
+    per the format; every PIXEL byte is ``fill`` so payloads are
+    deterministic (padding is zero — the same convention ``resize_bmp``
+    re-encodes with, so uniform-fill round-trips are byte-identical at
+    any width, found by the hypothesis property test). Used by
+    tests/fixtures so ``decode_media`` has a genuinely-decodable format
+    in an environment without codec libraries."""
     row_stride = (width * 3 + 3) // 4 * 4
     image_size = row_stride * height
     file_size = 54 + image_size
@@ -82,7 +85,8 @@ def make_bmp(width: int, height: int, fill: int = 0) -> bytes:
     dib = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
     )
-    return header + dib + bytes([fill % 256]) * image_size
+    row = bytes([fill % 256]) * (width * 3) + b"\x00" * (row_stride - width * 3)
+    return header + dib + row * height
 
 
 def make_wav(n_frames: int, n_channels: int = 1, sample_rate: int = 8000) -> bytes:
