@@ -34,10 +34,36 @@ TABLES: tuple[str, ...] = (
 #: plan, so reusing it is safe — and skips the footer/schema-inference
 #: I/O that every one of the ~150 registry builders would otherwise
 #: re-pay per call (the driver builds all of them per round). Weakly
-#: keyed so a stopped session's plans don't pin its JVM state.
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+#: keyed so a stopped session's plans don't pin its JVM state. Each key
+#: carries the file's (mtime, size) fingerprint, so a fixture regenerated
+#: mid-session gets a FRESH read instead of a stale plan/schema — the
+#: round-4 regeneration failure mode, closed at the cache itself.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _file_fingerprint(path: str) -> tuple:
+    """(mtime_ns, size) of a local parquet file/dir — the cache-busting
+    component of a table-cache key. Directories fingerprint their direct
+    entries (a rewritten parquet dir changes part files). Non-stat-able
+    paths (remote URIs) return a constant: those cache without
+    invalidation, as before."""
+    import os
+
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            parts = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                )
+            )
+            return (st.st_mtime_ns, parts)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("nostat",)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,12 +71,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Plain ``spark.read.parquet`` — schema from the footer, vectorized reader,
     predicate pushdown and column pruning all come from Catalyst for free.
-    Memoized per (session, sf_dir, table): the returned plan is immutable.
+    Memoized per (session, sf_dir, table, file-fingerprint): the returned
+    plan is immutable and a regenerated file misses the cache.
     """
     cache = _TABLE_CACHE.setdefault(spark, {})
-    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name, _file_fingerprint(path))
     if key not in cache:
-        cache[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        cache[key] = spark.read.parquet(path)
     return cache[key]
 
 
@@ -73,11 +101,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Downstream code sees one contract — integer nanos: exact,
     timezone-free, and identical on every engine."""
     cache = _TABLE_CACHE.setdefault(spark, {})
-    key = (sf_dir, "events@ns")  # distinct from the raw 'events' entry
+    path = f"{sf_dir}/events.parquet"
+    # distinct from the raw 'events' entry; fingerprinted like load_table
+    key = (sf_dir, "events@ns", _file_fingerprint(path))
     if key in cache:
         return cache[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if not isinstance(ts_type, LongType):
         # timestamp-typed file: convert to the epoch-ns bigint contract

@@ -1577,7 +1577,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-           - CAST(sum(ps_cost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0
+           - CAST(sum(ps_cost_cents * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) / 100.0
              AS sum_profit
     FROM lineitem
     JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -1642,8 +1642,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
             ).cast("double")
+            # floor before the int conversion on BOTH engines: Spark's
+            # double→bigint cast truncates while DuckDB's rounds; floor
+            # makes the parity independent of quantities being integral
             - F.sum(
-                F.col("ps_cost_cents") * F.col("l_quantity").cast("bigint")
+                F.col("ps_cost_cents") * F.floor(F.col("l_quantity"))
             ).cast("bigint")
             / F.lit(100.0)
         ).alias("sum_profit")

@@ -223,8 +223,11 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     ``src = floor(dst * src_dim / dst_dim)``, re-encode via make_bmp's
     header layout. Deterministic: output bytes are a pure function of
     (payload, target dims)."""
-    src_w, src_h = struct.unpack_from("<ii", payload, 18)
-    src_h = abs(src_h)
+    src_w, src_h_raw = struct.unpack_from("<ii", payload, 18)
+    # negative DIB height = top-down row order: reverse the source row
+    # index so the (bottom-up) output isn't vertically flipped
+    top_down = src_h_raw < 0
+    src_h = abs(src_h_raw)
     data_off = struct.unpack_from("<I", payload, 10)[0]
     src_stride = (src_w * 3 + 3) // 4 * 4
     dst_stride = (target_w * 3 + 3) // 4 * 4
@@ -232,6 +235,8 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     pad = b"\x00" * (dst_stride - target_w * 3)
     for y in range(target_h):
         src_y = y * src_h // target_h
+        if top_down:
+            src_y = src_h - 1 - src_y
         row_off = data_off + src_y * src_stride
         row = bytearray()
         for x in range(target_w):
@@ -249,25 +254,42 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
 def resize_media(df: DataFrame, target_w: int, target_h: int, fake: bool = False) -> DataFrame:
     """Resize stage inside the same Arrow batch (mapInPandas, map-side
     only). The REAL branch (default) decodes and nearest-neighbor
-    resamples 24-bpp BMP payloads with the stdlib (``resize_bmp``);
-    non-BMP payloads pass through with their original bytes (resampling
-    audio/video needs codec libraries absent here). ``fake=True`` skips
-    decoding entirely and only stamps the target dimensions — the
-    plumbing stub for formats whose real path can't run in this
-    environment."""
+    resamples 24-bpp BMP payloads with the stdlib (``resize_bmp``) and
+    stamps the target dims; non-BMP payloads pass through with their
+    original bytes (resampling audio/video needs codec libraries absent
+    here) and keep their DECODED dims (NULL when undecodable) — metadata
+    always describes the payload it rides with. ``fake=True`` skips
+    decoding entirely and stamps targets on every row — the plumbing
+    stub for formats whose real path can't run in this environment."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["doc_id", "media_type", "payload"]].copy()
-            if not fake:
-                out["payload"] = [
-                    resize_bmp(p, target_w, target_h)
-                    if p is not None and p[:2] == b"BM"
-                    else p
-                    for p in out["payload"]
-                ]
-            out["width"] = pd.Series([target_w] * len(pdf), dtype="int32")
-            out["height"] = pd.Series([target_h] * len(pdf), dtype="int32")
+            if fake:
+                out["width"] = pd.Series([target_w] * len(pdf), dtype="int32")
+                out["height"] = pd.Series([target_h] * len(pdf), dtype="int32")
+                yield out
+                continue
+            payloads, widths, heights = [], [], []
+            for p, mt in zip(out["payload"], out["media_type"]):
+                if p is not None and p[:2] == b"BM":
+                    payloads.append(resize_bmp(p, target_w, target_h))
+                    widths.append(target_w)
+                    heights.append(target_h)
+                else:
+                    # pass-through: metadata must describe the ACTUAL
+                    # payload, not the targets — decode its real dims
+                    # where the format allows, else leave them NULL
+                    payloads.append(p)
+                    try:
+                        w, h = decode_media(p, mt) if p is not None else (None, None)
+                    except NotImplementedError:
+                        w, h = None, None
+                    widths.append(w)
+                    heights.append(h)
+            out["payload"] = payloads
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
             yield out
 
     return df.mapInPandas(do_resize, schema=RESIZED_SCHEMA)

@@ -49,16 +49,22 @@ def leakage_safe_split(
     copy A trains while copy B evaluates; hashing the content
     fingerprint makes that structurally impossible. Still map-side only
     (an expression per row — no join, no shuffle, no dedup pass), and
-    stable under data growth like the id split."""
+    stable under data growth like the id split.
+
+    NULL text has no fingerprint to group by: such rows go to 'train'
+    explicitly. (Without the guard, concat_ws inside the bucket hash
+    silently SKIPS the NULL and hashes the salt alone — every NULL-text
+    row would land in one arbitrary bucket, diverging from SQL twins
+    where ``||`` propagates NULL.)"""
     from bookstore_aws_lakehouse_spark.operators.text import normalized_fingerprint
 
     cut = int(round(test_fraction * 1000))
+    fp = normalized_fingerprint(text_col)
     return df.withColumn(
         "split",
-        F.when(
-            split_bucket(normalized_fingerprint(text_col), salt) < cut,
-            F.lit("test"),
-        ).otherwise(F.lit("train")),
+        F.when(fp.isNull(), F.lit("train"))
+        .when(split_bucket(fp, salt) < cut, F.lit("test"))
+        .otherwise(F.lit("train")),
     )
 
 

@@ -14,6 +14,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: ceiling on distinct partition values a partitioned upsert's delta may
+#: touch — far above any sane daily batch (a decade of daily partitions is
+#: ~3,650) while keeping the driver-side collect bounded
+MAX_UPSERT_PARTITIONS = 10_000
+
 
 def write_parquet(
     df: DataFrame,
@@ -201,7 +206,22 @@ def upsert_parquet_partitioned(
             return  # a schema-less empty directory would poison later reads
         df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
-    parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+    # the distinct-partition collect is bounded by the delta's partition
+    # count, not its rows — but an unbounded-cardinality partition column
+    # (someone partitioning by a key) would OOM the driver here. Cap it:
+    # LIMIT cap+1 bounds what the driver can ever receive, and tripping
+    # the cap is a misuse signal, not a size problem to accommodate.
+    cap = MAX_UPSERT_PARTITIONS
+    parts = [
+        r[0] for r in df.select(partition_col).distinct().limit(cap + 1).collect()
+    ]
+    if len(parts) > cap:
+        raise ValueError(
+            f"upsert_parquet_partitioned: delta touches more than {cap} "
+            f"distinct '{partition_col}' values — that is key-grade "
+            f"cardinality, not a partition column. Partition by a coarser "
+            f"derived column (e.g. a date) or use upsert_parquet."
+        )
     if not parts:
         return  # empty delta: nothing to merge
     # isin() is null-unsafe: a NULL partition value in the delta would

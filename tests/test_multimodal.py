@@ -136,8 +136,36 @@ def test_resize_media_real_branch(spark):
         if i % 2 == 0:  # BMP: genuinely resampled to 8x4 (stride 24, no pad)
             assert payload[:2] == b"BM"
             assert len(payload) == 54 + 4 * 24
-        else:  # WAV passes through unresized
+            assert (out[i]["width"], out[i]["height"]) == (8, 4)
+        else:  # WAV passes through unresized — metadata keeps its REAL
+            # decoded dims (channels, frames), not the resize targets
             assert payload[:4] == b"RIFF"
+            assert (out[i]["width"], out[i]["height"]) == (1, 1 + i % 100)
+
+
+def test_resize_bmp_top_down_source_not_flipped():
+    # a negative-height (top-down) DIB stores rows in reverse order;
+    # resize_bmp must reverse the source row index so the resampled
+    # (bottom-up) output depicts the same image as the bottom-up twin
+    import struct
+
+    from bookstore_aws_lakehouse_spark.operators.multimodal import make_bmp, resize_bmp
+
+    src = bytearray(make_bmp(4, 2))
+    stride = (4 * 3 + 3) // 4 * 4
+    for y in range(2):
+        for x in range(4):
+            v = 10 * y + x
+            off = 54 + y * stride + x * 3
+            src[off : off + 3] = bytes([v, v, v])
+    # top-down twin: negate the DIB height, reverse stored row order
+    td = bytearray(src)
+    struct.pack_into("<i", td, 22, -2)
+    td[54 : 54 + stride], td[54 + stride : 54 + 2 * stride] = (
+        src[54 + stride : 54 + 2 * stride],
+        src[54 : 54 + stride],
+    )
+    assert resize_bmp(bytes(td), 2, 1) == resize_bmp(bytes(src), 2, 1)
 
 
 def test_resize_stub_plumbing(spark):
@@ -145,10 +173,14 @@ def test_resize_stub_plumbing(spark):
 
     df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
     media = attach_payload(df, "doc_id", "text", media_type="image")
-    out = resize_media(media, 224, 224).collect()
+    out = resize_media(media, 224, 224, fake=True).collect()
     assert len(out) == 2
     assert all(r["width"] == 224 and r["height"] == 224 for r in out)
     assert bytes(out[0]["payload"])  # payload survives the stage
+    # REAL branch on an undecodable format: payload passes through and the
+    # dims are NULL — never a false claim of 224x224
+    real = resize_media(media, 224, 224).collect()
+    assert all(r["width"] is None and r["height"] is None for r in real)
 
 
 def test_sample_frames_fan_out(spark):

@@ -165,3 +165,20 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
     # both sides are populated (the split actually splits)
     labels = {r["split"] for r in out}
     assert labels == {"train", "test"}
+
+
+def test_leakage_safe_split_null_text_goes_to_train(spark):
+    """NULL text has no fingerprint: such rows must land in 'train'
+    deterministically (matching SQL twins where || propagates NULL),
+    not hash the bare salt into an arbitrary bucket."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bookstore_aws_lakehouse_spark.operators.sampling import leakage_safe_split
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(1, None), (2, "real text")], schema)
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(df, "doc_id", "text").collect()}
+    assert out[1] == "train"
+    assert out[2] in {"train", "test"}

@@ -241,3 +241,25 @@ def test_upsert_partitioned_empty_first_delta_is_noop(spark, tmp_path):
     real = spark.createDataFrame([(1, "p", "x")], "k long, part string, v string")
     upsert_parquet_partitioned(real, path, ["k"], "part")  # must not crash
     assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_partitioned_caps_partition_cardinality(spark, tmp_path, monkeypatch):
+    """A key-grade partition column (unbounded cardinality) must raise a
+    clear error before collecting anything unbounded to the driver —
+    not OOM it. The cap is monkeypatched low so the test stays fast."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources import writers
+    from bookstore_aws_lakehouse_spark.sources.writers import upsert_parquet_partitioned
+
+    path = str(tmp_path / "mart")
+    seed = spark.createDataFrame([(0, 0, "v")], "k long, part long, v string")
+    upsert_parquet_partitioned(seed, path, ["k"], "part")
+    monkeypatch.setattr(writers, "MAX_UPSERT_PARTITIONS", 5)
+    delta = spark.range(10).selectExpr("id AS k", "id AS part", "'x' AS v")
+    with pytest.raises(ValueError, match="distinct 'part' values"):
+        upsert_parquet_partitioned(delta, path, ["k"], "part")
+    # under the cap still works
+    small = spark.range(3).selectExpr("id AS k", "id AS part", "'y' AS v")
+    upsert_parquet_partitioned(small, path, ["k"], "part")
+    assert spark.read.parquet(path).filter("v = 'y'").count() == 3
