@@ -116,32 +116,19 @@ _PROBE_EXCLUDE = frozenset(
 )
 
 
-#: queries broken by the round-4 fixture regeneration (events.ts ns→µs)
-#: and fixed in round 5 (catalog.load_events made schema-adaptive): their
-#: r02/r03 green rows predate the regeneration, so force them into the
-#:  next driver window ahead of stale-but-valid greens. Drop each name
-#: once a fresh green row lands (they then rotate normally).
-_FORCE_REVERIFY = frozenset(
-    {
-        "events_daily_agg",
-        "events_hourly_tumbling",
-        "events_sessionize",
-        "events_running_value",
-        "events_daily_from_hourly",
-        "events_type_transitions",
-        "events_retention_cohorts",
-        "events_daily_gapfill",
-        "events_hour_of_day_profile",
-        "events_conversion_funnel",
-        "events_session_duration_stats",
-        "events_hourly_anomaly",
-        "asof_last_signup",
-        "range_join_followups",
-        # changed in round 5 (real text decode became the default, new
-        # oracle) — its round-2 green checked different semantics
-        "multimodal_features",
-    }
-)
+#: queries whose code/oracle genuinely changed, mapped to the ROUND the
+#: change landed in: a query is demoted to re-verification-needed while
+#: its latest driver green predates that round, and rotates normally once
+#: a fresh green lands. The round-5 fixture-regen casualties all re-won
+#: their greens in r5 and are gone; keep this minimal — the stalest-first
+#: rotation must drain the r2/r3 verification debt without non-changed
+#: entries jumping the queue (VERDICT r5 #1).
+_FORCE_REVERIFY: dict[str, int] = {
+    # r6: floor(l_quantity) before the bigint cast on both engines
+    # (ADVICE r5) — value-identical on the integral fixture quantities,
+    # verified at sf0.01 locally, but the plan+oracle text changed
+    "q9_product_profit": 6,
+}
 
 
 _PROBE_CACHE: set[str] | None = None
@@ -205,12 +192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     latest = _driver_rows()
     broken = _analysis_probe()
-    # fixture-regen casualties with a fix but no fresh green row yet:
-    # treat like past failures until the driver re-verifies them
-    max_round = max((r for _, r in latest.values()), default=0)
-    for name in _FORCE_REVERIFY:
+    # changed queries with no post-change green row yet: treat like past
+    # failures until the driver re-verifies them
+    for name, changed_round in _FORCE_REVERIFY.items():
         g, rnd = latest.get(name, (False, 0))
-        if g and rnd < max_round:  # green row predates the regen → stale
+        if g and rnd < changed_round:  # green predates the change → stale
             latest[name] = (False, rnd)
     reg_index = {name: i for i, name in enumerate(GOLDEN)}
     mod_rank = {m: i for i, m in enumerate(_MODULE_PRIORITY)}

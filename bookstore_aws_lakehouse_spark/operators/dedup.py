@@ -363,24 +363,46 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into groups: every doc gets the MIN id
     reachable through the pair graph (the canonical representative), via
     iterative min-label propagation.
 
     This is the one genuinely *iterative* algorithm in the engine — the
-    driver loop only controls convergence (one count() per round); all
-    data stays distributed. localCheckpoint() truncates the growing plan
-    lineage each round. Dup clusters are near-cliques, so convergence is
-    2-3 rounds regardless of corpus size; each round is one join + one
-    aggregate keyed on doc id.
+    driver loop only controls convergence; all data stays distributed.
+    Checkpointing truncates the growing plan lineage each round. Dup
+    clusters are near-cliques, so convergence is 2-3 rounds regardless of
+    corpus size; each round is one join + one aggregate keyed on doc id.
+
+    Durability: the default pins state with ``localCheckpoint()`` —
+    executor-local blocks, fine on local[*] but NOT fault-tolerant on a
+    cluster (a lost executor kills the job mid-iteration). Pass
+    ``reliable=True`` (plus ``checkpoint_dir`` on first use) to write
+    round state to the reliable checkpoint directory (HDFS/S3 in
+    production) so iteration state survives executor loss.
+
+    Driver round-trips: the convergence count is a full extra job per
+    check, so it runs every ``check_every`` rounds (default 2) instead of
+    every round — worst case one extra (cheap, already-converged) join
+    round in exchange for half the count jobs. Round 0 never checks: a
+    non-trivial graph cannot have converged before any propagation.
     """
+    spark = pairs.sparkSession
+    if reliable and checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def pin(df: DataFrame) -> DataFrame:
+        return _pin_state(df, reliable)
+
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
     # materialize the (possibly expensive) pair computation ONCE; the
     # vertex set derives from the checkpointed edges, not from `pairs`
-    sym = sym.localCheckpoint()
+    sym = pin(sym)
     verts = sym.select(F.col("src").alias("id")).distinct()
     labels = verts.withColumn("label", F.col("id"))
     for it in range(max_iter):
@@ -389,20 +411,15 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
+        new_labels = pin(
+            labels.join(nbr, labels.id == nbr.src, "left").select(
                 F.col("id"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
-        # near-dup graphs are near-cliques: round 0 cannot have converged
-        # (every non-singleton component changes), so the first
-        # convergence count — a full extra job — is skipped
-        if it == 0:
+        if it == 0 or (it % check_every) != 0:
             labels = new_labels
             continue
         changed = (
@@ -415,6 +432,26 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _pin_state(df: DataFrame, reliable: bool) -> DataFrame:
+    """Pin a DataFrame's contents against lineage recomputation.
+    ``reliable=False``: ``localCheckpoint()`` — executor-local blocks,
+    fast, fine on local[*] but lost with a lost executor. ``reliable=
+    True``: dir-based ``checkpoint()`` to the configured reliable
+    checkpoint directory (HDFS/S3 in production) — survives executor
+    loss, the right mode for cluster runs of iterative/store-mutating
+    operators. Fails loudly if no checkpoint dir is configured."""
+    if not reliable:
+        return df.localCheckpoint()
+    spark = df.sparkSession
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        raise ValueError(
+            "reliable=True needs a reliable checkpoint directory: pass "
+            "checkpoint_dir= or call spark.sparkContext.setCheckpointDir() "
+            "first"
+        )
+    return df.checkpoint()
 
 
 def _dedup_against_store(new_docs, seen, id_col: str, text_col: str):
@@ -444,6 +481,7 @@ def incremental_dedup_bucketed(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 8,
+    reliable: bool = False,
 ) -> DataFrame:
     """``incremental_dedup`` with the fingerprint store as a BUCKETED
     catalog table: the store (the side that grows for years) is hash-
@@ -457,7 +495,7 @@ def incremental_dedup_bucketed(
     spark = new_docs.sparkSession
     seen = spark.table(store_table) if spark.catalog.tableExists(store_table) else None
     survivors = _dedup_against_store(new_docs, seen, id_col, text_col)
-    survivors = survivors.localCheckpoint()  # pin before the store changes
+    survivors = _pin_state(survivors, reliable)  # pin before the store changes
     (
         survivors.select("fingerprint")
         .filter(F.col("fingerprint").isNotNull())
@@ -473,6 +511,7 @@ def incremental_dedup(
     store_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    reliable: bool = False,
 ) -> DataFrame:
     """Cross-batch dedup against a persistent fingerprint store — the
     production shape for daily ingestion: today's docs are dropped if
@@ -492,12 +531,14 @@ def incremental_dedup(
     # local-only check is always False, which would silently disable
     # cross-batch dedup forever (every day a "first run")
     seen = spark.read.parquet(store_path) if _fs_path_exists(spark, store_path) else None
-    # localCheckpoint, not cache(): the append below writes to the same
+    # checkpoint, not cache(): the append below writes to the same
     # path the plan reads, and Spark invalidates path-dependent caches on
     # write — a cached plan would silently recompute against the UPDATED
     # store and anti-join its own survivors away. Checkpointing pins the
-    # result before the store changes.
-    survivors = _dedup_against_store(new_docs, seen, id_col, text_col).localCheckpoint()
+    # result before the store changes (reliable=True for cluster runs).
+    survivors = _pin_state(
+        _dedup_against_store(new_docs, seen, id_col, text_col), reliable
+    )
     (
         survivors.select("fingerprint")
         .filter(F.col("fingerprint").isNotNull())

@@ -5,6 +5,17 @@ Reference: ``df.write.mode(mode).option('header',True).csv(path)``
 default (SURVEY §7.1.6): the mart should be columnar (parquet), and loads
 should be idempotent (``overwrite``), not accumulate duplicates every cron
 run. CSV remains available for reference parity / export.
+
+Table-format note (SURVEY §1.5): the production answer to the upsert
+functions below is a lakehouse table format — Delta's / Iceberg's
+``MERGE INTO`` with ACID commits, snapshot isolation, and time travel.
+This environment ships neither the ``delta-spark`` package nor any
+delta/iceberg runtime jar, and is offline (``spark.jars.packages`` cannot
+fetch), so the parquet-native ``upsert_parquet[_partitioned]`` path is
+the deliberate stand-in: same call-site contract, null-safe keys,
+partition-pruned rewrites. With the format jars present, each upsert
+call-site becomes a single MERGE statement and the staging-swap logic
+disappears.
 """
 
 from __future__ import annotations

@@ -272,3 +272,21 @@ def test_multimodal_null_payload_does_not_crash(spark):
     assert feats[2]["n_bytes"] == 11
     frames = sample_frames(media, fake=True).collect()
     assert {r["doc_id"] for r in frames} == {2}
+
+
+def test_incremental_dedup_reliable_checkpoint(spark, tmp_path):
+    """reliable=True routes the survivors pin through the dir-based
+    checkpoint (cluster-durable) with identical results; without a
+    checkpoint dir configured it must fail loudly, not silently degrade."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import incremental_dedup
+
+    store = str(tmp_path / "fp_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "alpha text"), (3, "other")], ["doc_id", "text"]
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    out1 = {r["doc_id"] for r in incremental_dedup(b1, store, reliable=True).collect()}
+    assert out1 == {1, 3}
+    b2 = spark.createDataFrame([(4, "alpha text"), (5, "new")], ["doc_id", "text"])
+    out2 = {r["doc_id"] for r in incremental_dedup(b2, store, reliable=True).collect()}
+    assert out2 == {5}

@@ -182,3 +182,29 @@ def test_leakage_safe_split_null_text_goes_to_train(spark):
     out = {r["doc_id"]: r["split"] for r in leakage_safe_split(df, "doc_id", "text").collect()}
     assert out[1] == "train"
     assert out[2] in {"train", "test"}
+
+
+def test_connected_components_reliable_checkpoint_same_answer(spark, tmp_path):
+    """reliable=True (dir-based checkpoint — the cluster-durable mode)
+    must produce the identical clustering as the localCheckpoint default,
+    and must refuse to run without a checkpoint directory."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import connected_components
+
+    # two components: {1,2,3,4} via a chain, {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    expect = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    base = {
+        (r["doc_id"], r["cluster_id"]) for r in connected_components(pairs).collect()
+    }
+    assert base == expect
+    rel = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            pairs, reliable=True, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert rel == expect
