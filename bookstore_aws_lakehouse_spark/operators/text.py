@@ -98,6 +98,54 @@ def with_quality_features(
     )
 
 
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Word n-grams as an array<string> ('a b', 'b c', ...) — built with
+    zip_with over shifted slices, entirely JVM-side. Documents with fewer
+    than ``n`` tokens yield an empty array."""
+    toks = tokenize(col)
+    sz = F.size(toks)
+    out = F.slice(toks, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    for k in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, k + 1, F.greatest(sz - (n - 1), F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return out
+
+
+def with_repetition_signals(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals over word n-grams
+    (Rae et al. 2021 §A1.1: 'fraction of duplicate n-grams' and 'fraction
+    covered by the most frequent n-gram' — standard pretraining quality
+    filters): ``dup_ngram_frac`` = share of n-gram slots that repeat an
+    earlier occurrence, ``top_ngram_frac`` = share taken by the single
+    most frequent n-gram. Both NULL for docs with no n-gram (< n tokens).
+
+    Per-row higher-order expressions only — the top-frequency scan is
+    O(distinct × total) per DOCUMENT (bounded by doc length, independent
+    of corpus size), and nothing shuffles: at 100 TB this is one map
+    stage like every other quality feature."""
+    grams = word_ngrams(text_col, n)
+    total = F.size(grams)
+    distinct = F.array_distinct(grams)
+    top = F.array_max(
+        F.transform(
+            distinct, lambda d: F.size(F.filter(grams, lambda x: x == d))
+        )
+    )
+    safe_total = F.nullif(total.cast("double"), F.lit(0.0))
+    return df.withColumns(
+        {
+            "n_ngrams": total,
+            "dup_ngram_frac": (total - F.size(distinct)) / safe_total,
+            "top_ngram_frac": top / safe_total,
+        }
+    )
+
+
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count marker-token hits per language, take the
     argmax (deterministic tie order = LANG_MARKERS insertion order), fall

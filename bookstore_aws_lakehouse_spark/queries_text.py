@@ -487,3 +487,38 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("c12") / F.col("cw1"))), 6).alias("avg_logprob"),
         )
     )
+
+
+@golden(
+    "text_repetition_signals",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT doc_id,
+             list_transform(t[1:len(t) - 1], (x, i) -> x || ' ' || t[i + 1]) AS bi
+      FROM t
+    )
+    SELECT doc_id,
+           len(bi) AS n_ngrams,
+           (len(bi) - len(list_distinct(bi)))
+             / CAST(nullif(len(bi), 0) AS DOUBLE) AS dup_ngram_frac,
+           list_max(list_transform(list_distinct(bi),
+                                   d -> len(list_filter(bi, x -> x = d))))
+             / CAST(nullif(len(bi), 0) AS DOUBLE) AS top_ngram_frac
+    FROM b
+    """,
+)
+def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1)
+    over word bigrams: fraction of duplicate n-gram slots and fraction
+    taken by the single most frequent n-gram — the standard signals for
+    dropping looping/boilerplate documents from a pretraining corpus.
+    Pure per-row higher-order expressions (operators/text.py::
+    with_repetition_signals): one shuffle-free Project, the same 100 TB
+    shape as every other quality feature."""
+    from bookstore_aws_lakehouse_spark.operators.text import with_repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_repetition_signals(docs).select(
+        "doc_id", "n_ngrams", "dup_ngram_frac", "top_ngram_frac"
+    )

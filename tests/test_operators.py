@@ -208,3 +208,20 @@ def test_connected_components_reliable_checkpoint_same_answer(spark, tmp_path):
         ).collect()
     }
     assert rel == expect
+
+
+def test_repetition_signals_values_and_no_shuffle(spark):
+    """Gopher repetition signals: hand-computed fractions on literal docs,
+    and the plan must stay a shuffle-free Project (per-row higher-order
+    expressions only)."""
+    from bookstore_aws_lakehouse_spark.operators.text import with_repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, "w w w w")], ["doc_id", "text"]
+    )
+    out = with_repetition_signals(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert (got[1]["n_ngrams"], got[1]["dup_ngram_frac"], got[1]["top_ngram_frac"]) == (4, 0.5, 0.5)
+    assert got[2]["n_ngrams"] == 0 and got[2]["dup_ngram_frac"] is None
+    assert got[3]["dup_ngram_frac"] == 2 / 3 and got[3]["top_ngram_frac"] == 1.0
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
