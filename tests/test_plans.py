@@ -78,6 +78,7 @@ def test_lsh_buckets_no_shuffle(spark, sf_smoke):
         "dedup_survivors",
         "q2_min_cost_supplier",
         "q21_waiting_suppliers",
+        "dedup_containment_pairs",
     ],
 )
 def test_pair_generation_never_cartesian(spark, sf_smoke, name):
