@@ -245,3 +245,31 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _fresh("stream_static")
     run_available_now(agged, name, output_mode="complete")
     return spark.table(name)
+
+
+@golden(
+    "stream_continuous_rollup",
+    f"""
+    SELECT CAST(floor(epoch_ns(ts) / {NS_PER_HOUR}.0) AS BIGINT) * {NS_PER_HOUR} AS window_start_ns,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start_ns
+    """,
+)
+def q_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup end-to-end (streaming/jobs.py::
+    continuous_hourly_aggregate): the hourly tumbling aggregation streamed
+    through foreachBatch into a day-partitioned parquet mart via the
+    partition-pruned upsert, then the MART itself is read back and
+    verified against the batch SQL answer — the full continuous-aggregate
+    path (watermark, update-mode micro-batches, dynamic partition
+    overwrite) earns a value-level oracle row, not just unit tests. Fresh
+    mart + checkpoint per invocation keeps repeat runs idempotent."""
+    import tempfile
+
+    from bookstore_aws_lakehouse_spark.streaming.jobs import continuous_hourly_aggregate
+
+    out = tempfile.mkdtemp(prefix="blhs_cagg_mart_") + "/mart"
+    continuous_hourly_aggregate(spark, sf_dir, out)
+    return spark.read.parquet(out).select("window_start_ns", "n_events", "total_value")
