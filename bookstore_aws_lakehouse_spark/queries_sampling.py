@@ -265,3 +265,58 @@ def q_dataset_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_offset").cast("bigint").alias("start_offset"),
         F.floor(F.col("start_offset") / float(CONTEXT_TOKENS)).cast("bigint").alias("pack_id"),
     )
+
+
+PASSAGE_BLOCK = 32
+
+
+@golden(
+    "dataset_repeated_passages",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST((n - 1) // {PASSAGE_BLOCK} AS INT))) AS b
+      FROM d WHERE n >= 1
+    ),
+    h AS (
+      SELECT doc_id,
+             md5(array_to_string(t[b * {PASSAGE_BLOCK} + 1 : b * {PASSAGE_BLOCK} + {PASSAGE_BLOCK}], ' ')) AS chunk_md5
+      FROM c
+    )
+    SELECT chunk_md5,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM h
+    GROUP BY chunk_md5
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def q_dataset_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (boilerplate / template /
+    contamination finder): disjoint 32-token blocks per document, grouped
+    by content hash, keeping blocks that appear in MORE THAN ONE distinct
+    document — the passage-granularity complement of document-level dedup
+    (a doc can be globally unique yet carry a boilerplate header shared
+    by thousands). Shape: map-side explode (reuses chunk_sliding_windows
+    with stride = window) → one groupBy on the 16-byte block hash with
+    map-side combine — shuffles hashes, never text; at 100 TB identical
+    to the exact-dedup shape."""
+    from bookstore_aws_lakehouse_spark.operators.text import chunk_sliding_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = chunk_sliding_windows(
+        docs, "doc_id", "text", window=PASSAGE_BLOCK, stride=PASSAGE_BLOCK
+    )
+    return (
+        blocks.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
