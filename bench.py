@@ -142,6 +142,36 @@ def main() -> None:
     spark.stop()
 
 
+def mutate_docs(docs, c: int):
+    """Growth-corpus copy c of a documents DataFrame: every word whose
+    hash(word, c) is 0 or 1 mod 3 (~2/3 of words) is rewritten to a
+    copy-tagged token. Keyed on word CONTENT so duplicate parent docs
+    stay duplicates within a family, while parent↔copy 3-gram survival
+    is (1/3)³ ≈ 0.037 → Jaccard ≈ 0.02, and copy↔copy (1/9)³ ≈ 0.001 —
+    an order of magnitude below the loosest dedup threshold (0.1), with
+    margin for the variance content-keyed flips add on short docs (a 1/2
+    rewrite rate measured 0.125 on one pair — too close). The
+    constant-duplicate-density property is pinned by
+    tests/test_bench_growth.py against this exact expression."""
+    from pyspark.sql import functions as F
+
+    words = F.split(F.col("text"), " ")
+    mutated = F.transform(
+        words,
+        lambda x: F.when(
+            F.pmod(F.hash(x, F.lit(c)), F.lit(3)) < 2,
+            F.concat(x, F.lit(f"~{c}")),
+        ).otherwise(x),
+    )
+    return docs.select(
+        (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+        F.array_join(mutated, " ").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
 def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
     """Sub-quadratic-growth proof for the banded dedup/ANN paths: time the
     same queries on the fixture corpus and on a 10×-synthesized one; an
@@ -197,23 +227,7 @@ def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
 
         doc_copies = [docs]
         for c in range(1, factor):
-            words = F.split(F.col("text"), " ")
-            mutated = F.transform(
-                words,
-                lambda x, c=c: F.when(
-                    F.pmod(F.hash(x, F.lit(c)), F.lit(2)) == 0,
-                    F.concat(x, F.lit(f"~{c}")),
-                ).otherwise(x),
-            )
-            doc_copies.append(
-                docs.select(
-                    (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
-                    F.array_join(mutated, " ").alias("text"),
-                    "lang",
-                    "source",
-                    "n_chars",
-                )
-            )
+            doc_copies.append(mutate_docs(docs, c))
         functools.reduce(DataFrame.unionByName, doc_copies).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/documents.parquet")
