@@ -17,6 +17,97 @@ import sys
 import time
 
 
+def _read_psi_cpu() -> dict | None:
+    """Cgroup/host CPU pressure (PSI) totals in microseconds, if readable.
+    ``some`` counts wall-time where at least one runnable task waited for a
+    CPU — the direct signature of co-tenant contention."""
+    for path in ("/sys/fs/cgroup/cpu.pressure", "/proc/pressure/cpu"):
+        try:
+            with open(path) as f:
+                out = {}
+                for line in f:
+                    kind, *kvs = line.split()
+                    out[kind] = {
+                        k: float(v) for k, v in (kv.split("=") for kv in kvs)
+                    }
+                return out
+        except OSError:
+            continue
+    return None
+
+
+def _total_busy_ticks() -> int:
+    """Aggregate busy clock ticks across all CPUs from /proc/stat (user +
+    nice + system + irq + softirq + steal; idle/iowait excluded)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    u, n, s, _idle, _iow, irq, sirq, steal = (int(x) for x in parts[1:9])
+    return u + n + s + irq + sirq + steal
+
+
+def _subtree_busy_ticks() -> int:
+    """CPU ticks consumed by THIS process tree (bench python + the Spark
+    JVM + its Python workers): sum utime+stime+cutime+cstime over every
+    /proc pid whose ancestry reaches os.getpid(). cutime/cstime fold in
+    reaped children (short-lived Python workers)."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    ticks: dict[int, int] = {}
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit():
+            continue
+        try:
+            with open(f"/proc/{ent}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: split after the LAST ')'
+        rest = raw.rsplit(")", 1)[1].split()
+        pid = int(ent)
+        ppid[pid] = int(rest[1])  # field 4 (ppid), index 1 after comm
+        ticks[pid] = sum(int(x) for x in rest[11:15])  # utime..cstime
+    total = 0
+    for pid in ticks:
+        p = pid
+        for _ in range(64):  # ancestry walk, cycle-bounded
+            if p == me:
+                total += ticks[pid]
+                break
+            p = ppid.get(p, 0)
+            if p <= 1:
+                break
+    return total
+
+
+class _LoadMeter:
+    """Samples host vs own-subtree CPU between marks so each measurement
+    window carries an ``external_busy_frac``: the fraction of total machine
+    CPU capacity consumed by processes OUTSIDE this bench's process tree
+    during the window. ~0 on a quiet host; co-tenant load that inflates
+    wall-times shows up directly here, which is what lets a >2× driver
+    bench row be adjudicated as noise vs regression (VERDICT r6 #1)."""
+
+    def __init__(self) -> None:
+        self.ncpu = os.cpu_count() or 1
+        self.clk = os.sysconf("SC_CLK_TCK")
+        self._mark()
+
+    def _mark(self) -> None:
+        self.t0 = time.monotonic()
+        self.busy0 = _total_busy_ticks()
+        self.own0 = _subtree_busy_ticks()
+
+    def window(self) -> float:
+        """external_busy_frac since the last mark; re-marks."""
+        dt = time.monotonic() - self.t0
+        busy = _total_busy_ticks() - self.busy0
+        own = _subtree_busy_ticks() - self.own0
+        self._mark()
+        if dt <= 0:
+            return 0.0
+        return round(max(0, busy - own) / self.clk / (dt * self.ncpu), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -111,19 +202,25 @@ def main() -> None:
     # neighbor inflates 1-in-3 runs enough to flip the median; 5 runs
     # cost ~1 extra minute and cut run-to-run drift roughly in half
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    meter = _LoadMeter()
+    load_start = {"loadavg": os.getloadavg(), "psi_cpu": _read_psi_cpu()}
     timings: dict[str, float] = {}
+    query_ext_load: dict[str, float] = {}
     for name in headline:
         if name not in GOLDEN:
             continue
         runs = []
+        meter.window()  # re-mark so the query window excludes prior work
         for _ in range(n_runs):
             t0 = time.monotonic()
             GOLDEN[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.monotonic() - t0)
+        query_ext_load[name] = meter.window()
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     skew = _skew_section(spark)
     growth = _growth_section(spark, sf_dir, GOLDEN)
+    load_end = {"loadavg": os.getloadavg(), "psi_cpu": _read_psi_cpu()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -133,6 +230,15 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "load": {
+                    "start": load_start,
+                    "end": load_end,
+                    # per-query external CPU fraction: capacity consumed by
+                    # processes outside this bench's tree while that query's
+                    # runs executed. ~0 quiet; >0.1 means co-tenant load was
+                    # eating >10% of the machine during the measurement.
+                    "external_busy_frac_by_query": query_ext_load,
+                },
                 "skew": skew,
                 "growth": growth,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -179,19 +285,18 @@ def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
     ~linearly (10–25× with fixed overheads amortizing).
 
     The synthesized copies must hold DUPLICATE DENSITY constant, or the
-    ratio measures output-pair volume instead of scaling. Doc copy c
-    rewrites every word whose hash(word, c) is even to a copy-tagged
-    token: ~half the words differ from the parent and ~3/4 differ
-    between any two copies, so parent↔copy 3-gram Jaccard ≈ 0.07 and
-    copy↔copy ≈ 0.01 — below every configured threshold (the loosest is
-    jaccard_pairs' 0.1). Crucially the mutation is keyed on word CONTENT
-    (not position): two parent docs that are near-dups of each other get
-    the same rewrites within a family, so each family reproduces the
-    original corpus's pair structure — true pairs grow ~10×, exactly the
-    linear workload a scale-up should present. (The previous stride-drop
-    scheme — copy c drops every (c+2)-th word — left high-c copies ~90%
-    shingle-identical to their parents and every same-parent copy pair
-    mutually similar: ~45 extra pairs per doc family, a dup-density
+    ratio measures output-pair volume instead of scaling. Doc copy c is
+    built by ``mutate_docs`` (see its docstring — the single source of
+    truth for the mutation rate and the resulting Jaccard bounds, pinned
+    by tests/test_bench_growth.py): ~2/3 of words rewritten, keyed on
+    word CONTENT (not position) so near-dup parents stay near-dups
+    within a family while parent↔copy and copy↔copy similarity lands an
+    order of magnitude below every configured threshold. Each family
+    thus reproduces the original corpus's pair structure — true pairs
+    grow ~10×, exactly the linear workload a scale-up should present.
+    (The previous stride-drop scheme — copy c drops every (c+2)-th
+    word — left high-c copies ~90% shingle-identical to their parents
+    and every same-parent copy pair mutually similar: a dup-density
     explosion that inflated measured ratios to 10-27×.) Embedding copy c
     rotates the dimensions by c (decorrelates sign-LSH and IVF cells).
 
@@ -218,6 +323,12 @@ def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
         # driven by per-round join volume, not round count.
         "dedup_clusters",
         "dedup_survivors",
+        # r7 (VERDICT r6 #4): the two most expensive benched queries that
+        # previously had no growth datapoint — the directed-containment
+        # consumer of the inverted index, and the heaviest text shape
+        # (per-doc bigram LM scoring over a corpus-level bigram table).
+        "dedup_containment_pairs",
+        "text_bigram_lm_score",
     ]
     factor = 10
     tmp = tempfile.mkdtemp(prefix="bench_growth_")

@@ -37,10 +37,28 @@ TABLES: tuple[str, ...] = (
 #: keyed so a stopped session's plans don't pin its JVM state. Each key
 #: carries the file's (mtime, size) fingerprint, so a fixture regenerated
 #: mid-session gets a FRESH read instead of a stale plan/schema — the
-#: round-4 regeneration failure mode, closed at the cache itself.
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+#: round-4 regeneration failure mode, closed at the cache itself. Keyed
+#: by (sf_dir, name) with the fingerprint stored in the VALUE, so a
+#: regeneration REPLACES the stale entry instead of stranding it — the
+#: cache is bounded by the number of distinct tables, not regenerations.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, tuple[tuple, DataFrame]]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _cached_read(spark: SparkSession, sf_dir: str, name: str, path: str, build):
+    """Fingerprint-validated memo lookup: returns the cached plan when the
+    file fingerprint still matches, else rebuilds via ``build()`` and
+    replaces the entry in place."""
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    fp = _file_fingerprint(path)
+    key = (sf_dir, name)
+    hit = cache.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    df = build()
+    cache[key] = (fp, df)
+    return df
 
 
 def _file_fingerprint(path: str) -> tuple:
@@ -74,12 +92,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Memoized per (session, sf_dir, table, file-fingerprint): the returned
     plan is immutable and a regenerated file misses the cache.
     """
-    cache = _TABLE_CACHE.setdefault(spark, {})
     path = f"{sf_dir}/{name}.parquet"
-    key = (sf_dir, name, _file_fingerprint(path))
-    if key not in cache:
-        cache[key] = spark.read.parquet(path)
-    return cache[key]
+    return _cached_read(spark, sf_dir, name, path, lambda: spark.read.parquet(path))
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,26 +114,25 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Downstream code sees one contract — integer nanos: exact,
     timezone-free, and identical on every engine."""
-    cache = _TABLE_CACHE.setdefault(spark, {})
     path = f"{sf_dir}/events.parquet"
-    # distinct from the raw 'events' entry; fingerprinted like load_table
-    key = (sf_dir, "events@ns", _file_fingerprint(path))
-    if key in cache:
-        return cache[key]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    ts_type = df.schema["ts"].dataType
-    if not isinstance(ts_type, LongType):
-        # timestamp-typed file: convert to the epoch-ns bigint contract
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn(
-            "ts",
-            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
-                "bigint"
-            ),
-        )
-    cache[key] = df
-    return df
+
+    def build() -> DataFrame:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if not isinstance(ts_type, LongType):
+            # timestamp-typed file: convert to the epoch-ns bigint contract
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                    "bigint"
+                ),
+            )
+        return df
+
+    # distinct from the raw 'events' entry; fingerprint-validated the same way
+    return _cached_read(spark, sf_dir, "events@ns", path, build)
 
 
 def load_tables(

@@ -283,7 +283,11 @@ def resize_media(df: DataFrame, target_w: int, target_h: int, fake: bool = False
                     payloads.append(p)
                     try:
                         w, h = decode_media(p, mt) if p is not None else (None, None)
-                    except NotImplementedError:
+                    except Exception:
+                        # undecodable payload (unsupported codec, corrupt
+                        # RIFF/truncated header → wave.Error/EOFError/
+                        # struct.error, NULL media_type → AttributeError):
+                        # degrade to NULL dims rather than failing the job
                         w, h = None, None
                     widths.append(w)
                     heights.append(h)

@@ -24,21 +24,27 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     ``.rdd`` access (which would de-optimize the DataFrame through the
     legacy Python-RDD conversion just to count partitions).
 
-    Spark sizes scan tasks by bytes: a file yields
-    ``ceil(size / maxPartitionBytes)`` splits (row-group alignment can
-    only reduce *useful* splits, not the task count). Summing that over
-    ``df.inputFiles()`` reproduces the scheduler's arithmetic from
-    metadata alone. Returns None when the estimate can't be made (no file
-    sources in the plan, non-local URIs we can't stat) — callers treat
-    that as "leave the DataFrame untouched"."""
+    This APPROXIMATES Spark's ``FilePartition`` packing arithmetic: files
+    are padded by ``openCostInBytes``, the split size is
+    ``min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))``,
+    and splits are greedily binned into partitions of at most that size —
+    so many tiny files pack into few partitions, and small totals shrink
+    the split size toward one-per-core. The greedy first-fit-in-order
+    packing means the real count can differ slightly from
+    ``ceil(total/maxSplit)`` (it is an estimate, not the scheduler);
+    callers only use it as a coarse under-parallelism signal. Returns
+    None when no estimate can be made (no file sources in the plan,
+    non-local URIs we can't stat) — callers treat that as "leave the
+    DataFrame untouched"."""
     files = df.inputFiles()
     if not files:
         return None
-    # session-resolved bytes value (handles "128m"-style conf strings)
-    max_pb = int(
-        df.sparkSession._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
-    )
-    total = 0
+    # session-resolved bytes values (handles "128m"-style conf strings)
+    conf = df.sparkSession._jsparkSession.sessionState().conf()
+    max_pb = int(conf.filesMaxPartitionBytes())
+    open_cost = int(conf.filesOpenCostInBytes())
+    parallelism = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    total_padded = 0
     for uri in files:
         path = uri[5:] if uri.startswith("file:") else uri
         if "://" in path:  # remote FS: stat via os would lie
@@ -47,8 +53,9 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
             size = os.path.getsize(path)
         except OSError:
             return None
-        total += max(1, -(-size // max_pb))  # ceil-div
-    return total
+        total_padded += size + open_cost
+    max_split = min(max_pb, max(open_cost, total_padded // parallelism))
+    return max(1, -(-total_padded // max(1, max_split)))  # ceil-div
 
 
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:

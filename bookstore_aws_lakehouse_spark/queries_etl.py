@@ -395,3 +395,121 @@ def q_engine_dispatch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         acc = acc.unionByName(s)
     return acc.orderBy("mart_table")
+
+
+@golden(
+    "upsert_partitioned_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    delta AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10.00 AS DECIMAL(4,2)) AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+    ),
+    merged AS (
+      SELECT o_orderkey, o_month, price FROM delta
+      UNION ALL
+      SELECT b.o_orderkey, b.o_month, b.price FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+    )
+    SELECT o_month, count(*) AS n_orders, CAST(sum(price) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_month
+    """,
+)
+def q_upsert_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE round-trip (sources/writers.py::
+    upsert_parquet_partitioned — the parquet-native Delta/Iceberg MERGE
+    stand-in, SURVEY §1.5): seed a month-partitioned orders mart missing
+    every 10th key, then merge a delta covering the last three months that
+    both UPDATES surviving keys (price+10.00, exact decimal) and INSERTS
+    the missing ones, and read the mart back. Only the delta's three month
+    directories are rewritten (dynamic partitionOverwriteMode; the month
+    is functionally dependent on the key so no key can move partitions).
+    The oracle replays the merge relationally: delta ∪ (base ▷ delta
+    keys). Decimal arithmetic end-to-end so sums are exact and the final
+    double cast is bit-identical across engines. The mart lives under one
+    tempdir removed before returning (result localCheckpoint-pinned), so
+    repeated driver/bench runs don't accumulate /tmp state."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.writers import (
+        upsert_parquet_partitioned,
+        write_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", month, price.alias("price")
+    )
+    delta = orders.filter(F.col("o_orderdate") >= "2001-06-01").select(
+        "o_orderkey",
+        month,
+        # re-narrow after the add: the +decimal(4,2) widens to (19,2), and
+        # a mart holding mixed decimal widths across files fails the
+        # vectorized reader's schema check on read-back
+        (price + F.lit("10.00").cast("decimal(4,2)"))
+        .cast("decimal(18,2)")
+        .alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_upsert_")
+    try:
+        mart = f"{root}/orders_mart"
+        write_parquet(base, mart, partition_by=["o_month"])
+        upsert_parquet_partitioned(
+            delta, mart, key_cols=["o_orderkey"], partition_col="o_month"
+        )
+        back = read_parquet(spark, mart)
+        out = back.groupBy("o_month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "compact_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (sources/writers.py::
+    compact_parquet — the OPTIMIZE / rewrite_data_files maintenance job
+    every streaming/upsert sink needs): deliberately fragment the fact
+    projection into 64 files (a year of hourly micro-batches in
+    miniature), compact the location, and verify the data survives the
+    staging-write + FS-swap bit-exactly via aggregation against the
+    un-fragmented oracle. The file-count reduction itself is asserted in
+    tests/test_etl.py (counts aren't SQL-expressible). Tempdir removed
+    before returning; result localCheckpoint-pinned."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.writers import compact_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    root = tempfile.mkdtemp(prefix="blhs_compact_")
+    try:
+        loc = f"{root}/fact"
+        li.repartition(64).write.mode("overwrite").parquet(loc)
+        compact_parquet(loc, spark)
+        back = read_parquet(spark, loc)
+        out = back.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

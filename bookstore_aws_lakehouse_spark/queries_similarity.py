@@ -482,3 +482,70 @@ def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == emb.vec_id))
         .select(emb.vec_id)
     )
+
+
+@golden(
+    "kmeans_train_assign",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
+    a0 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c0.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c0.cv")} DESC,
+                                           c0.cell) AS rn
+        FROM e CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT a0.cell, i AS dim, e.v[i] AS x
+      FROM a0 JOIN e USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    c1 AS (
+      SELECT cell, list(round(m, 6) ORDER BY dim) AS cv
+      FROM (SELECT cell, dim, avg(x) AS m FROM comp GROUP BY cell, dim) s
+      GROUP BY cell
+    ),
+    a1 AS (
+      SELECT vec_id, cell, cos FROM (
+        SELECT e.vec_id, c1.cell, {_COS.format(a="e.v", b="c1.cv")} AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c1.cv")} DESC,
+                                           c1.cell) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    )
+    SELECT cell, count(*) AS n_members, round(avg(cos), 6) AS mean_cosine
+    FROM a1 GROUP BY cell
+    """,
+)
+def q_kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook training step end-to-end (operators/similarity.py::
+    kmeans_update — one Lloyd iteration as pure DataFrame ops): seed
+    centroids deterministically (every 50th vector), run one
+    assign-then-recompute-means iteration, round the learned centroid
+    components to 6 dp (per-dim avg accumulates in partition order, so
+    the last ulps aren't portable — rounding pins bit-identical centroids
+    on both engines), then re-assign every vector to its nearest TRAINED
+    centroid and report per-cell membership + mean cosine. The oracle
+    replays the full iteration in SQL (argmin assign → per-(cell,dim)
+    avg → reassemble ordered by dim → re-assign). Empty cells disappear
+    on both sides (textbook Lloyd). Cosines are left-to-right
+    double-folds, bit-identical across engines (module docstring)."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import kmeans_update
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c0 = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    c1 = kmeans_update(emb, c0)
+    c1r = c1.select(
+        "centroid_id",
+        F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding"),
+    )
+    a1 = ivf_assign(emb, c1r)  # (vec_id, centroid_id, cosine)
+    return a1.groupBy(F.col("centroid_id").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("cosine"), 6).alias("mean_cosine"),
+    )

@@ -265,11 +265,63 @@ def q_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against the batch SQL answer — the full continuous-aggregate
     path (watermark, update-mode micro-batches, dynamic partition
     overwrite) earns a value-level oracle row, not just unit tests. Fresh
-    mart + checkpoint per invocation keeps repeat runs idempotent."""
+    mart + checkpoint per invocation keeps repeat runs idempotent; both
+    live under ONE tempdir that is removed before returning (the result
+    is localCheckpoint-pinned first), so repeated driver runs don't
+    accumulate /tmp directories."""
+    import shutil
     import tempfile
 
     from bookstore_aws_lakehouse_spark.streaming.jobs import continuous_hourly_aggregate
 
-    out = tempfile.mkdtemp(prefix="blhs_cagg_mart_") + "/mart"
-    continuous_hourly_aggregate(spark, sf_dir, out)
-    return spark.read.parquet(out).select("window_start_ns", "n_events", "total_value")
+    root = tempfile.mkdtemp(prefix="blhs_cagg_")
+    try:
+        continuous_hourly_aggregate(
+            spark, sf_dir, f"{root}/mart", checkpoint=f"{root}/ckpt"
+        )
+        df = spark.read.parquet(f"{root}/mart").select(
+            "window_start_ns", "n_events", "total_value"
+        )
+        # pin the result blocks before the backing files disappear
+        return df.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "stream_sliding_windows_4panes",
+    f"""
+    WITH panes AS (
+      SELECT event_type,
+             CAST(floor(epoch_ns(ts) / {NS_PER_30MIN}.0) AS BIGINT) * {NS_PER_30MIN} AS p0
+      FROM events
+    ),
+    all_panes AS (
+      SELECT event_type, p0 - 0 * {NS_PER_30MIN} AS window_start_ns FROM panes
+      UNION ALL SELECT event_type, p0 - 1 * {NS_PER_30MIN} FROM panes
+      UNION ALL SELECT event_type, p0 - 2 * {NS_PER_30MIN} FROM panes
+      UNION ALL SELECT event_type, p0 - 3 * {NS_PER_30MIN} FROM panes
+    )
+    SELECT window_start_ns, event_type, count(*) AS n_events
+    FROM all_panes
+    GROUP BY window_start_ns, event_type
+    """,
+)
+def q_stream_sliding_windows_4panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows at a SECOND window/slide ratio (2h window / 30min
+    slide → every event lands in exactly FOUR panes): guards the pane
+    expansion against the ratio being hard-wired anywhere — the only
+    streaming shape that previously had a single-ratio driver row
+    (streaming/jobs.py::sliding_agg). The oracle enumerates all four
+    candidate pane starts per event."""
+    from bookstore_aws_lakehouse_spark.streaming.jobs import sliding_agg
+
+    stream = read_events_stream(spark, sf_dir)
+    agged = sliding_agg(stream, window="2 hours", slide="30 minutes")
+    name = _fresh("stream_sliding4")
+    run_available_now(agged, name, output_mode="complete")
+    return spark.table(name).select(
+        (F.unix_micros(F.col("window.start")) * 1000).alias("window_start_ns"),
+        "event_type",
+        "n_events",
+    )

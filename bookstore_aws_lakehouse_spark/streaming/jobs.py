@@ -151,15 +151,24 @@ def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete") 
     """Execute a streaming DataFrame to a memory sink with the availableNow
     trigger (process everything, then stop) — the scheduled-batch analog of
     the reference's nightly cron (`README.md:47` in the reference)."""
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix=f"blhs_ckpt_{name}_")
     query = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"blhs_ckpt_{name}_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        # the availableNow run is complete and the sink is in-memory: the
+        # checkpoint has no further reader — removing it keeps repeated
+        # driver/bench invocations from accumulating /tmp directories
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # ---- custom stateful operator (applyInPandasWithState) -------------------
