@@ -43,6 +43,7 @@ _MODULE_PRIORITY = (
     "queries_temporal",
     "queries_quality",
     "queries_multimodal",
+    "queries_sketches",
     "golden",
     "queries_sql",
 )
@@ -102,6 +103,7 @@ _PROBE_MODULES = frozenset(
         "queries_similarity",
         "queries_multimodal",
         "queries_pipeline",
+        "queries_sketches",
     }
 )
 

@@ -513,3 +513,116 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_merge_roundtrip",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    delta AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100.00 AS DECIMAL(5,2)) AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    merged AS (
+      SELECT c_custkey, c_mktsegment, bal FROM delta
+      UNION ALL
+      SELECT b.c_custkey, b.c_mktsegment, b.bal FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = b.c_custkey)
+    )
+    SELECT c_mktsegment, count(*) AS n_customers, CAST(sum(bal) AS DOUBLE) AS total_bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def q_snapshot_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE on the manifest-versioned snapshot table (sources/
+    snapshots.py::snapshot_merge — the Delta-MERGE analog this sandbox
+    can actually run): seed version 1 missing every 7th customer, merge a
+    delta that UPDATES the surviving BUILDING customers (bal+100, exact
+    decimal) and INSERTS the missing ones, read the LATEST snapshot back,
+    aggregate. Unlike the staging-swap upsert, the merge commits a new
+    manifest and never deletes version 1's files — snapshot isolation is
+    separately proven in tests/test_snapshots.py. The oracle replays the
+    merge relationally. Tempdir removed before returning."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    base = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_mktsegment", bal.alias("bal")
+    )
+    delta = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_mktsegment",
+        (bal + F.lit("100.00").cast("decimal(5,2)")).cast("decimal(18,2)").alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snap_")
+    try:
+        table = f"{root}/customer_snap"
+        snapshot_overwrite(base, table)
+        snapshot_merge(delta, table, key_cols=["c_custkey"])
+        out = snapshot_read(spark, table).groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal").cast("double").alias("total_bal"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_time_travel",
+    """
+    SELECT 1 AS version, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE n_regionkey <= 2
+    UNION ALL
+    SELECT 2 AS version, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE n_regionkey > 2
+    """,
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the snapshot table: commit version 1 (regions 0-2),
+    OVERWRITE with version 2 (regions 3-4), then read BOTH versions by
+    number and tag each row with the version it came from. Version 1's
+    rows remain readable after the overwrite because the new manifest
+    references a disjoint file set — the property bare parquet overwrite
+    destroys. The oracle recomputes both versions' content directly."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    v1 = joined.filter(F.col("n_regionkey") <= 2).select("n_name", "r_name")
+    v2 = joined.filter(F.col("n_regionkey") > 2).select("n_name", "r_name")
+    root = tempfile.mkdtemp(prefix="blhs_tt_")
+    try:
+        table = f"{root}/nation_snap"
+        snapshot_overwrite(v1, table)
+        snapshot_overwrite(v2, table)
+        out = (
+            snapshot_read(spark, table, version=1)
+            .select(F.lit(1).alias("version"), "n_name", "r_name")
+            .unionByName(
+                snapshot_read(spark, table, version=2).select(
+                    F.lit(2).alias("version"), "n_name", "r_name"
+                )
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

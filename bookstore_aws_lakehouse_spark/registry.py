@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "bookstore_aws_lakehouse_spark.queries_multimodal",
     "bookstore_aws_lakehouse_spark.queries_quality",
     "bookstore_aws_lakehouse_spark.queries_pipeline",
+    "bookstore_aws_lakehouse_spark.queries_sketches",
 )
 
 

@@ -1,0 +1,249 @@
+"""Manifest-versioned parquet tables: the in-repo stand-in for a lakehouse
+table format (Delta/Iceberg), built from nothing but parquet + a JSON
+commit log — because this sandbox verifiably ships no delta/iceberg
+runtime (no python module, no jars, offline package fetch; NOTES_r7).
+
+Layout (all paths via the Hadoop FileSystem API, so file:// , hdfs:// and
+s3a:// behave identically):
+
+    <table>/
+      data/tx-<uuid>/part-*.parquet     -- immutable data files, one dir per commit
+      _manifests/v<N>.json              -- commit N: file list + schema + op metadata
+
+Semantics this buys over bare parquet directories (and over the
+staging-swap ``upsert_parquet``):
+
+- **Snapshot isolation**: a reader pins one manifest; writers never delete
+  or rewrite a committed data file, so concurrent reads see a consistent
+  version even while a MERGE commits. (The staging-swap upsert deletes the
+  files a concurrent reader's plan references.)
+- **Time travel**: every version stays readable until ``vacuum``.
+- **Atomic commit**: the manifest claims ``v<N>.json`` via
+  ``FileSystem.create(overwrite=False)`` — exclusive create — and retries
+  at N+1 on conflict (optimistic concurrency, same idea as Delta's
+  transaction-log protocol).
+- **Logical operations**: append = old files ∪ new files; overwrite = new
+  files only; merge = anti-join rewrite committed as a full new file set.
+
+Scale shape: a commit writes only its delta's data files plus one small
+JSON manifest; readers do ONE metadata read (the latest manifest) and then
+a plain multi-path parquet scan — Catalyst sees an ordinary FileSourceScan
+with pushdown/pruning intact. The manifest grows with file count per
+snapshot, exactly like Delta's checkpointed log; at 100 TB one would add
+manifest compaction, which ``vacuum`` already approximates by dropping
+expired versions.
+
+Reference parity: the reference's mart is overwrite-loaded CSV folders on
+S3 (`workflow/Loader.py:2-3`); this module is the §1.5-mapped lakehouse
+upgrade of that sink.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+#: bounded optimistic-concurrency retries: losing this many consecutive
+#: version races means a pathologically hot commit loop, not bad luck
+_MAX_COMMIT_RETRIES = 50
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _list_parquet_files(spark: SparkSession, directory: str) -> list[str]:
+    """Part-file paths (absolute URIs) under one commit's tx dir."""
+    fs, hpath, _ = _fs(spark, directory)
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") or name.startswith("part-"):
+            if not name.startswith("_") and not name.endswith(".crc"):
+                out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return f"{table.rstrip('/')}/{_MANIFEST_DIR}/v{version}.json"
+
+
+def _read_manifest(spark: SparkSession, table: str, version: int) -> dict:
+    fs, hpath, jvm = _fs(spark, _manifest_path(table, version))
+    stream = fs.open(hpath)
+    try:
+        # IOUtils drains the JVM-side stream in one call; py4j hands the
+        # byte[] back as Python bytes (a Python-side read(buf) loop can't
+        # work — py4j passes buffer copies, never mutates the original)
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        return json.loads(data.decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def list_versions(spark: SparkSession, table: str) -> list[int]:
+    fs, hpath, _ = _fs(spark, f"{table.rstrip('/')}/{_MANIFEST_DIR}")
+    if not fs.exists(hpath):
+        return []
+    versions = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                versions.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(versions)
+
+
+def _try_commit(spark: SparkSession, table: str, manifest: dict) -> int:
+    """Claim the next version number via exclusive create; retry past
+    racing writers. Returns the committed version."""
+    fs, _, jvm = _fs(spark, table)
+    versions = list_versions(spark, table)
+    v = (versions[-1] + 1) if versions else 1
+    for _ in range(_MAX_COMMIT_RETRIES):
+        manifest["version"] = v
+        payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
+        target = jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v))
+        try:
+            out = fs.create(target, False)  # overwrite=False: exclusive
+        except Exception:
+            v += 1  # lost the race for this version number
+            continue
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        return v
+    raise RuntimeError(
+        f"snapshot commit lost {_MAX_COMMIT_RETRIES} consecutive version "
+        f"races on {table} — runaway concurrent writer loop?"
+    )
+
+
+def _write_data_files(df: DataFrame, table: str) -> list[str]:
+    """Write ``df`` as an immutable commit directory; returns its files."""
+    tx_dir = f"{table.rstrip('/')}/{_DATA_DIR}/tx-{uuid.uuid4().hex[:12]}"
+    df.write.mode("error").parquet(tx_dir)
+    return _list_parquet_files(df.sparkSession, tx_dir)
+
+
+def _commit(
+    df: DataFrame, table: str, operation: str, files: list[str]
+) -> int:
+    manifest = {
+        "operation": operation,
+        "files": files,
+        "schema": json.loads(df.schema.json()),
+        "committed_at_unix": round(time.time(), 3),
+    }
+    return _try_commit(df.sparkSession, table, manifest)
+
+
+def snapshot_overwrite(df: DataFrame, table: str) -> int:
+    """Logical overwrite: the new version references ONLY this commit's
+    files. Prior versions (and their files) remain readable — time travel
+    — until ``vacuum``. Returns the committed version."""
+    return _commit(df, table, "overwrite", _write_data_files(df, table))
+
+
+def snapshot_append(df: DataFrame, table: str) -> int:
+    """Append: new version = previous version's files ∪ this commit's.
+    No read or rewrite of existing data — O(delta) like Delta's append."""
+    spark = df.sparkSession
+    versions = list_versions(spark, table)
+    prev = (
+        _read_manifest(spark, table, versions[-1])["files"] if versions else []
+    )
+    return _commit(df, table, "append", prev + _write_data_files(df, table))
+
+
+def snapshot_read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Read one snapshot (default: latest). The scan is a plain multi-path
+    parquet read — pushdown, pruning and the vectorized reader all apply;
+    an empty snapshot returns an empty DataFrame with the manifest's
+    schema (a zero-file parquet read has no schema to infer)."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {table} (have {versions})")
+    manifest = _read_manifest(spark, table, v)
+    schema = StructType.fromJson(manifest["schema"])
+    if not manifest["files"]:
+        return spark.createDataFrame([], schema)
+    # pin the schema from the manifest: mixed historic widths across
+    # commits must resolve to the COMMITTED schema, not scan-order luck
+    return spark.read.schema(schema).parquet(*manifest["files"])
+
+
+def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
+    """MERGE (upsert) with snapshot isolation: current snapshot anti-joined
+    against the delta's keys (null-safe, same relational core as
+    ``upsert_parquet``), unioned with the delta, committed as a fresh file
+    set. No staging swap, no deletion — concurrent readers of version N
+    are untouched while N+1 commits; failed merges leave no visible state.
+
+    At 100 TB the full-rewrite shape belongs on a partitioned variant
+    (rewrite only touched partitions, as ``upsert_parquet_partitioned``
+    does); the manifest protocol is identical — only ``files`` shrinks to
+    the touched partitions' files plus carried-over untouched ones."""
+    from bookstore_aws_lakehouse_spark.sources.writers import _anti_join_null_safe
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    if not list_versions(spark, table):
+        return _commit(df, table, "merge", _write_data_files(df, table))
+    existing = snapshot_read(spark, table)
+    keep = _anti_join_null_safe(existing, df.select(*keys), keys)
+    merged = keep.unionByName(df.select(keep.columns))
+    return _commit(df, table, "merge", _write_data_files(merged, table))
+
+
+def history(spark: SparkSession, table: str) -> DataFrame:
+    """Commit log as a DataFrame: (version, operation, n_files,
+    committed_at_unix) — the DESCRIBE HISTORY analog."""
+    rows = []
+    for v in list_versions(spark, table):
+        m = _read_manifest(spark, table, v)
+        rows.append(
+            (v, m["operation"], len(m["files"]), float(m["committed_at_unix"]))
+        )
+    return spark.createDataFrame(
+        rows, "version int, operation string, n_files int, committed_at_unix double"
+    )
+
+
+def vacuum(spark: SparkSession, table: str, keep_last: int = 1) -> int:
+    """Drop all but the newest ``keep_last`` versions and delete every
+    data file no surviving version references (the VACUUM analog; bounds
+    time-travel storage). Returns the number of files deleted."""
+    if keep_last < 1:
+        raise ValueError("vacuum must keep at least the latest version")
+    versions = list_versions(spark, table)
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    referenced = set()
+    for v in kept:
+        referenced.update(_read_manifest(spark, table, v)["files"])
+    doomed = set()
+    for v in dropped:
+        doomed.update(_read_manifest(spark, table, v)["files"])
+    doomed -= referenced
+    fs, _, jvm = _fs(spark, table)
+    for f in sorted(doomed):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    for v in dropped:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v)), False)
+    return len(doomed)

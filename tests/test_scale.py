@@ -39,9 +39,14 @@ def test_post_shuffle_plan_untouched(spark, sf_smoke):
 
 
 def test_split_estimate_counts_bytes_not_files(spark, tmp_path):
-    """One big file must estimate to many splits (Spark schedules
-    ceil(size/maxPartitionBytes) tasks for it) — a file-count probe would
-    wrongly flag it as under-split and pay a pointless shuffle."""
+    """One big file must estimate to many splits — a file-count probe
+    would wrongly flag it as under-split and pay a pointless shuffle.
+    The estimate mirrors FilePartition's arithmetic: split size is
+    ``min(maxPartitionBytes, max(openCost, totalPadded/parallelism))``,
+    so a file smaller than parallelism×maxPartitionBytes still fans out
+    to ~one split per core (the real scheduler shrinks maxSplitBytes via
+    bytesPerCore — the old ceil(size/maxPartitionBytes) underestimated
+    exactly this case)."""
     from bookstore_aws_lakehouse_spark.operators.scale import _estimated_scan_splits
 
     p = str(tmp_path / "big_file")
@@ -50,11 +55,15 @@ def test_split_estimate_counts_bytes_not_files(spark, tmp_path):
     ).coalesce(1).write.parquet(p)
     df = spark.read.parquet(p)
     size = sum(f.stat().st_size for f in pathlib.Path(p).glob("*.parquet"))
-    max_pb = int(
-        spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
-    )
+    conf = spark._jsparkSession.sessionState().conf()
+    max_pb = int(conf.filesMaxPartitionBytes())
+    open_cost = int(conf.filesOpenCostInBytes())
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    total_padded = size + open_cost
+    max_split = min(max_pb, max(open_cost, total_padded // parallelism))
     est = _estimated_scan_splits(df)
-    assert est == max(1, -(-size // max_pb))
+    assert est == max(1, -(-total_padded // max_split))
+    assert est > 1  # one big file must never look like one task
 
 
 def test_no_rdd_access_in_package():
