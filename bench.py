@@ -184,6 +184,15 @@ def main() -> None:
         "ann_ivf_multiprobe",
         "window_range_frame",
         "multimodal_resize_real",
+        # r7 additions: the write/maintenance path (partitioned merge,
+        # compaction, snapshot-table merge), codebook training, and the
+        # sketch aggregates
+        "upsert_partitioned_roundtrip",
+        "compact_roundtrip",
+        "snapshot_merge_roundtrip",
+        "kmeans_train_assign",
+        "approx_distinct_accuracy",
+        "hll_merge_across_groups",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
