@@ -190,6 +190,7 @@ def main() -> None:
         "upsert_partitioned_roundtrip",
         "compact_roundtrip",
         "snapshot_merge_roundtrip",
+        "snapshot_merge_partitioned_roundtrip",
         "kmeans_train_assign",
         "approx_distinct_accuracy",
         "hll_merge_across_groups",

@@ -626,3 +626,71 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_merge_partitioned_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    delta AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(5.00 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-07-01'
+    ),
+    merged AS (
+      SELECT o_orderkey, o_month, price FROM delta
+      UNION ALL
+      SELECT b.o_orderkey, b.o_month, b.price FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+    )
+    SELECT o_month, count(*) AS n_orders, CAST(sum(price) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_month
+    """,
+)
+def q_snapshot_merge_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned MERGE on the snapshot table (sources/snapshots.py::
+    snapshot_merge_partitioned — manifest file stats from parquet footers
+    decide which committed files a delta can touch; provably-disjoint
+    files carry into the new manifest with zero I/O, the Iceberg
+    metadata-pruning model): seed a month-clustered orders snapshot
+    missing every 5th key, merge a 2-month delta (updates price+5.00
+    exact-decimal, inserts the missing keys), read the latest snapshot.
+    The oracle replays the merge relationally; the carried-file identity
+    and zero-row-file exclusion are asserted in tests/test_snapshots.py.
+    Tempdir removed before returning (result localCheckpoint-pinned)."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_partitioned,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", month, price.alias("price")
+    )
+    delta = orders.filter(F.col("o_orderdate") >= "2001-07-01").select(
+        "o_orderkey",
+        month,
+        (price + F.lit("5.00").cast("decimal(3,2)"))
+        .cast("decimal(18,2)")
+        .alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapp_")
+    try:
+        table = f"{root}/orders_snap"
+        snapshot_merge_partitioned(base, table, key_cols=["o_orderkey"], partition_col="o_month")
+        snapshot_merge_partitioned(delta, table, key_cols=["o_orderkey"], partition_col="o_month")
+        out = snapshot_read(spark, table).groupBy("o_month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

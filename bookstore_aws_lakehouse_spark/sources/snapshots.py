@@ -131,14 +131,45 @@ def _try_commit(spark: SparkSession, table: str, manifest: dict) -> int:
 
 
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
-    """Write ``df`` as an immutable commit directory; returns its files."""
+    """Write ``df`` as an immutable commit directory; returns its files.
+    Zero-row part files (empty shuffle buckets under an explicit
+    repartition) are deleted and excluded — they carry no data but would
+    otherwise ride every future manifest as permanently-carried files."""
+    spark = df.sparkSession
     tx_dir = f"{table.rstrip('/')}/{_DATA_DIR}/tx-{uuid.uuid4().hex[:12]}"
     df.write.mode("error").parquet(tx_dir)
-    return _list_parquet_files(df.sparkSession, tx_dir)
+    files = _list_parquet_files(spark, tx_dir)
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return files
+    kept = []
+    fs = None
+    for uri in files:
+        path = uri[5:] if uri.startswith("file:") else uri
+        if "://" in path:  # remote: can't cheaply check, keep
+            kept.append(uri)
+            continue
+        try:
+            empty = pq.ParquetFile(path).metadata.num_rows == 0
+        except OSError:
+            kept.append(uri)
+            continue
+        if empty:
+            if fs is None:
+                fs, _, jvm = _fs(spark, uri)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(uri), False)
+        else:
+            kept.append(uri)
+    return kept
 
 
 def _commit(
-    df: DataFrame, table: str, operation: str, files: list[str]
+    df: DataFrame,
+    table: str,
+    operation: str,
+    files: list[str],
+    file_stats: dict | None = None,
 ) -> int:
     manifest = {
         "operation": operation,
@@ -146,7 +177,67 @@ def _commit(
         "schema": json.loads(df.schema.json()),
         "committed_at_unix": round(time.time(), 3),
     }
+    if file_stats:
+        manifest["file_stats"] = file_stats
     return _try_commit(df.sparkSession, table, manifest)
+
+
+def _collect_file_stats(files: list[str], column: str) -> dict | None:
+    """Iceberg-style per-file column stats from parquet footers:
+    ``{file: [min, max, has_null]}`` for ``column``, aggregated across
+    row groups via pyarrow (metadata-only reads — no data I/O). Returns
+    None when any file is non-local or lacks usable stats; callers then
+    treat every file as potentially matching (correct, just unpruned)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    out: dict = {}
+    for uri in files:
+        path = uri[5:] if uri.startswith("file:") else uri
+        if "://" in path:
+            return None
+        try:
+            meta = pq.ParquetFile(path).metadata
+        except OSError:
+            return None
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        if column not in idx:
+            return None
+        lo = hi = None
+        has_null = False
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx[column]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            has_null = has_null or bool(st.null_count)
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:  # zero row groups: empty file, matches nothing
+            out[uri] = [None, None, has_null]
+            continue
+        if not isinstance(lo, (str, int, float, bool)):
+            return None  # not JSON-portable (dates/binary): skip pruning
+        out[uri] = [lo, hi, has_null]
+    return out
+
+
+def _file_may_contain(stats_row, values: list, want_null: bool) -> bool:
+    """Conservative pruning predicate: can this file hold any of the
+    delta's partition values? Unknown stats → True (rewrite, stay
+    correct)."""
+    lo, hi, has_null = stats_row
+    if want_null and has_null:
+        return True
+    if lo is None:  # empty file
+        return False
+    for v in values:
+        try:
+            if lo <= v <= hi:
+                return True
+        except TypeError:  # cross-type compare: be conservative
+            return True
+    return False
 
 
 def snapshot_overwrite(df: DataFrame, table: str) -> int:
@@ -210,6 +301,97 @@ def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
     keep = _anti_join_null_safe(existing, df.select(*keys), keys)
     merged = keep.unionByName(df.select(keep.columns))
     return _commit(df, table, "merge", _write_data_files(merged, table))
+
+
+def snapshot_merge_partitioned(
+    df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> int:
+    """File-pruned MERGE — the 100 TB evolution of ``snapshot_merge``:
+    only data files whose footer stats could hold one of the delta's
+    ``partition_col`` values are rewritten; every provably-disjoint file
+    is CARRIED FORWARD into the new manifest untouched (same file path,
+    zero I/O). A daily delta against a mart of years rewrites a handful
+    of files and commits in O(delta), exactly the Iceberg/Delta
+    metadata-pruning model — here the "manifest stats" are collected from
+    parquet row-group footers at commit time (``_collect_file_stats``).
+
+    Data files are written hash-clustered on ``partition_col``
+    (``repartition(partition_col)``) so each partition value lands in one
+    file and file stat ranges stay tight; ``partition_col`` remains a
+    normal data column (no hive layout), so reads need no basePath
+    tricks and Catalyst still gets min/max row-group skipping on it.
+
+    CONTRACT (same as ``upsert_parquet_partitioned``): ``partition_col``
+    must be functionally dependent on the keys — a key that moves
+    between partitions would leave its old copy in a carried file. When
+    stats are unavailable (remote FS, exotic types), every file is
+    treated as touched: the merge degrades to ``snapshot_merge``'s full
+    rewrite, never to a wrong answer."""
+    from bookstore_aws_lakehouse_spark.sources.writers import (
+        MAX_UPSERT_PARTITIONS,
+        _anti_join_null_safe,
+    )
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    df = df.localCheckpoint()  # evaluated for values, keys, and the union
+    # EXPLICIT partition count: a bare repartition(col) is AQE-coalescable
+    # — small commits would collapse into one file holding every partition
+    # value, and file-level stat ranges would never prune. With the count
+    # pinned, each value's hash bucket stays its own file; the small-file
+    # cost on tiny commits is what compact_parquet / a size-tiered write
+    # policy handles at scale.
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    clustered = lambda d: d.repartition(n_buckets, partition_col)  # noqa: E731
+    if not list_versions(spark, table):
+        files = _write_data_files(clustered(df), table)
+        return _commit(
+            df, table, "merge", files, _collect_file_stats(files, partition_col)
+        )
+    cap = MAX_UPSERT_PARTITIONS
+    parts = [
+        r[0] for r in df.select(partition_col).distinct().limit(cap + 1).collect()
+    ]
+    if len(parts) > cap:
+        raise ValueError(
+            f"snapshot_merge_partitioned: delta touches more than {cap} "
+            f"distinct '{partition_col}' values — key-grade cardinality; "
+            f"partition by a coarser derived column or use snapshot_merge."
+        )
+    versions = list_versions(spark, table)
+    manifest = _read_manifest(spark, table, versions[-1])
+    prev_files = manifest["files"]
+    prev_stats = manifest.get("file_stats") or {}
+    values = [p for p in parts if p is not None]
+    want_null = any(p is None for p in parts)
+    touched, carried = [], []
+    for f in prev_files:
+        if f in prev_stats and not _file_may_contain(
+            prev_stats[f], values, want_null
+        ):
+            carried.append(f)
+        else:
+            touched.append(f)
+    schema = StructType.fromJson(manifest["schema"])
+    if touched:
+        existing = spark.read.schema(schema).parquet(*touched)
+        keep = _anti_join_null_safe(existing, df.select(*keys), keys)
+        merged = keep.unionByName(df.select(keep.columns))
+    else:
+        merged = df
+    new_files = _write_data_files(clustered(merged), table)
+    new_stats = _collect_file_stats(new_files, partition_col)
+    file_stats = None
+    if new_stats is not None:
+        # carried files keep their stats; absent entries stay conservative
+        file_stats = {
+            **{f: prev_stats[f] for f in carried if f in prev_stats},
+            **new_stats,
+        }
+    return _commit(df, table, "merge", carried + new_files, file_stats)
 
 
 def history(spark: SparkSession, table: str) -> DataFrame:

@@ -139,3 +139,89 @@ def test_version_race_retries(spark, table):
 def test_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snapshot_read(spark, str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# snapshot_merge_partitioned: file-pruned merge with footer stats
+# ---------------------------------------------------------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k int, p string, v string")
+
+
+def test_partitioned_merge_values_and_file_pruning(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_merge_partitioned,
+    )
+
+    base = _pdf(
+        spark,
+        [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3"), (4, "c", "x4")],
+    )
+    snapshot_merge_partitioned(base, table, key_cols=["k"], partition_col="p")
+    m1 = _read_manifest(spark, table, 1)
+    assert m1.get("file_stats"), "footer stats must be collected locally"
+
+    # delta touches ONLY partition 'a': update k=2, insert k=5
+    delta = _pdf(spark, [(2, "a", "X2!"), (5, "a", "x5")])
+    snapshot_merge_partitioned(delta, table, key_cols=["k"], partition_col="p")
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "x1", 2: "X2!", 3: "x3", 4: "x4", 5: "x5"}
+
+    # files holding only 'b'/'c' must be CARRIED (exact same paths)
+    m2 = _read_manifest(spark, table, 2)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert carried, "disjoint partitions' files must carry forward"
+    for f in carried:
+        lo, hi, _null = m1["file_stats"][f]
+        assert lo is not None, "zero-row files must not be committed"
+        assert not (lo <= "a" <= hi), "a touched file was wrongly carried"
+
+
+def test_partitioned_merge_null_partition(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_partitioned,
+    )
+
+    base = spark.createDataFrame(
+        [(1, None, "null-old"), (2, "a", "x2")], "k int, p string, v string"
+    )
+    snapshot_merge_partitioned(base, table, key_cols=["k"], partition_col="p")
+    delta = spark.createDataFrame(
+        [(1, None, "null-new")], "k int, p string, v string"
+    )
+    snapshot_merge_partitioned(delta, table, key_cols=["k"], partition_col="p")
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "null-new", 2: "x2"}
+
+
+def test_partitioned_merge_without_stats_degrades_to_full(spark, table):
+    """A table seeded by snapshot_overwrite has no file_stats: every file
+    is treated as touched — full rewrite, correct values."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_partitioned,
+    )
+
+    snapshot_overwrite(_pdf(spark, [(1, "a", "x1"), (3, "b", "x3")]), table)
+    snapshot_merge_partitioned(
+        _pdf(spark, [(1, "a", "X1!")]), table, key_cols=["k"], partition_col="p"
+    )
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "X1!", 3: "x3"}
+
+
+def test_partitioned_merge_time_travel_preserved(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_partitioned,
+    )
+
+    snapshot_merge_partitioned(
+        _pdf(spark, [(1, "a", "v1")]), table, key_cols=["k"], partition_col="p"
+    )
+    snapshot_merge_partitioned(
+        _pdf(spark, [(1, "a", "v2")]), table, key_cols=["k"], partition_col="p"
+    )
+    assert {r.v for r in snapshot_read(spark, table, version=1).collect()} == {"v1"}
+    assert {r.v for r in snapshot_read(spark, table, version=2).collect()} == {"v2"}
