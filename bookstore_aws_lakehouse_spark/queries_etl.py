@@ -694,3 +694,55 @@ def q_snapshot_merge_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> 
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_scan_pruned",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
+    GROUP BY o_month
+    """,
+)
+def q_snapshot_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned range scan on the snapshot table (sources/
+    snapshots.py::snapshot_scan — Iceberg-style scan planning): commit
+    orders month-clustered with manifest stats, then range-scan one year
+    by month. Files whose recorded [min,max] month range cannot intersect
+    1996 are never opened (they don't reach the file index — whole-file
+    skipping plain parquet directories can't do; the skip itself is
+    asserted via inputFiles() in tests/test_snapshots.py). The result
+    must equal the plain filtered aggregation the oracle computes."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_partitioned,
+        snapshot_scan,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapscan_")
+    try:
+        table = f"{root}/orders_snap"
+        snapshot_merge_partitioned(
+            base, table, key_cols=["o_orderkey"], partition_col="o_month"
+        )
+        out = (
+            snapshot_scan(spark, table, "o_month", "1996-01", "1996-12")
+            .groupBy("o_month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price").cast("double").alias("total_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

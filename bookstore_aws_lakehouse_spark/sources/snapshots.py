@@ -182,12 +182,14 @@ def _commit(
     return _try_commit(df.sparkSession, table, manifest)
 
 
-def _collect_file_stats(files: list[str], column: str) -> dict | None:
+def _collect_file_stats(files: list[str], columns: list[str]) -> dict | None:
     """Iceberg-style per-file column stats from parquet footers:
-    ``{file: [min, max, has_null]}`` for ``column``, aggregated across
-    row groups via pyarrow (metadata-only reads — no data I/O). Returns
-    None when any file is non-local or lacks usable stats; callers then
-    treat every file as potentially matching (correct, just unpruned)."""
+    ``{file: {col: [min, max, has_null]}}``, aggregated across row groups
+    via pyarrow (metadata-only reads — no data I/O). A column without
+    usable stats in some file is simply absent from that file's entry —
+    readers treat absence conservatively (file may match anything).
+    Returns None when any file is non-local (can't stat cheaply);
+    callers then skip stats entirely."""
     try:
         import pyarrow.parquet as pq
     except ImportError:
@@ -202,23 +204,27 @@ def _collect_file_stats(files: list[str], column: str) -> dict | None:
         except OSError:
             return None
         idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
-        if column not in idx:
-            return None
-        lo = hi = None
-        has_null = False
-        for rg in range(meta.num_row_groups):
-            st = meta.row_group(rg).column(idx[column]).statistics
-            if st is None or not st.has_min_max:
-                return None
-            has_null = has_null or bool(st.null_count)
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:  # zero row groups: empty file, matches nothing
-            out[uri] = [None, None, has_null]
-            continue
-        if not isinstance(lo, (str, int, float, bool)):
-            return None  # not JSON-portable (dates/binary): skip pruning
-        out[uri] = [lo, hi, has_null]
+        per_col: dict = {}
+        for column in columns:
+            if column not in idx:
+                continue
+            lo = hi = None
+            has_null = False
+            usable = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[column]).statistics
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
+                has_null = has_null or bool(st.null_count)
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not usable:
+                continue
+            if lo is not None and not isinstance(lo, (str, int, float, bool)):
+                continue  # not JSON-portable (dates/binary): skip this col
+            per_col[column] = [lo, hi, has_null]
+        out[uri] = per_col
     return out
 
 
@@ -280,6 +286,55 @@ def snapshot_read(
     return spark.read.schema(schema).parquet(*manifest["files"])
 
 
+def snapshot_scan(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned range scan — Iceberg-style scan planning on the
+    manifest: files whose recorded [min, max] for ``column`` cannot
+    intersect [lo, hi] are never opened (they don't even reach the file
+    index), and the range filter is applied on top so the result is
+    exactly ``snapshot_read(...).filter(lo <= column <= hi)``. Files
+    without stats for ``column`` are conservatively included — pruning
+    is an optimization, never a semantics change. This is what plain
+    parquet directories can't do: Spark's scan prunes row groups inside
+    files it opens, but only a table format's metadata can skip whole
+    files before planning. Record stats via
+    ``snapshot_merge_partitioned(..., stats_cols=[column])``."""
+    from pyspark.sql import functions as F
+
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {table} (have {versions})")
+    manifest = _read_manifest(spark, table, v)
+    stats = manifest.get("file_stats") or {}
+
+    def may_intersect(f: str) -> bool:
+        row = stats.get(f, {}).get(column)
+        if row is None:
+            return True  # no stats: must read
+        fmin, fmax, _null = row
+        if fmin is None:  # stats say the file is empty
+            return False
+        try:
+            return fmin <= hi and lo <= fmax
+        except TypeError:
+            return True  # cross-type compare: be conservative
+    files = [f for f in manifest["files"] if may_intersect(f)]
+    schema = StructType.fromJson(manifest["schema"])
+    pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    if not files:
+        return spark.createDataFrame([], schema).filter(pred)
+    return spark.read.schema(schema).parquet(*files).filter(pred)
+
+
 def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
     """MERGE (upsert) with snapshot isolation: current snapshot anti-joined
     against the delta's keys (null-safe, same relational core as
@@ -308,6 +363,7 @@ def snapshot_merge_partitioned(
     table: str,
     key_cols: list[str],
     partition_col: str,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """File-pruned MERGE — the 100 TB evolution of ``snapshot_merge``:
     only data files whose footer stats could hold one of the delta's
@@ -346,10 +402,15 @@ def snapshot_merge_partitioned(
     # policy handles at scale.
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     clustered = lambda d: d.repartition(n_buckets, partition_col)  # noqa: E731
+    # stats recorded for the partition column plus any extra columns the
+    # caller wants scan-time pruning on (snapshot_scan)
+    all_stats_cols = [partition_col] + [
+        c for c in (stats_cols or []) if c != partition_col
+    ]
     if not list_versions(spark, table):
         files = _write_data_files(clustered(df), table)
         return _commit(
-            df, table, "merge", files, _collect_file_stats(files, partition_col)
+            df, table, "merge", files, _collect_file_stats(files, all_stats_cols)
         )
     cap = MAX_UPSERT_PARTITIONS
     parts = [
@@ -369,9 +430,8 @@ def snapshot_merge_partitioned(
     want_null = any(p is None for p in parts)
     touched, carried = [], []
     for f in prev_files:
-        if f in prev_stats and not _file_may_contain(
-            prev_stats[f], values, want_null
-        ):
+        row = prev_stats.get(f, {}).get(partition_col)
+        if row is not None and not _file_may_contain(row, values, want_null):
             carried.append(f)
         else:
             touched.append(f)
@@ -383,7 +443,7 @@ def snapshot_merge_partitioned(
     else:
         merged = df
     new_files = _write_data_files(clustered(merged), table)
-    new_stats = _collect_file_stats(new_files, partition_col)
+    new_stats = _collect_file_stats(new_files, all_stats_cols)
     file_stats = None
     if new_stats is not None:
         # carried files keep their stats; absent entries stay conservative

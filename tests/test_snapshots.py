@@ -175,7 +175,7 @@ def test_partitioned_merge_values_and_file_pruning(spark, table):
     carried = set(m1["files"]) & set(m2["files"])
     assert carried, "disjoint partitions' files must carry forward"
     for f in carried:
-        lo, hi, _null = m1["file_stats"][f]
+        lo, hi, _null = m1["file_stats"][f]["p"]
         assert lo is not None, "zero-row files must not be committed"
         assert not (lo <= "a" <= hi), "a touched file was wrongly carried"
 
@@ -225,3 +225,54 @@ def test_partitioned_merge_time_travel_preserved(spark, table):
     )
     assert {r.v for r in snapshot_read(spark, table, version=1).collect()} == {"v1"}
     assert {r.v for r in snapshot_read(spark, table, version=2).collect()} == {"v2"}
+
+
+def test_snapshot_scan_prunes_files_by_stats(spark, table):
+    """Scan planning: a range predicate on a stats column must open only
+    the files whose [min,max] can intersect — checked via inputFiles()."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_partitioned,
+        snapshot_scan,
+    )
+
+    # p groups are CONTIGUOUS k ranges so each file's m-range is tight
+    # and disjoint (m correlates with the clustering column)
+    rows = [(i, f"p{i // 8}", i * 10) for i in range(64)]
+    df = spark.createDataFrame(rows, "k int, p string, m int")
+    snapshot_merge_partitioned(
+        df, table, key_cols=["k"], partition_col="p", stats_cols=["m"]
+    )
+    full = snapshot_read(spark, table)
+    narrow = snapshot_scan(spark, table, "m", 0, 70)  # k in 0..7 only
+    assert len(narrow.inputFiles()) < len(full.inputFiles())
+    got = sorted(r.k for r in narrow.collect())
+    want = sorted(
+        r.k for r in full.filter("m >= 0 and m <= 70").collect()
+    )
+    assert got == want  # pruning never changes the answer
+
+
+def test_snapshot_scan_without_stats_reads_everything(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_scan
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 5), (2, 500)], "k int, m int"), table
+    )  # overwrite records no stats
+    got = sorted(r.k for r in snapshot_scan(spark, table, "m", 0, 10).collect())
+    assert got == [1]
+
+
+def test_schema_evolution_append_adds_column(spark, table):
+    """Delta-style schema evolution: an append with a NEW column commits
+    its own schema; the latest snapshot reads old files with NULL for the
+    added column (by-name parquet resolution), and time travel still
+    serves the old schema."""
+    snapshot_overwrite(_df(spark, [(1, "a")]), table)
+    wider = spark.createDataFrame([(2, "b", "fr")], "k int, v string, lang string")
+    snapshot_append(wider, table)
+    latest = snapshot_read(spark, table)
+    assert latest.columns == ["k", "v", "lang"]
+    got = {r.k: r.lang for r in latest.collect()}
+    assert got == {1: None, 2: "fr"}
+    old = snapshot_read(spark, table, version=1)
+    assert old.columns == ["k", "v"]
