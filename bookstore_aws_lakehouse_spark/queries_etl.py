@@ -746,3 +746,45 @@ def q_snapshot_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "clustered_sink_roundtrip",
+    """
+    SELECT l_partkey,
+           count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 199
+    GROUP BY l_partkey
+    """,
+)
+def q_clustered_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout round-trip (sources/writers.py::
+    write_parquet_clustered — repartitionByRange + sortWithinPartitions):
+    the fact projection is rewritten clustered on l_partkey, then read
+    back with a selective partkey range. Because each file and row group
+    covers a narrow disjoint key slice (disjointness asserted from the
+    footers in tests/test_clustered_write.py), the pushed-down BETWEEN
+    prunes almost every row group — the layout that makes hot-column
+    predicates cheap at 100 TB. Values must match the unclustered oracle
+    exactly."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.writers import write_parquet_clustered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="blhs_clustered_")
+    try:
+        loc = f"{root}/fact_clustered"
+        write_parquet_clustered(li, loc, ["l_partkey"], num_files=16)
+        back = read_parquet(spark, loc).filter(F.col("l_partkey").between(100, 199))
+        out = back.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

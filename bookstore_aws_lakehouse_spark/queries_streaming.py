@@ -325,3 +325,44 @@ def q_stream_sliding_windows_4panes(spark: SparkSession, sf_dir: str) -> DataFra
         "event_type",
         "n_events",
     )
+
+
+@golden(
+    "stream_snapshot_rollup",
+    f"""
+    SELECT CAST(floor(epoch_ns(ts) / {NS_PER_HOUR}.0) AS BIGINT) * {NS_PER_HOUR} AS window_start_ns,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start_ns
+    """,
+)
+def q_stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate with a snapshot-table sink end-to-end
+    (streaming/jobs.py::continuous_aggregate_snapshot): the hourly
+    tumbling aggregation streamed through foreachBatch into the
+    manifest-versioned table via the file-pruned partitioned MERGE —
+    every micro-batch is an isolated, time-travelable commit; concurrent
+    readers never see a half-merged mart. The final snapshot is read
+    back and must equal the batch SQL answer. One tempdir (table +
+    checkpoint), removed before returning; result localCheckpoint-pinned."""
+    import shutil
+    import tempfile
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_read
+    from bookstore_aws_lakehouse_spark.streaming.jobs import (
+        continuous_aggregate_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="blhs_caggsnap_")
+    try:
+        table = f"{root}/rollup_snap"
+        continuous_aggregate_snapshot(
+            spark, sf_dir, table, checkpoint=f"{root}/ckpt"
+        )
+        df = snapshot_read(spark, table).select(
+            "window_start_ns", "n_events", "total_value"
+        )
+        return df.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

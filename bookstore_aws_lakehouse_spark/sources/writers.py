@@ -304,3 +304,39 @@ def save_as_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(name)
+
+
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout (the OPTIMIZE ZORDER / Iceberg
+    sort-order analog for a single sort dimension set): rows are
+    range-partitioned across files on ``cluster_cols`` and sorted within
+    each file, so every file — and every row group inside it — covers a
+    NARROW, pairwise-disjoint slice of the cluster key's domain. Point
+    and range predicates on those columns then skip almost everything:
+    parquet row-group min/max pruning inside the scan, and whole-file
+    skipping when the location is committed as a snapshot table with
+    ``stats_cols=cluster_cols`` (snapshots.py::snapshot_scan). An
+    unclustered write scatters every key range across every file and
+    makes both prunings worthless — at 100 TB clustering the mart on its
+    hottest filter column is the difference between reading gigabytes
+    and reading everything. Disjointness is asserted by
+    tests/test_clustered_write.py from the footers.
+
+    ``num_files`` defaults to the session's shuffle partitions; an
+    EXPLICIT count is used because a bare repartitionByRange is
+    AQE-coalescable into few fat files, widening per-file ranges."""
+    spark = df.sparkSession
+    n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -282,6 +282,59 @@ def continuous_hourly_aggregate(
     query.awaitTermination()
 
 
+def continuous_aggregate_snapshot(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    watermark: str = "30 minutes",
+    checkpoint: str | None = None,
+) -> None:
+    """The continuous aggregate with a SNAPSHOT-TABLE sink
+    (sources/snapshots.py): each micro-batch MERGEs into the
+    manifest-versioned table via the file-pruned partitioned merge, so
+    (a) dashboard readers keep a consistent version while batches
+    commit — the property the directory-upsert variant above cannot give
+    without a table format — and (b) every batch leaves a time-travelable
+    commit (one version per micro-batch, vacuumable). This is exactly the
+    foreachBatch→MERGE INTO pattern Delta documents, running on the
+    in-repo manifest format."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_partitioned,
+    )
+
+    ns_per_day = 86_400_000_000_000
+    stream = read_events_stream(spark, sf_dir)
+    agged = tumbling_agg(stream, window="1 hour", watermark=watermark).select(
+        (F.unix_micros(F.col("window.start")) * 1000).alias("window_start_ns"),
+        "n_events",
+        "total_value",
+    )
+    agged = agged.withColumn(
+        "day_no", F.expr(f"window_start_ns div {ns_per_day}")
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no empty commits: keep the version history meaningful
+        snapshot_merge_partitioned(
+            batch_df, table, key_cols=["window_start_ns"], partition_col="day_no"
+        )
+
+    query = (
+        agged.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="blhs_ckpt_caggsnap_"),
+        )
+        .start()
+    )
+    query.awaitTermination()
+
+
 def stream_stream_join(
     spark: SparkSession,
     sf_dir: str,
