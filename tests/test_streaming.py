@@ -67,3 +67,34 @@ def test_checkpoint_recovery_is_exactly_once(spark, sf_smoke, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert first == second
+
+
+def test_continuous_aggregate_snapshot_commits_and_vacuums(spark, sf_smoke, tmp_path):
+    """Streaming → snapshot-table sink: every micro-batch lands as a
+    'merge' commit; vacuum bounds history without changing the answer."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        history,
+        list_versions,
+        snapshot_read,
+        vacuum,
+    )
+    from bookstore_aws_lakehouse_spark.streaming.jobs import (
+        continuous_aggregate_snapshot,
+    )
+
+    table = str(tmp_path / "rollup_snap")
+    continuous_aggregate_snapshot(
+        spark, sf_smoke, table, checkpoint=str(tmp_path / "ckpt")
+    )
+    versions = list_versions(spark, table)
+    assert versions, "at least one micro-batch commit"
+    ops = {r.operation for r in history(spark, table).collect()}
+    assert ops == {"merge"}
+    before = {
+        r.window_start_ns: r.n_events for r in snapshot_read(spark, table).collect()
+    }
+    vacuum(spark, table, keep_last=1)
+    after = {
+        r.window_start_ns: r.n_events for r in snapshot_read(spark, table).collect()
+    }
+    assert before == after
