@@ -460,7 +460,14 @@ def q_upsert_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     root = tempfile.mkdtemp(prefix="blhs_upsert_")
     try:
         mart = f"{root}/orders_mart"
-        write_parquet(base, mart, partition_by=["o_month"])
+        # cluster by month before the partitioned write: unclustered,
+        # every task writes a file into every month directory (~2,500
+        # tiny files at sf0.1); clustered (explicit count — AQE would
+        # serialize the write into one task), one-ish file per month
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_parquet(
+            base.repartition(n, "o_month"), mart, partition_by=["o_month"]
+        )
         upsert_parquet_partitioned(
             delta, mart, key_cols=["o_orderkey"], partition_col="o_month"
         )

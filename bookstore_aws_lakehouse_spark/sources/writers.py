@@ -264,7 +264,16 @@ def upsert_parquet_partitioned(
     keep = _anti_join_null_safe(existing, df.select(*keys), keys)
     merged = keep.unionByName(df.select(keep.columns)).localCheckpoint()
     (
-        merged.write.mode("overwrite")
+        # repartition on the partition column first: a partitionBy write
+        # otherwise emits one file per (task × partition-value) pair —
+        # a 32-task merge touching 80 months writes ~2,500 tiny files.
+        # EXPLICIT count (AQE would coalesce this small shuffle into one
+        # task and serialize all the directory writes): parallelism keeps
+        # the cores busy, clustering keeps files-per-partition ~1
+        merged.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), partition_col
+        )
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
