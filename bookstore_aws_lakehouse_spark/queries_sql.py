@@ -391,3 +391,28 @@ def q_sql_grid_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps dashboard axes complete when a cell has no data. The cross
     join multiplies two TINY dimension domains, never facts."""
     return _sql(spark, sf_dir, _SQL_GRID_COMPLETION)
+
+
+_SQL_LATERAL_TOPN = """
+    SELECT n.n_name, top.c_name, top.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2
+    ) AS top
+"""
+
+
+@golden("sql_lateral_topn", _SQL_LATERAL_TOPN)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (top-2 customers per nation) —
+    the same string runs on both engines. Catalyst rewrites the
+    correlated LIMIT subquery into a DomainJoin → window top-k, i.e. the
+    per-group top-n shape without hand-writing the window; the dedicated
+    DataFrame twin is operators/windows.py::top_n_per_group
+    (window_topn_per_group). Deterministic tiebreak on c_name because
+    per-group LIMIT without a total order is engine-dependent."""
+    return _sql(spark, sf_dir, _SQL_LATERAL_TOPN)
