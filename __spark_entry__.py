@@ -44,6 +44,7 @@ _MODULE_PRIORITY = (
     "queries_quality",
     "queries_multimodal",
     "queries_sketches",
+    "queries_graph",
     "golden",
     "queries_sql",
 )
@@ -104,6 +105,7 @@ _PROBE_MODULES = frozenset(
         "queries_multimodal",
         "queries_pipeline",
         "queries_sketches",
+        "queries_graph",
     }
 )
 

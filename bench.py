@@ -194,6 +194,7 @@ def main() -> None:
         "kmeans_train_assign",
         "approx_distinct_accuracy",
         "hll_merge_across_groups",
+        "graph_pagerank_purchases",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "bookstore_aws_lakehouse_spark.queries_quality",
     "bookstore_aws_lakehouse_spark.queries_pipeline",
     "bookstore_aws_lakehouse_spark.queries_sketches",
+    "bookstore_aws_lakehouse_spark.queries_graph",
 )
 
 

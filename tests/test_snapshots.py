@@ -276,3 +276,54 @@ def test_schema_evolution_append_adds_column(spark, table):
     assert got == {1: None, 2: "fr"}
     old = snapshot_read(spark, table, version=1)
     assert old.columns == ["k", "v"]
+
+
+# ---------------------------------------------------------------------------
+# property: any sequence of partitioned merges equals the dict replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # key
+        st.sampled_from(["a", "b", "c"]),               # partition
+        st.text(alphabet="xyz", min_size=1, max_size=3) # value
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_batch, min_size=1, max_size=3))
+def test_partitioned_merge_sequence_equals_dict_replay(spark, tmp_path_factory, batches):
+    """Whatever the batch sequence, the final snapshot must equal a
+    last-writer-wins dict keyed on k — including the partition-pruned
+    carried-file paths. The partition value per key is pinned (k % 3's
+    letter) to honor the functional-dependency contract."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_partitioned,
+        snapshot_read,
+    )
+
+    letters = ["a", "b", "c"]
+    table = str(tmp_path_factory.mktemp("prop") / "t")
+    replay: dict[int, tuple[str, str]] = {}
+    for batch in batches:
+        # pin partition to a key-derived value; dedup keys within a batch
+        # (last wins, matching a delta that was itself key-deduped)
+        rows = {}
+        for k, _p, v in batch:
+            rows[k] = (k, letters[k % 3], v)
+        df = spark.createDataFrame(list(rows.values()), "k int, p string, v string")
+        snapshot_merge_partitioned(df, table, key_cols=["k"], partition_col="p")
+        for k, p, v in rows.values():
+            replay[k] = (p, v)
+    got = {r.k: (r.p, r.v) for r in snapshot_read(spark, table).collect()}
+    assert got == replay
