@@ -116,6 +116,8 @@ _PROBE_EXCLUDE = frozenset(
         "dedup_clusters",
         "dedup_survivors",
         "dedup_incremental_bucketed",
+        # runs connected_components' convergence loop on build
+        "embedding_dedup_survivors",
     }
 )
 
