@@ -18,10 +18,16 @@ staging-swap ``upsert_parquet``):
   version even while a MERGE commits. (The staging-swap upsert deletes the
   files a concurrent reader's plan references.)
 - **Time travel**: every version stays readable until ``vacuum``.
-- **Atomic commit**: the manifest claims ``v<N>.json`` via
-  ``FileSystem.create(overwrite=False)`` — exclusive create — and retries
-  at N+1 on conflict (optimistic concurrency, same idea as Delta's
-  transaction-log protocol).
+- **Atomic commit with conflict detection**: a manifest claims
+  ``v<N>.json`` via ``FileSystem.create(overwrite=False)`` — exclusive
+  create. State-independent commits (overwrite) retry at the next free
+  number; state-DEPENDENT commits (append/merge) claim exactly the
+  version they composed against +1 and on a race re-read the tip and
+  recompute (append recomposes the manifest; merges re-run against the
+  new snapshot and delete their orphaned files) — the Delta
+  optimistic-concurrency contract. Future work: conflict CLASSES — a
+  merge provably disjoint from the racer (different partitions) could
+  rebase its manifest without recomputing; today any race recomputes.
 - **Logical operations**: append = old files ∪ new files; overwrite = new
   files only; merge = anti-join rewrite committed as a full new file set.
 
@@ -104,30 +110,76 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
     return sorted(versions)
 
 
-def _try_commit(spark: SparkSession, table: str, manifest: dict) -> int:
-    """Claim the next version number via exclusive create; retry past
-    racing writers. Returns the committed version."""
+class SnapshotConflictError(RuntimeError):
+    """A state-dependent commit (append/merge) found its base version
+    superseded — the caller must re-read the table and recompute. Blindly
+    taking the next free number there would LOSE the racing writer's
+    changes (the manifest was composed against stale state)."""
+
+
+def _claim_version(spark: SparkSession, table: str, manifest: dict, v: int) -> bool:
+    """Atomically claim ``v<v>.json`` via exclusive create. True on
+    success, False if the version already exists (lost the race)."""
     fs, _, jvm = _fs(spark, table)
+    manifest["version"] = v
+    payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    target = jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v))
+    try:
+        out = fs.create(target, False)  # overwrite=False: exclusive
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    return True
+
+
+def _try_commit(
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    expected_version: int | None = None,
+) -> int:
+    """Commit a manifest.
+
+    ``expected_version=None`` (state-INDEPENDENT commits — overwrite,
+    whose content doesn't reference prior state): claim the next free
+    number, skipping past racing writers.
+
+    ``expected_version=v`` (state-DEPENDENT commits — append/merge,
+    composed against the snapshot at v-1): claim EXACTLY v; if a racing
+    writer took it, raise :class:`SnapshotConflictError` so the caller
+    re-reads and recomputes instead of silently dropping the racer's
+    files — the same optimistic-concurrency contract Delta's commit
+    protocol enforces."""
+    if expected_version is not None:
+        if _claim_version(spark, table, manifest, expected_version):
+            return expected_version
+        raise SnapshotConflictError(
+            f"version {expected_version} on {table} was taken by a "
+            f"concurrent writer; re-read and retry the operation"
+        )
     versions = list_versions(spark, table)
     v = (versions[-1] + 1) if versions else 1
     for _ in range(_MAX_COMMIT_RETRIES):
-        manifest["version"] = v
-        payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
-        target = jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v))
-        try:
-            out = fs.create(target, False)  # overwrite=False: exclusive
-        except Exception:
-            v += 1  # lost the race for this version number
-            continue
-        try:
-            out.write(bytearray(payload))
-        finally:
-            out.close()
-        return v
+        if _claim_version(spark, table, manifest, v):
+            return v
+        v += 1  # lost the race for this number; content is state-free
     raise RuntimeError(
         f"snapshot commit lost {_MAX_COMMIT_RETRIES} consecutive version "
         f"races on {table} — runaway concurrent writer loop?"
     )
+
+
+def _delete_files(spark: SparkSession, files: list[str]) -> None:
+    """Remove orphaned data files from an aborted commit attempt — they
+    are referenced by no manifest, so vacuum would never reclaim them."""
+    if not files:
+        return
+    fs, _, jvm = _fs(spark, files[0])
+    for f in files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
 
 
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
@@ -170,6 +222,7 @@ def _commit(
     operation: str,
     files: list[str],
     file_stats: dict | None = None,
+    expected_version: int | None = None,
 ) -> int:
     manifest = {
         "operation": operation,
@@ -179,7 +232,7 @@ def _commit(
     }
     if file_stats:
         manifest["file_stats"] = file_stats
-    return _try_commit(df.sparkSession, table, manifest)
+    return _try_commit(df.sparkSession, table, manifest, expected_version)
 
 
 def _collect_file_stats(files: list[str], columns: list[str]) -> dict | None:
@@ -255,13 +308,27 @@ def snapshot_overwrite(df: DataFrame, table: str) -> int:
 
 def snapshot_append(df: DataFrame, table: str) -> int:
     """Append: new version = previous version's files ∪ this commit's.
-    No read or rewrite of existing data — O(delta) like Delta's append."""
+    No read or rewrite of existing data — O(delta) like Delta's append.
+    Conflict-safe: the data files are written once; if a racing writer
+    claims our version, only the cheap manifest composition re-reads the
+    new latest and retries, so no concurrent commit's files are lost."""
     spark = df.sparkSession
-    versions = list_versions(spark, table)
-    prev = (
-        _read_manifest(spark, table, versions[-1])["files"] if versions else []
+    new_files = _write_data_files(df, table)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = list_versions(spark, table)
+        prev = (
+            _read_manifest(spark, table, versions[-1])["files"] if versions else []
+        )
+        nxt = (versions[-1] + 1) if versions else 1
+        try:
+            return _commit(
+                df, table, "append", prev + new_files, expected_version=nxt
+            )
+        except SnapshotConflictError:
+            continue
+    raise SnapshotConflictError(
+        f"append to {table} lost {_MAX_COMMIT_RETRIES} consecutive races"
     )
-    return _commit(df, table, "append", prev + _write_data_files(df, table))
 
 
 def snapshot_read(
@@ -350,12 +417,32 @@ def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
 
     spark = df.sparkSession
     keys = list(key_cols)
-    if not list_versions(spark, table):
-        return _commit(df, table, "merge", _write_data_files(df, table))
-    existing = snapshot_read(spark, table)
-    keep = _anti_join_null_safe(existing, df.select(*keys), keys)
-    merged = keep.unionByName(df.select(keep.columns))
-    return _commit(df, table, "merge", _write_data_files(merged, table))
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            files = _write_data_files(df, table)
+            try:
+                return _commit(df, table, "merge", files, expected_version=1)
+            except SnapshotConflictError:
+                _delete_files(spark, files)  # racer created v1: re-merge
+                continue
+        existing = snapshot_read(spark, table, version=versions[-1])
+        keep = _anti_join_null_safe(existing, df.select(*keys), keys)
+        merged = keep.unionByName(df.select(keep.columns))
+        files = _write_data_files(merged, table)
+        try:
+            return _commit(
+                df, table, "merge", files, expected_version=versions[-1] + 1
+            )
+        except SnapshotConflictError:
+            # merged content was computed against a superseded snapshot:
+            # discard the orphaned files and recompute against the new tip
+            _delete_files(spark, files)
+            continue
+    raise SnapshotConflictError(
+        f"merge into {table} lost 3 consecutive races — retry under lower "
+        f"write concurrency"
+    )
 
 
 def snapshot_merge_partitioned(
@@ -407,11 +494,6 @@ def snapshot_merge_partitioned(
     all_stats_cols = [partition_col] + [
         c for c in (stats_cols or []) if c != partition_col
     ]
-    if not list_versions(spark, table):
-        files = _write_data_files(clustered(df), table)
-        return _commit(
-            df, table, "merge", files, _collect_file_stats(files, all_stats_cols)
-        )
     cap = MAX_UPSERT_PARTITIONS
     parts = [
         r[0] for r in df.select(partition_col).distinct().limit(cap + 1).collect()
@@ -422,36 +504,68 @@ def snapshot_merge_partitioned(
             f"distinct '{partition_col}' values — key-grade cardinality; "
             f"partition by a coarser derived column or use snapshot_merge."
         )
-    versions = list_versions(spark, table)
-    manifest = _read_manifest(spark, table, versions[-1])
-    prev_files = manifest["files"]
-    prev_stats = manifest.get("file_stats") or {}
     values = [p for p in parts if p is not None]
     want_null = any(p is None for p in parts)
-    touched, carried = [], []
-    for f in prev_files:
-        row = prev_stats.get(f, {}).get(partition_col)
-        if row is not None and not _file_may_contain(row, values, want_null):
-            carried.append(f)
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            files = _write_data_files(clustered(df), table)
+            try:
+                return _commit(
+                    df,
+                    table,
+                    "merge",
+                    files,
+                    _collect_file_stats(files, all_stats_cols),
+                    expected_version=1,
+                )
+            except SnapshotConflictError:
+                _delete_files(spark, files)  # racer created v1: re-merge
+                continue
+        manifest = _read_manifest(spark, table, versions[-1])
+        prev_files = manifest["files"]
+        prev_stats = manifest.get("file_stats") or {}
+        touched, carried = [], []
+        for f in prev_files:
+            row = prev_stats.get(f, {}).get(partition_col)
+            if row is not None and not _file_may_contain(row, values, want_null):
+                carried.append(f)
+            else:
+                touched.append(f)
+        schema = StructType.fromJson(manifest["schema"])
+        if touched:
+            existing = spark.read.schema(schema).parquet(*touched)
+            keep = _anti_join_null_safe(existing, df.select(*keys), keys)
+            merged = keep.unionByName(df.select(keep.columns))
         else:
-            touched.append(f)
-    schema = StructType.fromJson(manifest["schema"])
-    if touched:
-        existing = spark.read.schema(schema).parquet(*touched)
-        keep = _anti_join_null_safe(existing, df.select(*keys), keys)
-        merged = keep.unionByName(df.select(keep.columns))
-    else:
-        merged = df
-    new_files = _write_data_files(clustered(merged), table)
-    new_stats = _collect_file_stats(new_files, all_stats_cols)
-    file_stats = None
-    if new_stats is not None:
-        # carried files keep their stats; absent entries stay conservative
-        file_stats = {
-            **{f: prev_stats[f] for f in carried if f in prev_stats},
-            **new_stats,
-        }
-    return _commit(df, table, "merge", carried + new_files, file_stats)
+            merged = df
+        new_files = _write_data_files(clustered(merged), table)
+        new_stats = _collect_file_stats(new_files, all_stats_cols)
+        file_stats = None
+        if new_stats is not None:
+            # carried files keep their stats; absent entries stay conservative
+            file_stats = {
+                **{f: prev_stats[f] for f in carried if f in prev_stats},
+                **new_stats,
+            }
+        try:
+            return _commit(
+                df,
+                table,
+                "merge",
+                carried + new_files,
+                file_stats,
+                expected_version=versions[-1] + 1,
+            )
+        except SnapshotConflictError:
+            # computed against a superseded snapshot: drop the orphaned
+            # files (a racer's carried files stay — only OUR tx is new)
+            _delete_files(spark, new_files)
+            continue
+    raise SnapshotConflictError(
+        f"partitioned merge into {table} lost 3 consecutive races — retry "
+        f"under lower write concurrency"
+    )
 
 
 def history(spark: SparkSession, table: str) -> DataFrame:

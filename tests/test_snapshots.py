@@ -327,3 +327,89 @@ def test_partitioned_merge_sequence_equals_dict_replay(spark, tmp_path_factory, 
             replay[k] = (p, v)
     got = {r.k: (r.p, r.v) for r in snapshot_read(spark, table).collect()}
     assert got == replay
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrency: racing writers must not lose each other's commits
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_appends_lose_nothing(spark, table):
+    """4 threads append disjoint rows concurrently. State-dependent
+    commits that blindly took 'next free version' would drop a racer's
+    files from the composed manifest; the conflict-aware append must
+    land all 4 commits' rows in the final snapshot."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    snapshot_overwrite(_df(spark, [(0, "base")]), table)
+
+    def do_append(i: int) -> int:
+        return snapshot_append(_df(spark, [(i, f"v{i}")]), table)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(do_append, [1, 2, 3, 4]))
+    assert sorted(versions) == [2, 3, 4, 5]  # every commit got its own version
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert got == {0: "base", 1: "v1", 2: "v2", 3: "v3", 4: "v4"}
+
+
+def test_concurrent_merges_serialize(spark, table):
+    """2 threads merge different keys concurrently: the loser recomputes
+    against the winner's snapshot, so both updates land."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    snapshot_overwrite(_df(spark, [(1, "a"), (2, "b")]), table)
+
+    def do_merge(args):
+        k, v = args
+        return snapshot_merge(_df(spark, [(k, v)]), table, key_cols=["k"])
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        versions = list(ex.map(do_merge, [(1, "A!"), (2, "B!")]))
+    assert sorted(versions) == [2, 3]
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "A!", 2: "B!"}
+
+
+def test_append_retries_across_interloper_commit(spark, table):
+    """An interloper claiming the version mid-append must not be lost:
+    the append re-reads and composes on top of the interloper's state."""
+    import json as _json
+    import os
+
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    snapshot_overwrite(_df(spark, [(1, "a")]), table)
+
+    real_claim = snap._claim_version
+    fired = {"done": False}
+
+    def claiming_interloper(spark_, table_, manifest, v):
+        # before the append's first claim, an overwrite lands v2
+        if not fired["done"] and manifest.get("operation") == "append":
+            fired["done"] = True
+            with open(os.path.join(table_, "_manifests", "v2.json"), "x") as f:
+                _json.dump(
+                    {
+                        "operation": "overwrite",
+                        "files": [],
+                        "schema": _json.loads(
+                            _df(spark, [(0, "x")]).schema.json()
+                        ),
+                        "committed_at_unix": 0.0,
+                        "version": 2,
+                    },
+                    f,
+                )
+        return real_claim(spark_, table_, manifest, v)
+
+    snap._claim_version = claiming_interloper
+    try:
+        v = snapshot_append(_df(spark, [(9, "nine")]), table)
+    finally:
+        snap._claim_version = real_claim
+    assert v == 3
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    # the interloper's overwrite (files=[]) is the base the append saw on
+    # retry: only the appended row survives — append applied to the TIP
+    assert got == {9: "nine"}
