@@ -217,3 +217,76 @@ def embed_documents_stub(
         )
         components.append((contrib / EMBED_SCALE).cast("float"))
     return df.withColumn("embedding", F.array(*components))
+
+
+def remove_repeated_passages(
+    df,
+    id_col: str,
+    text_col: str,
+    block: int = 32,
+    max_docs: int = 1,
+):
+    """Cross-document boilerplate REMOVAL (the rebuild op that pairs with
+    the repeated-passage detector): split each doc into non-overlapping
+    ``block``-token passages, compute each passage's corpus document
+    frequency, drop passages appearing in more than ``max_docs`` docs
+    (templates/headers/licenses), and reassemble the surviving passages
+    in order. Returns ``(id, clean_md5, n_kept, n_removed)`` — clean_md5
+    is NULL when every passage was boilerplate.
+
+    Scale shape: map-side explode → one aggregation keyed on passage
+    hash (the df table) → hash-keyed join back → per-doc rebuild agg.
+    The join is on the 16-byte hash, never on text; nothing is ever
+    all-pairs. The RefinedWeb/Dolma-style cleanup stage."""
+    toks = tokenize(text_col)
+    e = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= 1)
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("_n") - 1) / F.lit(block)).cast("int"),
+                )
+            ).alias("_b"),
+        )
+    )
+    chunk = F.array_join(
+        F.slice(F.col("_toks"), F.col("_b") * block + 1, block), " "
+    )
+    chunks = e.select(
+        F.col(id_col),
+        F.col("_b").cast("int").alias("_b"),
+        chunk.alias("_chunk"),
+        F.md5(chunk).alias("_chunk_md5"),
+    )
+    dfreq = chunks.groupBy("_chunk_md5").agg(
+        F.count_distinct(id_col).alias("_nd")
+    )
+    kept = chunks.join(dfreq, "_chunk_md5").filter(F.col("_nd") <= max_docs)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_b", "_chunk"))),
+                    lambda s: s["_chunk"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_total")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "clean_md5",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("_n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

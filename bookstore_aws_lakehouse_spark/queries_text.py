@@ -522,3 +522,64 @@ def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_signals(docs).select(
         "doc_id", "n_ngrams", "dup_ngram_frac", "top_ngram_frac"
     )
+
+
+_RRP_BLOCK = 32
+
+
+@golden(
+    "text_remove_boilerplate",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST((n - 1) // {_RRP_BLOCK} AS INT))) AS b
+      FROM d WHERE n >= 1
+    ),
+    h AS (
+      SELECT doc_id, b,
+             array_to_string(t[b * {_RRP_BLOCK} + 1 : b * {_RRP_BLOCK} + {_RRP_BLOCK}], ' ') AS chunk_str,
+             md5(array_to_string(t[b * {_RRP_BLOCK} + 1 : b * {_RRP_BLOCK} + {_RRP_BLOCK}], ' ')) AS chunk_md5
+      FROM c
+    ),
+    dfreq AS (
+      SELECT chunk_md5, count(DISTINCT doc_id) AS nd FROM h GROUP BY chunk_md5
+    ),
+    kept AS (
+      SELECT h.* FROM h JOIN dfreq USING (chunk_md5) WHERE nd <= 1
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             md5(string_agg(chunk_str, ' ' ORDER BY b)) AS clean_md5,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM h GROUP BY doc_id
+    )
+    SELECT t.doc_id, r.clean_md5,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL — the rebuild stage that pairs
+    with dataset_repeated_passages' detector (operators/text.py::
+    remove_repeated_passages): passages appearing in more than one doc
+    are dropped and each doc is reassembled from its surviving passages
+    in order (clean text fingerprinted; NULL when everything was
+    boilerplate). Passage df is computed once, keyed on the 16-byte
+    hash; the RefinedWeb/Dolma-style template/license cleanup at corpus
+    scale. The oracle replays chunking, df-filtering, and the ordered
+    reassembly."""
+    from bookstore_aws_lakehouse_spark.operators.text import remove_repeated_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_passages(
+        docs, "doc_id", "text", block=_RRP_BLOCK, max_docs=1
+    )
