@@ -3,9 +3,6 @@ protocol, snapshot isolation, time travel, merge, vacuum."""
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 import pytest
 from pyspark.sql import functions as F
 
