@@ -98,3 +98,21 @@ def test_continuous_aggregate_snapshot_commits_and_vacuums(spark, sf_smoke, tmp_
         r.window_start_ns: r.n_events for r in snapshot_read(spark, table).collect()
     }
     assert before == after
+
+
+def test_continuous_aggregate_snapshot_restart_is_idempotent(spark, sf_smoke, tmp_path):
+    """Restarting the availableNow job against the SAME checkpoint with no
+    new input must add no commits — foreachBatch replay safety: the
+    checkpoint's batch ledger, not the sink, decides what runs."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import list_versions
+    from bookstore_aws_lakehouse_spark.streaming.jobs import (
+        continuous_aggregate_snapshot,
+    )
+
+    table = str(tmp_path / "rollup_snap")
+    ckpt = str(tmp_path / "ckpt")
+    continuous_aggregate_snapshot(spark, sf_smoke, table, checkpoint=ckpt)
+    v1 = list_versions(spark, table)
+    continuous_aggregate_snapshot(spark, sf_smoke, table, checkpoint=ckpt)
+    v2 = list_versions(spark, table)
+    assert v1 == v2, "restart with no new data must commit nothing"
