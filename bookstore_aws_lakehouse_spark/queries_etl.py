@@ -795,3 +795,100 @@ def q_clustered_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "zorder_sink_roundtrip",
+    """
+    SELECT l_partkey, l_suppkey,
+           count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 200 AND 299 AND l_suppkey BETWEEN 10 AND 29
+    GROUP BY l_partkey, l_suppkey
+    """,
+)
+def q_zorder_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered layout round-trip (sources/writers.py::
+    write_parquet_zordered — Morton interleaving of two columns, the
+    OPTIMIZE ZORDER analog): the fact projection rewritten z-ordered on
+    (l_partkey, l_suppkey), read back through a predicate on BOTH
+    dimensions. A single-column sort skips on one dimension only;
+    z-order bounds per-file/row-group ranges on both (spread contrast
+    asserted from footers in tests/test_clustered_write.py). Values must
+    match the unordered oracle exactly."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.writers import write_parquet_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="blhs_zorder_")
+    try:
+        loc = f"{root}/fact_z"
+        write_parquet_zordered(li, loc, "l_partkey", "l_suppkey", num_files=16)
+        back = read_parquet(spark, loc).filter(
+            F.col("l_partkey").between(200, 299)
+            & F.col("l_suppkey").between(10, 29)
+        )
+        out = back.groupBy("l_partkey", "l_suppkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "scan_csv_permissive",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_corrupt
+    FROM nation
+    """,
+)
+def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-record capture (S2/S5
+    robustness): the nation table written as headerless CSV plus a
+    planted file of TWO malformed lines (a non-integer key and a
+    wrong-arity row). The scan must load every good row, route each bad
+    line into the corrupt-record column instead of failing the job, and
+    count both — the posture a 100 TB bulk load needs (one bad line in a
+    billion must not kill the night's run). The planted-corruption count
+    is a constant of the query, so the oracle is exact."""
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="blhs_csvperm_")
+    try:
+        loc = f"{root}/nation_csv"
+        (
+            load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .write.option("header", "false")
+            .mode("overwrite")
+            .csv(loc)
+        )
+        with open(f"{loc}/part-bad.csv", "w") as f:
+            f.write("notanint,BROKENLAND,0\n7,TOO,MANY,COLUMNS,5\n")
+        schema = NATION_DDL + ", _corrupt string"
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(loc)
+            # Spark refuses plans that reference ONLY the corrupt column
+            # (the raw line isn't retained after parsing); caching the
+            # parsed frame is the documented pattern for auditing it
+            .cache()
+        )
+        try:
+            out = df.agg(
+                F.count(F.when(F.col("_corrupt").isNull(), 1)).cast("bigint").alias("n_good"),
+                F.count("_corrupt").cast("bigint").alias("n_corrupt"),
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            df.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -349,3 +349,56 @@ def write_parquet_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(col_a, col_b, bits: int = 16):
+    """Morton/Z-order interleaving of two NON-NEGATIVE int columns'
+    low ``bits`` bits (JVM-side bit expressions — no UDF): sorting by the
+    result clusters rows so that ranges of EITHER column map to bounded
+    Z-ranges, giving min/max skipping on both dimensions from one sort
+    order. NULLs and negatives sort first (mapped to -1). 16 bits per
+    dimension is plenty for layout purposes — values beyond 2^16 keep
+    their relative order within truncation buckets."""
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    a16 = F.when(a.isNull() | (a < 0), F.lit(None)).otherwise(
+        a.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    )
+    b16 = F.when(b.isNull() | (b < 0), F.lit(None)).otherwise(
+        b.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    )
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a16, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(b16, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return F.coalesce(z, F.lit(-1))
+
+
+def write_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensional clustered layout (the OPTIMIZE ZORDER analog):
+    range-partition and sort by the Morton interleaving of two columns,
+    so per-file and per-row-group min/max ranges are tight on BOTH
+    columns at once — a single-column sort gives perfect skipping on one
+    dimension and none on the other. Commit the location as a snapshot
+    table with ``stats_cols=[col_a, col_b]`` and ``snapshot_scan`` can
+    whole-file-skip on either predicate."""
+    spark = df.sparkSession
+    n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    z = zorder_value(col_a, col_b).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

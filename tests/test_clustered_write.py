@@ -61,3 +61,73 @@ def test_unclustered_baseline_overlaps(spark, sf_smoke, tmp_path):
         1 for (la, ha), (lb, _hb) in zip(ranges, ranges[1:]) if ha > lb
     )
     assert overlaps > 0
+
+
+def _spread(ranges: list[tuple]) -> float:
+    """Mean per-file range width — smaller = tighter clustering."""
+    return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    """Z-ordering on (x, y) must bound per-file ranges on BOTH columns:
+    vs a single-column sort, the second dimension's mean file-range width
+    shrinks by a large factor (single-column sorted files span ~the full
+    y domain)."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.sources.writers import (
+        write_parquet_clustered,
+        write_parquet_zordered,
+    )
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.floor(F.col("id") / 128) % 128).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    pz = str(tmp_path / "zordered")
+    ps = str(tmp_path / "single")
+    write_parquet_zordered(df, pz, "x", "y", num_files=16)
+    write_parquet_clustered(df, ps, ["x"], num_files=16)
+
+    zx, zy = _file_ranges(pz, "x"), _file_ranges(pz, "y")
+    sx, sy = _file_ranges(ps, "x"), _file_ranges(ps, "y")
+    # single-column sort: x is tight but y spans ~everything per file
+    assert _spread(sy) > 100
+    # z-order: BOTH dimensions bounded — 16 contiguous Z-ranges over a
+    # 128x128 grid give ~quadrant-sized regions; curve-boundary
+    # misalignment can stretch a file to ~half a domain, never the whole
+    # (the single-sort second dimension above spans ~all of it)
+    assert _spread(zx) < 64 and _spread(zy) < 64, (
+        f"z-order spreads x={_spread(zx):.1f} y={_spread(zy):.1f}"
+    )
+    assert _spread(zx) < _spread(sy) / 2 and _spread(zy) < _spread(sy) / 2
+    # values survive: same row count, same checksum
+    a = spark.read.parquet(pz).groupBy().sum("payload").collect()[0][0]
+    b = df.groupBy().sum("payload").collect()[0][0]
+    assert a == b
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.sources.writers import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (None, 2), (-1, 2)],
+        "a int, b int",
+    )
+    got = [r.z for r in df.select(zorder_value("a", "b").alias("z")).collect()]
+    # interleave(a,b): bit i of a -> bit 2i, bit i of b -> bit 2i+1
+    def ref(a, b):
+        if a is None or b is None or a < 0 or b < 0:
+            return -1
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = [ref(0, 0), ref(1, 0), ref(0, 1), ref(1, 1), ref(3, 5), -1, -1]
+    assert got == want
