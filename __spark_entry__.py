@@ -134,6 +134,15 @@ _FORCE_REVERIFY: dict[str, int] = {
     # (ADVICE r5) — value-identical on the integral fixture quantities,
     # verified at sf0.01 locally, but the plan+oracle text changed
     "q9_product_profit": 6,
+    # r7: the partitioned upsert now clusters its write on the partition
+    # column AND the query harness changed (shared tempdir, checkpoint
+    # pinning) — locally green at sf0.01, but the executed path differs
+    # from what earned the r6 green
+    "stream_continuous_rollup": 7,
+    # r7: resize_media's pass-through guard broadened from
+    # NotImplementedError to Exception — decode behavior on the fixture
+    # is unchanged, but the UDF body differs
+    "multimodal_resize_real": 7,
 }
 
 
