@@ -195,6 +195,7 @@ def main() -> None:
         "approx_distinct_accuracy",
         "hll_merge_across_groups",
         "graph_pagerank_purchases",
+        "text_remove_boilerplate",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
