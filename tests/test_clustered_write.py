@@ -92,7 +92,7 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     write_parquet_clustered(df, ps, ["x"], num_files=16)
 
     zx, zy = _file_ranges(pz, "x"), _file_ranges(pz, "y")
-    sx, sy = _file_ranges(ps, "x"), _file_ranges(ps, "y")
+    sy = _file_ranges(ps, "y")
     # single-column sort: x is tight but y spans ~everything per file
     assert _spread(sy) > 100
     # z-order: BOTH dimensions bounded — 16 contiguous Z-ranges over a
