@@ -341,6 +341,12 @@ def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
         # (per-doc bigram LM scoring over a corpus-level bigram table).
         "dedup_containment_pairs",
         "text_bigram_lm_score",
+        # r7: the newest iterative shape. 10× disjoint graph copies (see
+        # below) — iteration count is fixed (2), so growth is pure
+        # per-iteration join/agg volume. (kmeans is deliberately absent:
+        # its centroid count also grows 10× under vec_id-derived seeding,
+        # making the 10× corpus a 100× workload, not a scale-up.)
+        "graph_pagerank_purchases",
     ]
     factor = 10
     tmp = tempfile.mkdtemp(prefix="bench_growth_")
@@ -370,6 +376,39 @@ def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
         functools.reduce(DataFrame.unionByName, emb_copies).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/embeddings.parquet")
+
+        # 10× purchase graph for pagerank: copy c offsets every key into
+        # its own id space → 10 DISJOINT subgraphs, so per-node structure
+        # (and rank values) are copy-identical while edge volume grows
+        # exactly 10× — the linear workload a scale-up should present.
+        # Only the columns the query reads are shipped (column pruning
+        # makes the rest dead weight).
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_suppkey"
+        )
+        o_copies, l_copies = [orders], [li]
+        for c in range(1, factor):
+            o_copies.append(
+                orders.select(
+                    (F.col("o_orderkey") + c * 100_000_000).alias("o_orderkey"),
+                    (F.col("o_custkey") + c * 10_000_000).alias("o_custkey"),
+                )
+            )
+            l_copies.append(
+                li.select(
+                    (F.col("l_orderkey") + c * 100_000_000).alias("l_orderkey"),
+                    (F.col("l_suppkey") + c * 10_000_000).alias("l_suppkey"),
+                )
+            )
+        functools.reduce(DataFrame.unionByName, o_copies).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/orders.parquet")
+        functools.reduce(DataFrame.unionByName, l_copies).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/lineitem.parquet")
 
         g_runs = int(os.environ.get("SPARK_GRAFT_GROWTH_RUNS", "2"))
 
