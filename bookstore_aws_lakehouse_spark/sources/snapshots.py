@@ -299,11 +299,22 @@ def _file_may_contain(stats_row, values: list, want_null: bool) -> bool:
     return False
 
 
-def snapshot_overwrite(df: DataFrame, table: str) -> int:
+def snapshot_overwrite(
+    df: DataFrame, table: str, stats_cols: list[str] | None = None
+) -> int:
     """Logical overwrite: the new version references ONLY this commit's
     files. Prior versions (and their files) remain readable — time travel
-    — until ``vacuum``. Returns the committed version."""
-    return _commit(df, table, "overwrite", _write_data_files(df, table))
+    — until ``vacuum``. Returns the committed version.
+
+    ``stats_cols`` records per-file footer stats for those columns in the
+    manifest, enabling ``snapshot_scan`` whole-file skipping — pair with
+    a clustered/z-ordered layout (``write_parquet_clustered`` /
+    ``write_parquet_zordered`` shapes applied to ``df`` BEFORE the call,
+    e.g. ``df.repartitionByRange(n, col).sortWithinPartitions(col)``) so
+    the recorded ranges are actually tight."""
+    files = _write_data_files(df, table)
+    stats = _collect_file_stats(files, stats_cols) if stats_cols else None
+    return _commit(df, table, "overwrite", files, stats)
 
 
 def snapshot_append(df: DataFrame, table: str) -> int:

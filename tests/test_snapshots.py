@@ -410,3 +410,39 @@ def test_append_retries_across_interloper_commit(spark, table):
     # the interloper's overwrite (files=[]) is the base the append saw on
     # retry: only the appended row survives — append applied to the TIP
     assert got == {9: "nine"}
+
+
+def test_zorder_snapshot_scan_prunes_on_both_dimensions(spark, table):
+    """End-to-end z-order × snapshot integration: a z-ordered layout
+    committed with stats on both dimensions lets snapshot_scan
+    whole-file-skip on EITHER predicate column."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_scan
+    from bookstore_aws_lakehouse_spark.sources.writers import zorder_value
+
+    n = 1 << 13
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.floor(F.col("id") / 64) % 128).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    z = zorder_value("x", "y").alias("_z")
+    clustered = (
+        df.withColumn("_z", z)
+        .repartitionByRange(16, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    snapshot_overwrite(clustered, table, stats_cols=["x", "y"])
+    full = snapshot_read(spark, table)
+    n_files = len(full.inputFiles())
+    for col, lo, hi in [("x", 0, 7), ("y", 0, 15)]:
+        pruned = snapshot_scan(spark, table, col, lo, hi)
+        assert len(pruned.inputFiles()) < n_files, f"no pruning on {col}"
+        got = sorted(r.payload for r in pruned.collect())
+        want = sorted(
+            r.payload
+            for r in full.filter((F.col(col) >= lo) & (F.col(col) <= hi)).collect()
+        )
+        assert got == want
