@@ -892,3 +892,87 @@ def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "scan_text_lines",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source format (spark.read.text — the line-per-record
+    ingest shape of unprocessed LLM corpora): the documents' text dumped
+    as plain .txt (one doc per line; the fixture corpus contains no
+    embedded newlines), scanned back as lines, and summarized with
+    order-free aggregates (file/partition ordering is not stable, so the
+    oracle checks totals and the distinct-content count, not row
+    order)."""
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="blhs_text_")
+    try:
+        loc = f"{root}/corpus_txt"
+        load_table(spark, sf_dir, "documents").select("text").write.mode(
+            "overwrite"
+        ).text(loc)
+        back = spark.read.text(loc)
+        out = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+            F.count_distinct(F.md5("value")).cast("bigint").alias("n_distinct"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+N_BINARY_DOCS = 50
+
+
+@golden(
+    "scan_binary_files",
+    f"""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
+    FROM documents WHERE doc_id < {N_BINARY_DOCS}
+    """,
+)
+def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source format — the multimodal ingest path (images/
+    audio land as opaque files; Spark reads (path, modificationTime,
+    length, content) with content as binary): a sample of documents
+    written as one file each, scanned back via binaryFile, doc identity
+    recovered from the filename, content fingerprinted. The oracle
+    recomputes length+md5 from the table — bytes must survive the file
+    round-trip exactly. (ASCII corpus: byte length == char length.)"""
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="blhs_bin_")
+    try:
+        loc = f"{root}/blobs"
+        import os
+
+        os.makedirs(loc)
+        sample = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < N_BINARY_DOCS)
+            .select("doc_id", "text")
+            .collect()  # bounded: N_BINARY_DOCS tiny docs — test scaffolding,
+        )  # not the operator under test (that's the binaryFile scan)
+        for row in sample:
+            with open(f"{loc}/doc_{row.doc_id}.bin", "wb") as f:
+                f.write(row.text.encode("utf-8"))
+        back = spark.read.format("binaryFile").load(loc)
+        out = back.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
