@@ -25,9 +25,13 @@ staging-swap ``upsert_parquet``):
   version they composed against +1 and on a race re-read the tip and
   recompute (append recomposes the manifest; merges re-run against the
   new snapshot and delete their orphaned files) — the Delta
-  optimistic-concurrency contract. Future work: conflict CLASSES — a
-  merge provably disjoint from the racer (different partitions) could
-  rebase its manifest without recomputing; today any race recomputes.
+  optimistic-concurrency contract. Partitioned merges additionally
+  resolve conflict CLASSES: a merge provably disjoint from every racing
+  commit (the racers kept all files this merge rewrote, and every file
+  they added is stats-excluded from this merge's partition values)
+  REBASES its already-written files onto the new tip without recomputing
+  the merge — only overlapping writers pay the recompute
+  (``_try_rebase_partitioned``).
 - **Logical operations**: append = old files ∪ new files; overwrite = new
   files only; merge = anti-join rewrite committed as a full new file set.
 
@@ -325,15 +329,31 @@ def snapshot_append(df: DataFrame, table: str) -> int:
     new latest and retries, so no concurrent commit's files are lost."""
     spark = df.sparkSession
     new_files = _write_data_files(df, table)
+    new_stats_cache: dict[tuple[str, ...], dict | None] = {}
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = list_versions(spark, table)
-        prev = (
-            _read_manifest(spark, table, versions[-1])["files"] if versions else []
+        prev_manifest = (
+            _read_manifest(spark, table, versions[-1]) if versions else {}
         )
+        prev = prev_manifest.get("files", [])
+        prev_stats = prev_manifest.get("file_stats") or {}
+        # stats continuity: carry the tip's per-file stats and collect the
+        # same columns for this append's files, so a stats-pruned table
+        # (merge_partitioned / overwrite(stats_cols=...)) keeps whole-file
+        # skipping across appends instead of silently losing it
+        file_stats = None
+        stats_cols = tuple(_prev_stats_cols(prev_stats))
+        if stats_cols:
+            if stats_cols not in new_stats_cache:
+                new_stats_cache[stats_cols] = _collect_file_stats(
+                    new_files, list(stats_cols)
+                )
+            file_stats = {**prev_stats, **(new_stats_cache[stats_cols] or {})}
         nxt = (versions[-1] + 1) if versions else 1
         try:
             return _commit(
-                df, table, "append", prev + new_files, expected_version=nxt
+                df, table, "append", prev + new_files, file_stats,
+                expected_version=nxt,
             )
         except SnapshotConflictError:
             continue
@@ -456,6 +476,87 @@ def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
     )
 
 
+#: racer operations a partitioned merge can rebase across: each leaves
+#: every untouched base file's CONTENT in place (append/merge/delete
+#: rewrite or add files elsewhere; optimize rewrites byte-identical data).
+#: An "overwrite" replaces table state wholesale — the base the merge
+#: composed against is meaningless and a recompute is mandatory.
+_REBASEABLE_OPS = frozenset({"append", "merge", "delete", "optimize"})
+
+
+def _try_rebase_partitioned(
+    spark: SparkSession,
+    table: str,
+    base_version: int,
+    base_files: list[str],
+    touched: list[str],
+    new_files: list[str],
+    new_stats: dict | None,
+    partition_col: str,
+    values: list,
+    want_null: bool,
+    manifest_df: DataFrame,
+) -> int | None:
+    """Conflict-class resolution for a partitioned merge that lost its
+    version race: if every racing commit since ``base_version`` is
+    provably DISJOINT from this merge, re-point the already-written
+    ``new_files`` at the new tip instead of recomputing the whole
+    anti-join + rewrite. Disjointness is decided from manifests alone
+    (no data I/O):
+
+    1. every racer op is in ``_REBASEABLE_OPS`` (no overwrite);
+    2. the tip still references every file this merge rewrote
+       (``touched``) — no racer touched the same files; and
+    3. every file the racers ADDED (tip ∖ base) carries ``partition_col``
+       stats proving it holds none of this merge's partition values —
+       with partition_col functionally dependent on the merge keys
+       (the documented contract), no racer row can collide with a delta
+       key. Files without stats fail the test (conservative).
+
+    The rebased manifest is (tip ∖ touched) ∪ new_files — racer rewrites
+    of files this merge only CARRIED adopt the racer's version. Returns
+    the committed version, or None when the conflict is not provably
+    disjoint (caller recomputes). Retries follow-on races by re-running
+    the same proof against each newer tip."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = list_versions(spark, table)
+        tip_v = versions[-1]
+        if tip_v <= base_version:  # racer vanished (vacuum?) — recompute
+            return None
+        racers = [_read_manifest(spark, table, v)
+                  for v in versions if base_version < v <= tip_v]
+        if any(m["operation"] not in _REBASEABLE_OPS for m in racers):
+            return None
+        tip = racers[-1]
+        tip_files = set(tip["files"])
+        if not set(touched) <= tip_files:
+            return None
+        tip_stats = tip.get("file_stats") or {}
+        for f in tip_files - set(base_files):
+            row = tip_stats.get(f, {}).get(partition_col)
+            if row is None or _file_may_contain(row, values, want_null):
+                return None
+        rebased_files = [f for f in tip["files"] if f not in set(touched)]
+        file_stats = None
+        if new_stats is not None:
+            file_stats = {
+                **{f: tip_stats[f] for f in rebased_files if f in tip_stats},
+                **new_stats,
+            }
+        try:
+            return _commit(
+                manifest_df,
+                table,
+                "merge",
+                rebased_files + new_files,
+                file_stats,
+                expected_version=tip_v + 1,
+            )
+        except SnapshotConflictError:
+            continue  # yet another racer: re-prove against the newer tip
+    return None
+
+
 def snapshot_merge_partitioned(
     df: DataFrame,
     table: str,
@@ -569,8 +670,27 @@ def snapshot_merge_partitioned(
                 expected_version=versions[-1] + 1,
             )
         except SnapshotConflictError:
-            # computed against a superseded snapshot: drop the orphaned
-            # files (a racer's carried files stay — only OUR tx is new)
+            # computed against a superseded snapshot. If every racing
+            # commit is provably disjoint (kept our touched files, added
+            # nothing in our partition values), rebase the already-written
+            # files onto the new tip — no recompute, no data I/O:
+            rebased = _try_rebase_partitioned(
+                spark,
+                table,
+                base_version=versions[-1],
+                base_files=prev_files,
+                touched=touched,
+                new_files=new_files,
+                new_stats=new_stats,
+                partition_col=partition_col,
+                values=values,
+                want_null=want_null,
+                manifest_df=df,
+            )
+            if rebased is not None:
+                return rebased
+            # overlapping (or unprovable) conflict: drop the orphaned
+            # files and recompute against the new tip
             _delete_files(spark, new_files)
             continue
     raise SnapshotConflictError(
@@ -579,15 +699,266 @@ def snapshot_merge_partitioned(
     )
 
 
+def _prev_stats_cols(prev_stats: dict) -> list[str]:
+    """Union of columns any file in a manifest has stats for — rewrites
+    re-collect the same columns so pruning survives the operation."""
+    cols: list[str] = []
+    for per_col in prev_stats.values():
+        for c in per_col:
+            if c not in cols:
+                cols.append(c)
+    return cols
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    lo,
+    hi,
+    extra_condition=None,
+) -> int:
+    """Row-level DELETE with stats-pruned file rewrite — the
+    ``DELETE FROM t WHERE column BETWEEN lo AND hi [AND extra]`` analog:
+    files whose manifest stats prove ``column`` never lands in
+    ``[lo, hi]`` are CARRIED into the new version untouched (zero I/O,
+    same path); only files that may hold a matching row are read and
+    rewritten without the deleted rows. SQL semantics: a NULL ``column``
+    (or a NULL ``extra_condition``) never matches the predicate, so those
+    rows are kept. The rewrite is a narrow filter over the touched files
+    (no shuffle), so each surviving file keeps its clustering and its
+    re-collected stats stay tight; files rewritten to zero rows drop out
+    of the manifest entirely. Prior versions remain readable (time
+    travel) until ``vacuum``. Conflicts recompute against the new tip
+    (delete predicates are ranges, not value lists, so the partitioned-
+    merge rebase proof doesn't apply as-is)."""
+    from pyspark.sql import functions as F
+
+    pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    if extra_condition is not None:
+        extra = (
+            F.expr(extra_condition)
+            if isinstance(extra_condition, str)
+            else extra_condition
+        )
+        pred = pred & extra
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        manifest = _read_manifest(spark, table, versions[-1])
+        prev_stats = manifest.get("file_stats") or {}
+        touched, carried = [], []
+        for f in manifest["files"]:
+            row = prev_stats.get(f, {}).get(column)
+            if row is not None and row[0] is not None:
+                fmin, fmax, _null = row
+                try:
+                    disjoint = not (fmin <= hi and lo <= fmax)
+                except TypeError:
+                    disjoint = False
+                (carried if disjoint else touched).append(f)
+            elif row is not None:  # stats say the file is empty
+                carried.append(f)
+            else:
+                touched.append(f)
+        schema = StructType.fromJson(manifest["schema"])
+        new_files: list[str] = []
+        new_stats = None
+        if touched:
+            survivors = (
+                spark.read.schema(schema)
+                .parquet(*touched)
+                .filter(~F.coalesce(pred, F.lit(False)))
+            )
+            new_files = _write_data_files(survivors, table)
+            stats_cols = _prev_stats_cols(prev_stats)
+            if stats_cols:
+                new_stats = _collect_file_stats(new_files, stats_cols)
+        file_stats = None
+        if prev_stats:
+            file_stats = {
+                **{f: prev_stats[f] for f in carried if f in prev_stats},
+                **(new_stats or {}),
+            }
+        placeholder = spark.createDataFrame([], schema)
+        try:
+            return _commit(
+                placeholder,
+                table,
+                "delete",
+                carried + new_files,
+                file_stats,
+                expected_version=versions[-1] + 1,
+            )
+        except SnapshotConflictError:
+            _delete_files(spark, new_files)
+            continue
+    raise SnapshotConflictError(
+        f"delete on {table} lost 3 consecutive races — retry under lower "
+        f"write concurrency"
+    )
+
+
+def snapshot_optimize(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_col: str | None = None,
+) -> int:
+    """Bin-pack compaction — the OPTIMIZE analog, and the companion of
+    the streaming snapshot sink (one micro-batch = one commit = a few
+    small files; a day of minutely batches is thousands): files smaller
+    than ``target_file_bytes`` are read and rewritten into
+    ~``ceil(total/target)`` right-sized files; every already-large file
+    is CARRIED by identity. Data is byte-identical — only layout changes
+    — so the commit (op ``optimize``) is rebase-transparent to racing
+    partitioned merges of untouched files. With ``cluster_col`` the
+    rewrite is range-repartitioned + sorted on that column so the packed
+    files keep tight, prunable stat ranges (plain packing unions ranges —
+    correct, but file skipping degrades); stats are re-collected for the
+    same columns the previous manifest tracked either way. No-op (returns
+    the current version) when fewer than two files qualify."""
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        manifest = _read_manifest(spark, table, versions[-1])
+        prev_stats = manifest.get("file_stats") or {}
+        fs, _, jvm = _fs(spark, table)
+        small, carried, small_bytes = [], [], 0
+        for f in manifest["files"]:
+            size = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+            if size < target_file_bytes:
+                small.append(f)
+                small_bytes += size
+            else:
+                carried.append(f)
+        if len(small) < 2:
+            return versions[-1]
+        schema = StructType.fromJson(manifest["schema"])
+        packed = spark.read.schema(schema).parquet(*small)
+        n_out = max(1, -(-small_bytes // target_file_bytes))
+        if cluster_col is not None:
+            from pyspark.sql import functions as F
+
+            packed = packed.repartitionByRange(
+                n_out, F.col(cluster_col)
+            ).sortWithinPartitions(cluster_col)
+        else:
+            packed = packed.coalesce(n_out)
+        new_files = _write_data_files(packed, table)
+        stats_cols = _prev_stats_cols(prev_stats)
+        new_stats = (
+            _collect_file_stats(new_files, stats_cols) if stats_cols else None
+        )
+        file_stats = None
+        if prev_stats:
+            file_stats = {
+                **{f: prev_stats[f] for f in carried if f in prev_stats},
+                **(new_stats or {}),
+            }
+        placeholder = spark.createDataFrame([], schema)
+        try:
+            return _commit(
+                placeholder,
+                table,
+                "optimize",
+                carried + new_files,
+                file_stats,
+                expected_version=versions[-1] + 1,
+            )
+        except SnapshotConflictError:
+            _delete_files(spark, new_files)
+            continue
+    raise SnapshotConflictError(
+        f"optimize on {table} lost 3 consecutive races — retry under lower "
+        f"write concurrency"
+    )
+
+
+_CHECKPOINT_NAME = "_history_checkpoint.json"
+
+
+def _read_history_checkpoint(spark: SparkSession, table: str) -> dict | None:
+    path = f"{table.rstrip('/')}/{_MANIFEST_DIR}/{_CHECKPOINT_NAME}"
+    fs, hpath, jvm = _fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        return json.loads(data.decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def checkpoint_history(spark: SparkSession, table: str) -> int:
+    """Roll the per-version history summaries (version, operation,
+    n_files, committed_at_unix) up to the current tip into ONE checkpoint
+    file, so ``history`` stops being O(versions) manifest reads — the
+    analog of Delta's log checkpoint, sized for this format's pain point:
+    a streaming ``foreachBatch`` snapshot sink commits one version per
+    micro-batch, and a day of minutely batches is ~1.4k manifests. Data
+    manifests stay untouched (each is still the self-contained source of
+    truth for READS — time travel and vacuum don't consult the
+    checkpoint); only the history LISTING is summarized. The checkpoint
+    is derived data: it is rewritten wholesale (overwrite=True — a racing
+    checkpoint writes the same prefix plus whatever newer versions it
+    saw, so last-writer-wins is safe), and versions vacuumed later are
+    filtered out at read time against the live manifest listing. Returns
+    the tip version covered."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    prior = _read_history_checkpoint(spark, table)
+    rows = {r[0]: r for r in (prior or {}).get("rows", [])}
+    for v in versions:
+        if v not in rows:
+            m = _read_manifest(spark, table, v)
+            rows[v] = [v, m["operation"], len(m["files"]),
+                       float(m["committed_at_unix"])]
+    payload = {
+        "upto": versions[-1],
+        "rows": sorted(rows.values(), key=lambda r: r[0]),
+    }
+    fs, _, jvm = _fs(spark, table)
+    target = jvm.org.apache.hadoop.fs.Path(
+        f"{table.rstrip('/')}/{_MANIFEST_DIR}/{_CHECKPOINT_NAME}"
+    )
+    out = fs.create(target, True)
+    try:
+        out.write(bytearray(json.dumps(payload, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    return versions[-1]
+
+
 def history(spark: SparkSession, table: str) -> DataFrame:
     """Commit log as a DataFrame: (version, operation, n_files,
-    committed_at_unix) — the DESCRIBE HISTORY analog."""
-    rows = []
-    for v in list_versions(spark, table):
-        m = _read_manifest(spark, table, v)
-        rows.append(
-            (v, m["operation"], len(m["files"]), float(m["committed_at_unix"]))
-        )
+    committed_at_unix) — the DESCRIBE HISTORY analog. With a
+    ``checkpoint_history`` checkpoint present, only manifests NEWER than
+    the checkpointed tip are opened (plus one checkpoint read); without
+    one, every manifest is read. Checkpoint rows for versions vacuum has
+    since dropped are filtered against the live listing, so the two
+    paths always agree."""
+    versions = list_versions(spark, table)
+    live = set(versions)
+    ckpt = _read_history_checkpoint(spark, table)
+    rows_by_v: dict[int, tuple] = {}
+    upto = -1
+    if ckpt is not None:
+        upto = ckpt["upto"]
+        for v, op, n_files, ts in ckpt["rows"]:
+            if v in live:
+                rows_by_v[v] = (v, op, n_files, float(ts))
+    for v in versions:
+        if v > upto or v not in rows_by_v:
+            m = _read_manifest(spark, table, v)
+            rows_by_v[v] = (
+                v, m["operation"], len(m["files"]), float(m["committed_at_unix"])
+            )
+    rows = [rows_by_v[v] for v in sorted(rows_by_v)]
     return spark.createDataFrame(
         rows, "version int, operation string, n_files int, committed_at_unix double"
     )

@@ -446,3 +446,320 @@ def test_zorder_snapshot_scan_prunes_on_both_dimensions(spark, table):
             for r in full.filter((F.col(col) >= lo) & (F.col(col) <= hi)).collect()
         )
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# conflict classes: disjoint partitioned merges rebase instead of recompute
+# ---------------------------------------------------------------------------
+
+
+def _racing_merge_setup(spark, table, racer_delta):
+    """Monkeypatch scaffolding for the conflict-class tests: seed a 3-
+    partition table, then arrange for ``racer_delta`` to be merged by an
+    interloper immediately before the test's own merge claims its
+    version (so the test merge ALWAYS loses the race and enters the
+    conflict path). Returns (counts, restore) where counts['writes']
+    tallies _write_data_files invocations — the recompute detector."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    base = _pdf(
+        spark,
+        [(1, "a", "a1"), (2, "b", "b2"), (3, "d", "d3")],
+    )
+    snap.snapshot_merge_partitioned(base, table, key_cols=["k"], partition_col="p")
+
+    real_claim = snap._claim_version
+    real_write = snap._write_data_files
+    state = {"fired": False}
+    counts = {"writes": 0}
+
+    def counting_write(df, table_):
+        counts["writes"] += 1
+        return real_write(df, table_)
+
+    def racing_claim(spark_, table_, manifest, v):
+        if not state["fired"] and manifest.get("operation") == "merge":
+            state["fired"] = True  # guard BEFORE the recursive merge below
+            snap.snapshot_merge_partitioned(
+                racer_delta, table_, key_cols=["k"], partition_col="p"
+            )
+        return real_claim(spark_, table_, manifest, v)
+
+    snap._claim_version = racing_claim
+    snap._write_data_files = counting_write
+
+    def restore():
+        snap._claim_version = real_claim
+        snap._write_data_files = real_write
+
+    return counts, restore
+
+
+def test_partitioned_merge_rebases_provably_disjoint_racer(spark, table):
+    """A racer merging partition 'd' (distinct hash bucket, stats-proven
+    disjoint) commits first; our merge of partition 'b' must REBASE its
+    already-written files onto the racer's tip — one data write, no
+    recompute — and both writers' rows land."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    racer = _pdf(spark, [(3, "d", "D3!"), (5, "d", "d5")])
+    counts, restore = _racing_merge_setup(spark, table, racer)
+    try:
+        ours = _pdf(spark, [(2, "b", "B2!"), (4, "b", "b4")])
+        v = snap.snapshot_merge_partitioned(
+            ours, table, key_cols=["k"], partition_col="p"
+        )
+    finally:
+        restore()
+    assert v == 3  # racer took v2; rebase landed on the new tip
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "a1", 2: "B2!", 3: "D3!", 4: "b4", 5: "d5"}
+    # one write for the racer's merge + ONE for ours: a recompute would
+    # have written a second set of files for our merge (writes == 3)
+    assert counts["writes"] == 2, "disjoint conflict must not recompute"
+    # and the rebase preserved the racer's stats for its files: a fresh
+    # disjoint merge afterwards still prunes (carries) both b- and d-files
+    m3 = snap._read_manifest(spark, table, 3)
+    assert m3.get("file_stats"), "rebase must compose stats, not drop them"
+    later = _pdf(spark, [(1, "a", "A1!")])
+    snap.snapshot_merge_partitioned(later, table, key_cols=["k"], partition_col="p")
+    m4 = snap._read_manifest(spark, table, 4)
+    assert set(m3["files"]) & set(m4["files"]), "stats lost: nothing carried"
+
+
+def test_partitioned_merge_recomputes_overlapping_racer(spark, table):
+    """A racer touching the SAME partition 'b' commits first: the rebase
+    proof must fail (our touched files are gone from the tip) and the
+    merge recomputes against the racer's snapshot — last writer wins for
+    the contested key, no racer row lost."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    racer = _pdf(spark, [(2, "b", "RACER"), (6, "b", "b6")])
+    counts, restore = _racing_merge_setup(spark, table, racer)
+    try:
+        ours = _pdf(spark, [(2, "b", "OURS"), (4, "b", "b4")])
+        v = snap.snapshot_merge_partitioned(
+            ours, table, key_cols=["k"], partition_col="p"
+        )
+    finally:
+        restore()
+    assert v == 3
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    # our merge recomputed against the racer's tip: we win k=2, racer's
+    # k=6 insert survives, our k=4 insert lands
+    assert got == {1: "a1", 2: "OURS", 3: "d3", 4: "b4", 6: "b6"}
+    assert counts["writes"] == 3, "overlapping conflict must recompute"
+
+
+def test_partitioned_merge_recomputes_across_overwrite_racer(spark, table):
+    """An OVERWRITE racer invalidates the base wholesale: never rebase,
+    even though file-level stats might look disjoint."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    base = _pdf(spark, [(1, "a", "a1"), (2, "b", "b2")])
+    snap.snapshot_merge_partitioned(base, table, key_cols=["k"], partition_col="p")
+
+    real_claim = snap._claim_version
+    state = {"fired": False}
+
+    def racing_claim(spark_, table_, manifest, v):
+        if not state["fired"] and manifest.get("operation") == "merge":
+            state["fired"] = True
+            snap.snapshot_overwrite(_pdf(spark, [(9, "d", "wiped")]), table_)
+        return real_claim(spark_, table_, manifest, v)
+
+    snap._claim_version = racing_claim
+    try:
+        ours = _pdf(spark, [(2, "b", "OURS")])
+        v = snap.snapshot_merge_partitioned(
+            ours, table, key_cols=["k"], partition_col="p"
+        )
+    finally:
+        snap._claim_version = real_claim
+    assert v == 3
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    # merge applied to the OVERWRITTEN state, not the stale base
+    assert got == {2: "OURS", 9: "wiped"}
+
+
+# ---------------------------------------------------------------------------
+# history checkpointing: DESCRIBE HISTORY without O(versions) manifest reads
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_history_matches_and_skips_manifest_reads(spark, table):
+    """After checkpoint_history, history() must return exactly what the
+    uncheckpointed path returns while opening ONLY manifests newer than
+    the checkpointed tip — the micro-batch-sink listing fix."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    snapshot_overwrite(_df(spark, [(0, "base")]), table)
+    for i in range(1, 6):
+        snapshot_append(_df(spark, [(i, f"v{i}")]), table)
+    want = [tuple(r) for r in history(spark, table).collect()]
+
+    assert snap.checkpoint_history(spark, table) == 6
+    snapshot_append(_df(spark, [(9, "after")]), table)  # one post-ckpt commit
+
+    real_read = snap._read_manifest
+    opened = []
+
+    def counting_read(spark_, table_, version):
+        opened.append(version)
+        return real_read(spark_, table_, version)
+
+    snap._read_manifest = counting_read
+    try:
+        got = [tuple(r) for r in snap.history(spark, table).collect()]
+    finally:
+        snap._read_manifest = real_read
+    assert opened == [7], "history read a manifest the checkpoint covers"
+    assert got[:-1] == want and got[-1][:2] == (7, "append")
+
+
+def test_checkpoint_history_survives_vacuum(spark, table):
+    """Vacuum drops versions AFTER a checkpoint was taken: checkpoint
+    rows for dead versions must be filtered out, and incremental
+    re-checkpointing must not resurrect them."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    snapshot_overwrite(_df(spark, [(0, "base")]), table)
+    for i in range(1, 4):
+        snapshot_append(_df(spark, [(i, f"v{i}")]), table)
+    snap.checkpoint_history(spark, table)
+    vacuum(spark, table, keep_last=2)
+
+    got = [r.version for r in snap.history(spark, table).collect()]
+    assert got == [3, 4], "vacuumed versions leaked from the checkpoint"
+
+    # re-checkpoint on the vacuumed table, append once more: still consistent
+    snap.checkpoint_history(spark, table)
+    snapshot_append(_df(spark, [(9, "after")]), table)
+    got = [r.version for r in snap.history(spark, table).collect()]
+    assert got == [3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# row-level DELETE and OPTIMIZE (bin-pack compaction)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_delete_prunes_carries_and_keeps_nulls(spark, table):
+    """DELETE WHERE p BETWEEN 'b' AND 'b' AND k % 2 = 0: files provably
+    outside the range are carried by path identity; NULL-partition rows
+    (predicate evaluates NULL) are KEPT; prior version still readable."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    base = spark.createDataFrame(
+        [(1, "a", "a1"), (2, "b", "b2"), (4, "b", "b4"), (5, "b", "b5"),
+         (3, "d", "d3"), (6, None, "n6")],
+        "k int, p string, v string",
+    )
+    snap.snapshot_merge_partitioned(base, table, key_cols=["k"], partition_col="p")
+    m1 = snap._read_manifest(spark, table, 1)
+
+    v = snap.snapshot_delete(spark, table, "p", "b", "b", "k % 2 = 0")
+    assert v == 2
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "a1", 3: "d3", 5: "b5", 6: "n6"}  # only even b-keys gone
+
+    m2 = snap._read_manifest(spark, table, 2)
+    assert m2["operation"] == "delete"
+    carried = set(m1["files"]) & set(m2["files"])
+    assert carried, "out-of-range files must carry by identity"
+    for f in carried:
+        row = m1["file_stats"][f].get("p")
+        if row and row[0] is not None:
+            lo_, hi_, _ = row
+            assert not (lo_ <= "b" <= hi_)
+    # rewritten files keep usable stats for future pruning
+    assert any(f not in m1["files"] and "p" in m2["file_stats"].get(f, {})
+               for f in m2["files"])
+    # time travel: pre-delete version intact
+    pre = {r.k: r.v for r in snapshot_read(spark, table, version=1).collect()}
+    assert pre == {1: "a1", 2: "b2", 3: "d3", 4: "b4", 5: "b5", 6: "n6"}
+
+
+def test_snapshot_delete_whole_file_drops_from_manifest(spark, table):
+    """Deleting every row of a file leaves no zero-row part file in the
+    new manifest."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    base = _pdf(spark, [(1, "a", "a1"), (2, "b", "b2")])
+    snap.snapshot_merge_partitioned(base, table, key_cols=["k"], partition_col="p")
+    snap.snapshot_delete(spark, table, "p", "b", "b")
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "a1"}
+    m2 = snap._read_manifest(spark, table, 2)
+    assert len(m2["files"]) < len(snap._read_manifest(spark, table, 1)["files"])
+
+
+def test_snapshot_optimize_packs_small_files_value_identical(spark, table):
+    """Many single-commit appends → optimize packs the small files into
+    few; values byte-identical; old versions time-travelable; vacuum then
+    reclaims the packed-away small files."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    snapshot_overwrite(_df(spark, [(0, "base")]), table)
+    for i in range(1, 9):
+        snapshot_append(_df(spark, [(i, f"v{i}")]), table)
+    before = snapshot_read(spark, table)
+    n_before = len(before.inputFiles())
+    want = {r.k: r.v for r in before.collect()}
+
+    v = snap.snapshot_optimize(spark, table, target_file_bytes=1 << 20)
+    assert v == 10
+    after = snapshot_read(spark, table)
+    assert len(after.inputFiles()) < n_before
+    assert {r.k: r.v for r in after.collect()} == want
+    m = snap._read_manifest(spark, table, v)
+    assert m["operation"] == "optimize"
+    # pre-optimize tip still readable, then vacuum reclaims its files
+    assert {r.k: r.v for r in snapshot_read(spark, table, version=9).collect()} == want
+    deleted = vacuum(spark, table, keep_last=1)
+    assert deleted > 0
+    assert {r.k: r.v for r in snapshot_read(spark, table).collect()} == want
+
+
+def test_snapshot_optimize_clustered_keeps_stats_tight(spark, table):
+    """cluster_col packing: after optimize the files' stat ranges stay
+    narrow and pairwise disjoint so snapshot_scan still file-skips;
+    already-large files are carried by identity."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("p"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),  # incompressible
+    )
+    snap.snapshot_overwrite(big.coalesce(1), table, stats_cols=["p"])
+    m1 = snap._read_manifest(spark, table, 1)
+    big_files = set(m1["files"])
+    for i in range(4):
+        small = spark.range(20000 + 5000 * i, 25000 + 5000 * i).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 100).alias("p"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        ).coalesce(1)
+        snapshot_append(small, table)
+    # append must have CARRIED the overwrite's stats and collected its own
+    m_before = snap._read_manifest(spark, table, list_versions(spark, table)[-1])
+    assert all("p" in (m_before.get("file_stats") or {}).get(f, {})
+               for f in m_before["files"]), "append dropped stats continuity"
+    v = snap.snapshot_optimize(
+        spark, table, target_file_bytes=1 << 20, cluster_col="p"
+    )
+    m = snap._read_manifest(spark, table, v)
+    assert big_files and big_files <= set(m["files"]), "large file not carried"
+    assert len(m["files"]) < len(m_before["files"])
+    total = snapshot_read(spark, table).count()
+    assert total == 40000
+    # range-clustered packing keeps per-file p-ranges narrow: a selective
+    # scan skips the packed files whose range can't intersect
+    pruned = snap.snapshot_scan(spark, table, "p", 0, 5)
+    assert len(pruned.inputFiles()) < len(m["files"])
+    assert pruned.count() == snapshot_read(spark, table).filter(
+        (F.col("p") >= 0) & (F.col("p") <= 5)
+    ).count()
