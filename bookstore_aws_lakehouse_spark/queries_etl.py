@@ -976,3 +976,123 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_delete_roundtrip",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE NOT (strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
+               AND o_orderkey % 3 = 0)
+    GROUP BY o_month
+    """,
+)
+def q_snapshot_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the snapshot table (sources/snapshots.py::
+    snapshot_delete — the ``DELETE FROM t WHERE ...`` analog): commit
+    orders month-clustered with manifest stats, delete every 3rd orderkey
+    inside one year, read the post-delete snapshot back. Files whose
+    month range can't intersect 1995 are carried by identity (zero I/O —
+    asserted in tests/test_snapshots.py); only 1995's files are rewritten
+    without the deleted rows, via a narrow no-shuffle filter. The oracle
+    applies the complement predicate to the raw table. Tempdir removed
+    before returning; result localCheckpoint-pinned."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete,
+        snapshot_merge_partitioned,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapdel_")
+    try:
+        table = f"{root}/orders_snap"
+        snapshot_merge_partitioned(
+            base, table, key_cols=["o_orderkey"], partition_col="o_month"
+        )
+        snapshot_delete(
+            spark, table, "o_month", "1995-01", "1995-12", "o_orderkey % 3 = 0"
+        )
+        out = snapshot_read(spark, table).groupBy("o_month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_optimize_roundtrip",
+    """
+    SELECT l_returnflag, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(1 AS BOOLEAN) AS packed
+    FROM lineitem
+    WHERE l_partkey BETWEEN 1 AND 400
+    GROUP BY l_returnflag
+    """,
+)
+def q_snapshot_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (bin-pack compaction) on the snapshot table (sources/
+    snapshots.py::snapshot_optimize): fragment a partkey slice of
+    lineitem across one overwrite + three appends (the streaming-sink
+    shape — each commit a few small files), then compact with
+    ``cluster_col`` so the packed files keep tight, prunable l_partkey
+    ranges. The read-back aggregation must be value-identical to the
+    never-fragmented oracle, and the Spark side emits ``packed`` =
+    (file count shrank) — TRUE on the oracle side — so the compaction
+    effect itself is driver-checked, not just the data equality.
+    History checkpointing for the resulting multi-version log is
+    exercised in tests/test_snapshots.py."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_optimize,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").between(1, 400)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    root = tempfile.mkdtemp(prefix="blhs_snapopt_")
+    try:
+        table = f"{root}/fact_snap"
+        snapshot_overwrite(
+            li.filter(F.col("l_partkey") <= 100).repartition(4),
+            table,
+            stats_cols=["l_partkey"],
+        )
+        for lo, hi in [(101, 200), (201, 300), (301, 400)]:
+            snapshot_append(
+                li.filter(F.col("l_partkey").between(lo, hi)).repartition(4),
+                table,
+            )
+        n_before = len(snapshot_read(spark, table).inputFiles())
+        snapshot_optimize(
+            spark, table, target_file_bytes=128 << 20, cluster_col="l_partkey"
+        )
+        back = snapshot_read(spark, table)
+        packed = len(back.inputFiles()) < n_before
+        out = back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.lit(bool(packed)).alias("packed"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -549,3 +549,123 @@ def q_kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("cosine"), 6).alias("mean_cosine"),
     )
+
+
+@golden(
+    "kmeans_converge_2iter",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+    a0 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c0.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c0.cv")} DESC,
+                                           c0.cell) AS rn
+        FROM e CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a0.cell, i AS dim, round(avg(e.v[i]), 6) AS m
+      FROM a0 JOIN e USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY a0.cell, i
+    ),
+    c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cell),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c1.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c1.cv")} DESC,
+                                           c1.cell) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT a1.cell, i AS dim, round(avg(e.v[i]), 6) AS m
+      FROM a1 JOIN e USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY a1.cell, i
+    ),
+    c2 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM m2 GROUP BY cell),
+    a2 AS (
+      SELECT vec_id, cell, cos FROM (
+        SELECT e.vec_id, c2.cell, {_COS.format(a="e.v", b="c2.cv")} AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c2.cv")} DESC,
+                                           c2.cell) AS rn
+        FROM e CROSS JOIN c2
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT cell, count(*) AS n_members, round(avg(cos), 6) AS mean_cosine
+      FROM a2 GROUP BY cell
+    ),
+    shift AS (
+      SELECT m2.cell, round(sum(abs(m2.m - m1.m)), 6) AS l1_shift
+      FROM m2 JOIN m1 USING (cell, dim) GROUP BY m2.cell
+    )
+    SELECT stats.cell, n_members, mean_cosine, l1_shift
+    FROM stats JOIN shift USING (cell)
+    """,
+)
+def q_kmeans_converge_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration Lloyd convergence (operators/similarity.py::
+    kmeans_update, unrolled twice — the r7 round's carried candidate):
+    a FIXED 16-centroid codebook (vec_id < 16 seeds, so the centroid
+    count is corpus-size-independent and the bench growth datapoint
+    measures a true scale-up, not a larger workload) trained for two
+    iterations with per-component 6-dp rounding after each (pins
+    bit-identical centroids across engines — the kmeans_train_assign
+    device), then final assignment stats per cell PLUS the L1 centroid
+    shift between iterations — the convergence signal a training loop
+    would threshold on. Each iteration is one corpus scan + two
+    map-side-combinable aggregations; no self-joins. The oracle unrolls
+    both iterations as CTEs (assign → per-(cell,dim) rounded mean →
+    reassemble → re-assign) and recomputes the shift from the per-dim
+    mean tables. The 64 per-dim |Δ| terms are identical doubles on both
+    engines; the 6-dp rounding absorbs their summation-order ulps (same
+    bet every rounded avg in this registry takes)."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_update,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c0 = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+    def rounded(c: DataFrame) -> DataFrame:
+        return c.select(
+            "centroid_id",
+            F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding"),
+        )
+
+    # 16-row frames: pin them so the second iteration / shift don't
+    # re-run the full corpus-scanning lineage that produced them
+    c1 = rounded(kmeans_update(emb, c0)).localCheckpoint(eager=True)
+    c2 = rounded(kmeans_update(emb, c1)).localCheckpoint(eager=True)
+    a2 = ivf_assign(emb, c2)
+    stats = a2.groupBy(F.col("centroid_id").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("cosine"), 6).alias("mean_cosine"),
+    )
+    shift = (
+        c1.alias("p")
+        .join(c2.alias("q"), "centroid_id")
+        .select(
+            F.col("centroid_id").alias("cell"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("p.embedding"),
+                        F.col("q.embedding"),
+                        lambda x, y: F.abs(x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("l1_shift"),
+        )
+    )
+    return stats.join(F.broadcast(shift), "cell")

@@ -139,3 +139,128 @@ def q_hll_merge_across_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05)
         ).alias("within_tol"),
     )
+
+
+@golden(
+    "theta_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31')
+    SELECT
+      CAST((SELECT count(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)) AS BIGINT) AS exact_union,
+      CAST(1 AS BOOLEAN) AS union_ok,
+      CAST((SELECT count(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS BIGINT) AS exact_intersect,
+      CAST(1 AS BOOLEAN) AS intersect_ok,
+      CAST((SELECT count(*) FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)) AS BIGINT) AS exact_diff,
+      CAST(1 AS BOOLEAN) AS diff_ok
+    """,
+)
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches — the sketch family HLL can't replace: set
+    EXPRESSIONS over distinct keys (union, intersection, A∖B), here
+    "customers active in 1995 vs 1996". Each year builds one
+    ``theta_sketch_agg`` map-side (kilobytes shuffled, never the key
+    universe); ``theta_union`` / ``theta_intersection`` /
+    ``theta_difference`` then answer overlap and churn WITHOUT re-reading
+    rows — the audience-overlap / retention shape at 100 TB. Oracle
+    pattern per this module's docstring: exact values are cross-engine
+    hashable; each estimate is checked Spark-side against Spark's own
+    exact answer (union/difference 5%, intersection 10% — set-expression
+    error compounds two sketches) and the boolean must be TRUE, matching
+    the oracle's literal."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+    ).select("o_custkey")
+    y96 = orders.filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-12-31")
+    ).select("o_custkey")
+    sk = (
+        y95.agg(F.theta_sketch_agg("o_custkey").alias("sa"))
+        .crossJoin(y96.agg(F.theta_sketch_agg("o_custkey").alias("sb")))
+        .select(
+            F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("est_union"),
+            F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias(
+                "est_intersect"
+            ),
+            F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias(
+                "est_diff"
+            ),
+        )
+    )
+    ex = (
+        y95.withColumn("_in_a", F.lit(1))
+        .unionByName(y96.withColumn("_in_a", F.lit(0)))
+        .groupBy("o_custkey")
+        .agg(F.max("_in_a").alias("a"), F.min("_in_a").alias("not_b"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(
+                ((F.col("a") == 1) & (F.col("not_b") == 0)).cast("bigint")
+            ).alias("exact_intersect"),
+            F.sum(
+                ((F.col("a") == 1) & (F.col("not_b") == 1)).cast("bigint")
+            ).alias("exact_diff"),
+        )
+    )
+    tol = lambda est, exact, t: (  # noqa: E731
+        F.abs(F.col(est) - F.col(exact)) <= F.col(exact) * F.lit(t)
+    )
+    return ex.crossJoin(F.broadcast(sk)).select(
+        F.col("exact_union").cast("bigint").alias("exact_union"),
+        tol("est_union", "exact_union", 0.05).alias("union_ok"),
+        F.col("exact_intersect").cast("bigint").alias("exact_intersect"),
+        tol("est_intersect", "exact_intersect", 0.10).alias("intersect_ok"),
+        F.col("exact_diff").cast("bigint").alias("exact_diff"),
+        tol("est_diff", "exact_diff", 0.10).alias("diff_ok"),
+    )
+
+
+@golden(
+    "kll_quantile_merge",
+    """
+    SELECT
+      round(percentile_cont(0.25) WITHIN GROUP (ORDER BY c_acctbal), 6) AS exact_q25,
+      round(percentile_cont(0.50) WITHIN GROUP (ORDER BY c_acctbal), 6) AS exact_q50,
+      round(percentile_cont(0.75) WITHIN GROUP (ORDER BY c_acctbal), 6) AS exact_q75,
+      CAST(1 AS BOOLEAN) AS within_tol
+    FROM customer
+    """,
+)
+def q_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch MERGEABILITY (kll_sketch_agg_double per nation
+    → kll_merge_agg_double → kll_sketch_get_quantile_double): the
+    two-level quantile rollup — per-partition sketches persisted once,
+    global quantiles recovered at query time from O(sketches) bytes, the
+    only viable percentile-dashboard shape at 100 TB (exact quantiles
+    need a global sort). KLL's guarantee is on RANK (~1.65% at k=200),
+    not value, so ``within_tol`` normalizes by the value RANGE: acctbal
+    is near-uniform, making 5% of range ≈ 8σ of rank error — a
+    deterministic-in-practice bound that still catches a broken sketch.
+    The exact interpolated percentiles are cross-engine hashable
+    (sql_percentiles pinned the parity) and carry the row hash."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.kll_sketch_agg_double("c_acctbal").alias("sk")
+    )
+    merged = per_nation.agg(F.kll_merge_agg_double("sk").alias("msk")).select(
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.25)).alias("e25"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.50)).alias("e50"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.75)).alias("e75"),
+    )
+    exact = cust.agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("exact_q25"),
+        F.round(F.expr("percentile(c_acctbal, 0.50)"), 6).alias("exact_q50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("exact_q75"),
+        (F.max("c_acctbal") - F.min("c_acctbal")).alias("_range"),
+    )
+    ok = (
+        (F.abs(F.col("e25") - F.col("exact_q25")) <= F.col("_range") * 0.05)
+        & (F.abs(F.col("e50") - F.col("exact_q50")) <= F.col("_range") * 0.05)
+        & (F.abs(F.col("e75") - F.col("exact_q75")) <= F.col("_range") * 0.05)
+    )
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_q25", "exact_q50", "exact_q75", ok.alias("within_tol")
+    )
