@@ -196,6 +196,13 @@ def main() -> None:
         "hll_merge_across_groups",
         "graph_pagerank_purchases",
         "text_remove_boilerplate",
+        # r8 additions: row-level snapshot DELETE + OPTIMIZE, the fixed-
+        # codebook 2-iteration kmeans, and the Theta/KLL sketch rollups
+        "snapshot_delete_roundtrip",
+        "snapshot_optimize_roundtrip",
+        "kmeans_converge_2iter",
+        "theta_set_ops",
+        "kll_quantile_merge",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
@@ -343,10 +350,15 @@ def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
         "text_bigram_lm_score",
         # r7: the newest iterative shape. 10× disjoint graph copies (see
         # below) — iteration count is fixed (2), so growth is pure
-        # per-iteration join/agg volume. (kmeans is deliberately absent:
-        # its centroid count also grows 10× under vec_id-derived seeding,
-        # making the 10× corpus a 100× workload, not a scale-up.)
+        # per-iteration join/agg volume. (kmeans_train_assign is
+        # deliberately absent: its centroid count also grows 10× under
+        # vec_id%50 seeding, making the 10× corpus a 100× workload.)
         "graph_pagerank_purchases",
+        # r8: the FIXED-codebook kmeans (seeds are vec_id < 16; the 10×
+        # embedding copies live at vec_id ≥ 10M, so the centroid count
+        # stays 16 and the ratio measures a true corpus scale-up —
+        # expected ≈linear: per-iteration assign volume is corpus×16).
+        "kmeans_converge_2iter",
     ]
     factor = 10
     tmp = tempfile.mkdtemp(prefix="bench_growth_")
