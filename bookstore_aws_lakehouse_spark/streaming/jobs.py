@@ -282,12 +282,56 @@ def continuous_hourly_aggregate(
     query.awaitTermination()
 
 
+def snapshot_sink_batch(
+    table: str,
+    maintenance_every: int | None = None,
+    target_file_bytes: int = 128 << 20,
+):
+    """foreachBatch body for the snapshot sink, factored out so the
+    maintenance policy is testable batch-by-batch (exactly how Spark
+    drives it): MERGE the micro-batch via the file-pruned partitioned
+    merge, then — when ``maintenance_every`` is set and the version count
+    crosses a multiple of it — run the table's upkeep inline:
+    ``snapshot_optimize`` bin-packs the accumulated per-batch small files
+    (clustered on ``day_no`` so file stats stay prunable) and
+    ``checkpoint_history`` rolls the per-version summaries up so history
+    listing stays O(recent) instead of O(micro-batches). Both are
+    versioned commits themselves, so a maintenance crash mid-way leaves
+    a consistent table and the next cycle retries. Keying maintenance on
+    the version COUNT (not the batch counter) makes it restart-safe: a
+    replayed batch that commits nothing triggers nothing."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        checkpoint_history,
+        list_versions,
+        snapshot_merge_partitioned,
+        snapshot_optimize,
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no empty commits: keep the version history meaningful
+        snapshot_merge_partitioned(
+            batch_df, table, key_cols=["window_start_ns"], partition_col="day_no"
+        )
+        if maintenance_every:
+            spark = batch_df.sparkSession
+            if len(list_versions(spark, table)) % maintenance_every == 0:
+                snapshot_optimize(
+                    spark, table, target_file_bytes, cluster_col="day_no"
+                )
+                checkpoint_history(spark, table)
+
+    return merge_batch
+
+
 def continuous_aggregate_snapshot(
     spark: SparkSession,
     sf_dir: str,
     table: str,
     watermark: str = "30 minutes",
     checkpoint: str | None = None,
+    maintenance_every: int | None = None,
+    target_file_bytes: int = 128 << 20,
 ) -> None:
     """The continuous aggregate with a SNAPSHOT-TABLE sink
     (sources/snapshots.py): each micro-batch MERGEs into the
@@ -297,12 +341,11 @@ def continuous_aggregate_snapshot(
     without a table format — and (b) every batch leaves a time-travelable
     commit (one version per micro-batch, vacuumable). This is exactly the
     foreachBatch→MERGE INTO pattern Delta documents, running on the
-    in-repo manifest format."""
+    in-repo manifest format. With ``maintenance_every`` the sink also
+    self-maintains: every N-th version it bin-packs its accumulated
+    small files and checkpoints the history log (see
+    ``snapshot_sink_batch``)."""
     from pyspark.sql import functions as F
-
-    from bookstore_aws_lakehouse_spark.sources.snapshots import (
-        snapshot_merge_partitioned,
-    )
 
     ns_per_day = 86_400_000_000_000
     stream = read_events_stream(spark, sf_dir)
@@ -315,16 +358,11 @@ def continuous_aggregate_snapshot(
         "day_no", F.expr(f"window_start_ns div {ns_per_day}")
     )
 
-    def merge_batch(batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return  # no empty commits: keep the version history meaningful
-        snapshot_merge_partitioned(
-            batch_df, table, key_cols=["window_start_ns"], partition_col="day_no"
-        )
-
     query = (
         agged.writeStream.outputMode("update")
-        .foreachBatch(merge_batch)
+        .foreachBatch(
+            snapshot_sink_batch(table, maintenance_every, target_file_bytes)
+        )
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",

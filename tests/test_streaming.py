@@ -116,3 +116,38 @@ def test_continuous_aggregate_snapshot_restart_is_idempotent(spark, sf_smoke, tm
     continuous_aggregate_snapshot(spark, sf_smoke, table, checkpoint=ckpt)
     v2 = list_versions(spark, table)
     assert v1 == v2, "restart with no new data must commit nothing"
+
+
+def test_snapshot_sink_maintenance_packs_and_checkpoints(spark, tmp_path):
+    """The sink's maintenance policy, driven batch-by-batch exactly as
+    foreachBatch would: every 2nd version the accumulated small files
+    are bin-packed (an 'optimize' commit, clustered on day_no so stats
+    stay prunable) and the history log is checkpointed. Values must be
+    unaffected and empty batches must commit nothing."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_history_checkpoint,
+        history,
+        snapshot_read,
+    )
+    from bookstore_aws_lakehouse_spark.streaming.jobs import snapshot_sink_batch
+
+    table = str(tmp_path / "sink_snap")
+    sink = snapshot_sink_batch(table, maintenance_every=2)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "window_start_ns long, n_events long, total_value double, day_no long"
+        )
+
+    ns_day = 86_400_000_000_000
+    for i in range(4):  # one batch per DAY: merges prune, files accumulate
+        sink(batch([(i * ns_day, i + 1, float(i), i)]), i)
+    sink(batch([]), 99)  # empty batch: no commit, no maintenance
+
+    ops = [r.operation for r in history(spark, table).sort("version").collect()]
+    assert ops.count("optimize") >= 1, f"maintenance never ran: {ops}"
+    assert ops.count("merge") == 4
+    ckpt = _read_history_checkpoint(spark, table)
+    assert ckpt is not None and ckpt["upto"] >= 2
+    got = {r.window_start_ns: r.n_events for r in snapshot_read(spark, table).collect()}
+    assert got == {i * ns_day: i + 1 for i in range(4)}
