@@ -385,3 +385,70 @@ def ivf_assign(
         )
         .drop("_rn")
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization encode — the compression layer of a 100 TB
+    vector store (a 64-dim float vector becomes ``m`` one-byte codes,
+    64× smaller; IVFPQ = `ivf_assign` cells over these codes): the
+    vector is split into ``m`` contiguous subvectors of ``dim/m`` dims,
+    and each subvector is assigned to its nearest sub-centroid (squared
+    L2) in that subspace's codebook. Codebooks here are built from the
+    ``seeds`` frame (code = seed id, one sub-centroid per subspace) —
+    training them is `kmeans_update`'s job, run per subspace.
+
+    Scale shape: ONE corpus scan (posexplode to m subvector rows, pure
+    map-side), a broadcast join against the m×|seeds| codebook, and a
+    per-(vector, subspace) argmin window — no shuffle wider than the
+    corpus×m rows. Distances use the expanded form x·x − 2·x·c + c·c
+    over the shared `dot` fold, so scores are bit-identical to the SQL
+    oracle's ``list_dot_product`` replay. Ties break on the lower code.
+
+    Output: (``id_col``, subspace, code, dist2).
+    """
+    from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    d = dim // m
+    sub = lambda col, s: F.slice(F.col(col).cast("array<double>"), s * d + 1, d)  # noqa: E731
+    books = None
+    for s in range(m):
+        part = seeds.select(
+            F.lit(s).alias("subspace"),
+            F.col(id_col).cast("int").alias("code"),
+            sub(vec_col, s).alias("centroid"),
+        )
+        books = part if books is None else books.unionByName(part)
+    books = books.withColumn("_cc", _dot(F.col("centroid"), F.col("centroid")))
+    rows = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[sub(vec_col, s) for s in range(m)])).alias(
+            "subspace", "_sv"
+        ),
+    ).withColumn("_xx", _dot(F.col("_sv"), F.col("_sv")))
+    scored = rows.join(F.broadcast(books), "subspace").select(
+        id_col,
+        "subspace",
+        "code",
+        (
+            F.col("_xx")
+            - F.lit(2.0) * _dot(F.col("_sv"), F.col("centroid"))
+            + F.col("_cc")
+        ).alias("dist2"),
+    )
+    return top_n_per_group(
+        scored,
+        [id_col, "subspace"],
+        [("dist2", False)],
+        1,
+        tiebreak=["code"],
+        rank_name="_rn",
+    ).drop("_rn")

@@ -669,3 +669,58 @@ def q_kmeans_converge_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.join(F.broadcast(shift), "cell")
+
+
+@golden(
+    "embedding_pq_encode",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, 3)) AS subspace),
+    sv AS (
+      SELECT vec_id, subspace, list_slice(v, subspace*16+1, subspace*16+16) AS x
+      FROM e, subs
+    ),
+    cb AS (
+      SELECT subspace, CAST(vec_id AS INT) AS code,
+             list_slice(v, subspace*16+1, subspace*16+16) AS c
+      FROM e, subs WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT vec_id, subspace, code, dist2 FROM (
+        SELECT vec_id, subspace, code, dist2,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY dist2 ASC, code) AS rn
+        FROM (
+          SELECT sv.vec_id, sv.subspace, cb.code,
+                 list_dot_product(sv.x, sv.x)
+                 - 2 * list_dot_product(sv.x, cb.c)
+                 + list_dot_product(cb.c, cb.c) AS dist2
+          FROM sv JOIN cb USING (subspace)
+        )
+      ) WHERE rn = 1
+    )
+    SELECT subspace, code, count(*) AS n_vectors, round(avg(dist2), 6) AS avg_dist2
+    FROM assign GROUP BY subspace, code
+    """,
+)
+def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode end-to-end (operators/similarity.py::
+    pq_encode — 64-dim float vectors → 4 one-byte codes, the 64×
+    compression every 100 TB vector store runs before ANN): codebooks
+    seeded from vec_id < 16 (training is kmeans_update per subspace; the
+    fixed seeding keeps the oracle closed-form), every vector's 4
+    subvectors argmin-assigned by squared L2 in the expanded
+    x·x − 2·x·c + c·c form over the shared bit-identical dot fold.
+    Emits the per-(subspace, code) assignment histogram plus rounded
+    mean quantization error — the codebook-quality diagnostics a
+    training pipeline monitors. The oracle replays slice → broadcast
+    codebook join → argmin window → histogram in SQL."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 16)
+    enc = pq_encode(emb, seeds, m=4, dim=64)
+    return enc.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+    )

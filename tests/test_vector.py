@@ -243,3 +243,28 @@ def test_exact_pandas_udf_is_bit_identical_to_jvm(spark, sf_smoke):
     assert len(both) == 60 * 59 / 2
     for r in both:
         assert r["jvm"] == r["py"]  # bit-identical, no tolerance
+
+
+def test_pq_encode_seeds_self_code_and_shapes(spark):
+    """Seed vectors must encode to their own code with zero error in all
+    subspaces; every vector gets exactly m codes; non-divisible dims are
+    rejected loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = emb.filter(F.col("vec_id") < 16)
+    enc = pq_encode(emb, seeds, m=4, dim=64)
+    self_rows = enc.filter(F.col("vec_id") < 16).collect()
+    assert len(self_rows) == 16 * 4
+    assert all(r.code == r.vec_id and r.dist2 == 0.0 for r in self_rows)
+    n_vecs = emb.filter(F.col("embedding").isNotNull()).count()
+    per_vec = enc.groupBy("vec_id").count().agg(
+        F.min("count").alias("lo"), F.max("count").alias("hi")
+    ).first()
+    assert (per_vec.lo, per_vec.hi) == (4, 4)
+    assert enc.count() == n_vecs * 4
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(emb, seeds, m=5, dim=64)
