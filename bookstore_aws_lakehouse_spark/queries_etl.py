@@ -1096,3 +1096,87 @@ def q_snapshot_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_changes_feed",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_custkey % 10 <> 0
+    ),
+    delta AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100.00 AS DECIMAL(5,2)) AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    v2 AS (
+      SELECT c_custkey, c_mktsegment, bal FROM delta
+      UNION ALL
+      SELECT b.c_custkey, b.c_mktsegment, b.bal FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = b.c_custkey)
+    ),
+    v3 AS (
+      SELECT * FROM v2
+      WHERE NOT (c_mktsegment = 'AUTOMOBILE' AND c_custkey % 3 = 0)
+    ),
+    feed AS (
+      SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN o.bal IS DISTINCT FROM n.bal
+                       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                  THEN 'changed' END AS status
+      FROM base o FULL JOIN v3 n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey, status FROM feed WHERE status IS NOT NULL
+    """,
+)
+def q_snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed on the snapshot table (sources/snapshots.py::
+    snapshot_changes — the ``table_changes(t, v_from, v_to)`` analog,
+    composing the versioned format with operators/quality.py::
+    snapshot_diff): version 1 seeds customers missing every 10th key,
+    version 2 MERGEs a BUILDING delta (bal+100 updates + restored keys),
+    version 3 row-level-DELETEs every 3rd AUTOMOBILE key; the feed
+    v1→latest must report exactly the changed/added/removed keys — the
+    reproducible-forever CDC read a downstream incremental consumer
+    tails (versions are immutable until vacuum). The oracle replays all
+    three versions and diffs them relationally."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_merge_partitioned,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    base = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_mktsegment", bal.alias("bal")
+    )
+    delta = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_mktsegment",
+        (bal + F.lit("100.00").cast("decimal(5,2)"))
+        .cast("decimal(18,2)")
+        .alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapcdc_")
+    try:
+        table = f"{root}/customer_snap"
+        snapshot_merge_partitioned(
+            base, table, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        snapshot_merge_partitioned(
+            delta, table, key_cols=["c_custkey"], partition_col="c_mktsegment"
+        )
+        snapshot_delete(
+            spark, table, "c_mktsegment", "AUTOMOBILE", "AUTOMOBILE",
+            "c_custkey % 3 = 0",
+        )
+        out = snapshot_changes(spark, table, ["c_custkey"], v_from=1)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -964,6 +964,54 @@ def history(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def version_at_timestamp(spark: SparkSession, table: str, ts_unix: float) -> int:
+    """``TIMESTAMP AS OF`` resolution: the latest version whose commit
+    time is at or before ``ts_unix`` (seconds since epoch, as recorded in
+    the manifests' ``committed_at_unix``). Reads the history listing —
+    O(recent) when a ``checkpoint_history`` checkpoint exists. Raises
+    ValueError when the table has no version that old (the timestamp
+    predates the table, or vacuum dropped the era)."""
+    rows = history(spark, table).collect()
+    eligible = [r.version for r in rows if r.committed_at_unix <= ts_unix]
+    if not eligible:
+        raise ValueError(
+            f"no version of {table} existed at unix time {ts_unix} "
+            f"(earliest surviving commit: "
+            f"{min((r.committed_at_unix for r in rows), default=None)})"
+        )
+    return max(eligible)
+
+
+def snapshot_read_asof(
+    spark: SparkSession, table: str, ts_unix: float
+) -> DataFrame:
+    """Time travel by wall clock instead of version number — the
+    ``SELECT ... TIMESTAMP AS OF`` analog."""
+    return snapshot_read(spark, table, version_at_timestamp(spark, table, ts_unix))
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table: str,
+    key_cols: list[str],
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions — the
+    ``table_changes(t, v_from, v_to)`` analog: one row per key whose
+    content differs, with status 'added' / 'removed' / 'changed'
+    (operators/quality.py::snapshot_diff does the null-safe keyed
+    compare via portable length-prefixed row hashes). Because versions
+    are immutable, the feed is reproducible forever — until ``vacuum``
+    drops the older version. Both sides are plain manifest-pinned
+    parquet scans; the diff is one full-outer hash join on the keys."""
+    from bookstore_aws_lakehouse_spark.operators.quality import snapshot_diff
+
+    old = snapshot_read(spark, table, v_from)
+    new = snapshot_read(spark, table, v_to)
+    return snapshot_diff(old, new, key_cols)
+
+
 def vacuum(spark: SparkSession, table: str, keep_last: int = 1) -> int:
     """Drop all but the newest ``keep_last`` versions and delete every
     data file no surviving version references (the VACUUM analog; bounds

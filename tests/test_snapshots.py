@@ -763,3 +763,50 @@ def test_snapshot_optimize_clustered_keeps_stats_tight(spark, table):
     assert pruned.count() == snapshot_read(spark, table).filter(
         (F.col("p") >= 0) & (F.col("p") <= 5)
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP AS OF + change data feed
+# ---------------------------------------------------------------------------
+
+
+def test_version_at_timestamp_resolves_and_bounds(spark, table):
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    snapshot_overwrite(_df(spark, [(1, "a")]), table)
+    snapshot_append(_df(spark, [(2, "b")]), table)
+    ts = {
+        v: snap._read_manifest(spark, table, v)["committed_at_unix"]
+        for v in [1, 2]
+    }
+    assert snap.version_at_timestamp(spark, table, ts[1]) == 1
+    assert snap.version_at_timestamp(spark, table, ts[2]) == 2
+    assert snap.version_at_timestamp(spark, table, ts[2] + 3600) == 2
+    with pytest.raises(ValueError, match="no version"):
+        snap.version_at_timestamp(spark, table, ts[1] - 1.0)
+    got = {r.k: r.v for r in snap.snapshot_read_asof(spark, table, ts[1]).collect()}
+    assert got == {1: "a"}
+
+
+def test_snapshot_changes_feed(spark, table):
+    """table_changes(v1 -> latest): merge updates/inserts + a delete show
+    up as changed/added/removed; unchanged keys are absent."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    base = _pdf(spark, [(1, "a", "x1"), (2, "b", "x2"), (3, "d", "x3")])
+    snap.snapshot_merge_partitioned(base, table, key_cols=["k"], partition_col="p")
+    delta = _pdf(spark, [(2, "b", "X2!"), (4, "b", "x4")])
+    snap.snapshot_merge_partitioned(delta, table, key_cols=["k"], partition_col="p")
+    snap.snapshot_delete(spark, table, "p", "d", "d")
+
+    got = {
+        r.k: r.status
+        for r in snap.snapshot_changes(spark, table, ["k"], v_from=1).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    # bounded feed: v1 -> v2 must not see the later delete
+    got12 = {
+        r.k: r.status
+        for r in snap.snapshot_changes(spark, table, ["k"], 1, 2).collect()
+    }
+    assert got12 == {2: "changed", 4: "added"}
