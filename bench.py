@@ -203,6 +203,9 @@ def main() -> None:
         "kmeans_converge_2iter",
         "theta_set_ops",
         "kll_quantile_merge",
+        "snapshot_changes_feed",
+        "embedding_pq_encode",
+        "ann_ivfpq_topk",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

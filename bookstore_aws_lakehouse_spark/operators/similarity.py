@@ -387,6 +387,52 @@ def ivf_assign(
     )
 
 
+def _pq_slice(col: str, s: int, d: int) -> Column:
+    """Subspace ``s``'s contiguous d-dim slice of a vector column."""
+    return F.slice(F.col(col).cast("array<double>"), s * d + 1, d)
+
+
+def pq_codebooks(
+    seeds: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks from seed vectors: (subspace, code,
+    centroid, _cc) with ``_cc`` = centroid·centroid hoisted once for the
+    expanded-L2 scoring both `pq_encode` and `ivfpq_search` share."""
+    from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    d = dim // m
+    books = None
+    for s in range(m):
+        part = seeds.select(
+            F.lit(s).alias("subspace"),
+            F.col(id_col).cast("int").alias("code"),
+            _pq_slice(vec_col, s, d).alias("centroid"),
+        )
+        books = part if books is None else books.unionByName(part)
+    return books.withColumn("_cc", _dot(F.col("centroid"), F.col("centroid")))
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """One scan → m rows per vector: (id, subspace, _sv, _sv·_sv)."""
+    from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
+
+    d = dim // m
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[_pq_slice(vec_col, s, d) for s in range(m)])
+        ).alias("subspace", "_sv"),
+    ).withColumn("_xx", _dot(F.col("_sv"), F.col("_sv")))
+
+
 def pq_encode(
     corpus: DataFrame,
     seeds: DataFrame,
@@ -415,25 +461,8 @@ def pq_encode(
     """
     from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
 
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    d = dim // m
-    sub = lambda col, s: F.slice(F.col(col).cast("array<double>"), s * d + 1, d)  # noqa: E731
-    books = None
-    for s in range(m):
-        part = seeds.select(
-            F.lit(s).alias("subspace"),
-            F.col(id_col).cast("int").alias("code"),
-            sub(vec_col, s).alias("centroid"),
-        )
-        books = part if books is None else books.unionByName(part)
-    books = books.withColumn("_cc", _dot(F.col("centroid"), F.col("centroid")))
-    rows = corpus.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[sub(vec_col, s) for s in range(m)])).alias(
-            "subspace", "_sv"
-        ),
-    ).withColumn("_xx", _dot(F.col("_sv"), F.col("_sv")))
+    books = pq_codebooks(seeds, m, dim, id_col, vec_col)
+    rows = _pq_subvectors(corpus, m, dim, id_col, vec_col)
     scored = rows.join(F.broadcast(books), "subspace").select(
         id_col,
         "subspace",
@@ -452,3 +481,75 @@ def pq_encode(
         tiebreak=["code"],
         rank_name="_rn",
     ).drop("_rn")
+
+
+def ivfpq_search(
+    corpus: DataFrame,
+    coarse_centroids: DataFrame,
+    pq_seeds: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ — the full billion-scale ANN shape (IVF coarse cells ×
+    product-quantized codes, asymmetric distance computation): candidates
+    come from the query's nearest IVF cell, but are scored WITHOUT ever
+    touching their float vectors — each candidate contributes only its
+    ``m`` byte codes, looked up in the query's per-(subspace, code)
+    distance table (LUT: squared L2 from the query's subvector to every
+    sub-centroid, |queries|·m·|codes| rows, broadcast). At 100 TB this is
+    the property that matters: the scoring join reads the 64×-compressed
+    code table, not the vector store.
+
+    ADC per candidate = Σ over subspaces of LUT[subspace, code], rounded
+    to 6 dp before ranking (the partial distances are bit-identical
+    engine-to-engine; their 4-term summation order is not — rounding
+    absorbs it, ties break on the lower id). Self-matches are excluded.
+
+    Output: (query_id, ``id_col``, adc, rank), rank 1..k ascending by adc.
+    """
+    codes = pq_encode(corpus, pq_seeds, m, dim, id_col, vec_col).select(
+        id_col, "subspace", "code"
+    )
+    cells = ivf_assign(corpus, coarse_centroids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    qcells = ivf_assign(queries, coarse_centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
+
+    books = pq_codebooks(pq_seeds, m, dim, id_col, vec_col)
+    qsubs = _pq_subvectors(queries, m, dim, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "subspace", "_sv", "_xx"
+    )
+    lut = qsubs.join(F.broadcast(books), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        (
+            F.col("_xx")
+            - F.lit(2.0) * _dot(F.col("_sv"), F.col("centroid"))
+            + F.col("_cc")
+        ).alias("pdist"),
+    )
+    cand = cells.join(F.broadcast(qcells), "centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("pdist"), 6).alias("adc"))
+    )
+    return top_n_per_group(
+        adc,
+        ["query_id"],
+        [("adc", False)],
+        k,
+        tiebreak=[id_col],
+        rank_name="rank",
+    )

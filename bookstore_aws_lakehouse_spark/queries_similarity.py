@@ -724,3 +724,94 @@ def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("dist2"), 6).alias("avg_dist2"),
     )
+
+
+@golden(
+    "ann_ivfpq_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, 3)) AS subspace),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="cent.cv")} DESC,
+                                           cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT subspace, CAST(vec_id AS INT) AS code,
+             list_slice(v, subspace*16+1, subspace*16+16) AS c
+      FROM e, subs WHERE vec_id < 16
+    ),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY dist2 ASC, code) AS rn
+        FROM (
+          SELECT sv.vec_id, sv.subspace, cb.code,
+                 list_dot_product(sv.x, sv.x)
+                 - 2 * list_dot_product(sv.x, cb.c)
+                 + list_dot_product(cb.c, cb.c) AS dist2
+          FROM (SELECT vec_id, subspace,
+                       list_slice(v, subspace*16+1, subspace*16+16) AS x
+                FROM e, subs) sv
+          JOIN cb USING (subspace)
+        )
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.subspace, cb.code,
+             list_dot_product(q.x, q.x)
+             - 2 * list_dot_product(q.x, cb.c)
+             + list_dot_product(cb.c, cb.c) AS pdist
+      FROM (SELECT vec_id, subspace,
+                   list_slice(v, subspace*16+1, subspace*16+16) AS x
+            FROM e, subs WHERE vec_id < {N_QUERIES}) q
+      JOIN cb USING (subspace)
+    ),
+    cand AS (
+      SELECT qa.vec_id AS query_id, a.vec_id
+      FROM assigned a
+      JOIN (SELECT vec_id, centroid_id FROM assigned
+            WHERE vec_id < {N_QUERIES}) qa USING (centroid_id)
+      WHERE a.vec_id != qa.vec_id
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.vec_id, round(sum(lut.pdist), 6) AS adc
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.vec_id
+      JOIN lut ON lut.query_id = cand.query_id
+             AND lut.subspace = codes.subspace AND lut.code = codes.code
+      GROUP BY cand.query_id, cand.vec_id
+    )
+    SELECT query_id, vec_id, adc, rank FROM (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ end-to-end (operators/similarity.py::ivfpq_search): coarse
+    IVF cells (every 50th vector) pick the candidates, product-quantized
+    codes (16-seed codebooks per subspace) score them by asymmetric
+    distance — candidates contribute only their 4 byte codes, looked up
+    in the query's broadcast distance table; candidate float vectors are
+    never read at scoring time. The oracle replays cells, codes, LUT,
+    the code-keyed ADC sum, and the top-5 ranking in SQL. ADC is rounded
+    to 6 dp before ranking on BOTH engines (the 4 partial distances are
+    bit-identical; their summation order is not)."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    seeds = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivfpq_search(emb, centroids, seeds, queries, k=5)

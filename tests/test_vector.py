@@ -268,3 +268,38 @@ def test_pq_encode_seeds_self_code_and_shapes(spark):
     assert enc.count() == n_vecs * 4
     with pytest.raises(ValueError, match="not divisible"):
         pq_encode(emb, seeds, m=5, dim=64)
+
+
+def test_ivfpq_search_structure(spark):
+    """Ranked output per query: ranks 1..k, adc non-decreasing in rank,
+    no self-matches, candidates confined to the query's IVF cell."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    seeds = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_search(emb, centroids, seeds, queries, k=5).collect()
+    assert out, "no results"
+    by_q = {}
+    for r in out:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc))
+    cells = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(emb, centroids).collect()
+    }
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        adcs = [r[1] for r in rows]
+        assert adcs == sorted(adcs), "adc must be non-decreasing in rank"
+    for r in out:
+        assert cells[r.vec_id] == cells[r.query_id], "candidate left its cell"
