@@ -687,3 +687,36 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
     )
     return z_rounded.filter(F.abs(F.col("z")) > 2)
+
+
+@golden(
+    "events_variant_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(json_extract_string(props, '$.missing')) AS BIGINT) AS n_missing,
+           'OBJECT<k: BIGINT>' AS variant_schema
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the VARIANT type (Spark 4's
+    open-ended JSON path — parse once into a typed binary encoding,
+    extract many times without re-parsing, schema DISCOVERED not
+    declared): ``parse_json`` → ``variant_get`` typed extraction,
+    ``try_variant_get`` for an absent path (typed NULL, no error), and
+    ``schema_of_variant`` reporting the discovered shape, aggregated per
+    event type. Complements events_json_extract (per-path string JSON)
+    and events_from_json_struct (declared-schema parsing): VARIANT is
+    what a 100 TB lake uses when producers evolve payloads faster than
+    schemas can be declared. The oracle extracts the same paths with
+    DuckDB's JSON functions and pins the discovered schema literally."""
+    ev = load_events(spark, sf_dir)
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),
+        F.count(F.try_variant_get("v", "$.missing", "string")).alias("n_missing"),
+        F.max(F.schema_of_variant("v")).alias("variant_schema"),
+    )
