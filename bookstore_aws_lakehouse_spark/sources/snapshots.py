@@ -964,6 +964,34 @@ def history(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the table back to a
+    prior version's content AS A NEW COMMIT (op ``restore``): the old
+    manifest's file list, schema and stats are re-committed under the
+    next version number, so the rollback itself is time-travelable and
+    vacuum-refcounting keeps the shared files alive. Nothing is copied —
+    O(manifest). Requires ``version`` to still exist (not vacuumed).
+    Deliberately NOT rebaseable by racing merges: like overwrite, a
+    restore replaces table state wholesale, so concurrent
+    state-dependent writers must recompute against it."""
+    versions = list_versions(spark, table)
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in {table} (have {versions})"
+        )
+    m = _read_manifest(spark, table, version)
+    manifest = {
+        "operation": "restore",
+        "restored_from": version,
+        "files": m["files"],
+        "schema": m["schema"],
+        "committed_at_unix": round(time.time(), 3),
+    }
+    if m.get("file_stats"):
+        manifest["file_stats"] = m["file_stats"]
+    return _try_commit(spark, table, manifest, expected_version=None)
+
+
 def version_at_timestamp(spark: SparkSession, table: str, ts_unix: float) -> int:
     """``TIMESTAMP AS OF`` resolution: the latest version whose commit
     time is at or before ``ts_unix`` (seconds since epoch, as recorded in

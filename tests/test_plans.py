@@ -267,3 +267,35 @@ def test_hll_merge_is_two_level(spark, sf_smoke):
     assert "hll_sketch_agg" in plan
     assert "hll_union_agg" in plan
     assert "Expand" not in plan
+
+
+def test_pq_encode_is_broadcast_keyed(spark, sf_smoke):
+    """PQ encoding must be one corpus scan + a broadcast codebook join —
+    never a cartesian, never a shuffle of the corpus for the join."""
+    plan = plan_of(GOLDEN["embedding_pq_encode"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_scoring_joins_are_keyed(spark, sf_smoke):
+    """IVFPQ: the scoring path (cell candidates, code lookup, LUT) is
+    keyed equi-joins with the small sides broadcast. The only nested
+    loops allowed are ivf_assign's deliberate broadcast-centroid scans
+    (every vector scores every centroid — that IS the operator)."""
+    plan = plan_of(GOLDEN["ann_ivfpq_topk"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    # candidate-cell join, code join, and the (query,subspace,code) LUT
+    # lookup must all be hash equi-joins
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_theta_and_kll_are_two_level_sketch_rollups(spark, sf_smoke):
+    """Sketch rollups must aggregate sketches, not re-shuffle rows: the
+    sketch agg functions appear in the plan and nothing Expands."""
+    plan = plan_of(GOLDEN["kll_quantile_merge"](spark, sf_smoke))
+    assert "kll_sketch_agg" in plan and "kll_merge_agg" in plan
+    assert "Expand" not in plan
+    plan2 = plan_of(GOLDEN["theta_set_ops"](spark, sf_smoke))
+    assert "theta_sketch_agg" in plan2
+    assert "Expand" not in plan2

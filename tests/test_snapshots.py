@@ -810,3 +810,25 @@ def test_snapshot_changes_feed(spark, table):
         for r in snap.snapshot_changes(spark, table, ["k"], 1, 2).collect()
     }
     assert got12 == {2: "changed", 4: "added"}
+
+
+def test_snapshot_restore_rolls_back_as_new_commit(spark, table):
+    """RESTORE: v3 = v1's content under a new version; shared files
+    survive vacuum via refcounting; a racing merge must not rebase
+    across it."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    snapshot_overwrite(_df(spark, [(1, "a"), (2, "b")]), table)
+    snapshot_merge(_df(spark, [(2, "B!"), (3, "c")]), table, key_cols=["k"])
+    v = snap.snapshot_restore(spark, table, 1)
+    assert v == 3
+    got = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "a", 2: "b"}
+    h = {r.version: r.operation for r in history(spark, table).collect()}
+    assert h[3] == "restore"
+    assert "restore" not in snap._REBASEABLE_OPS
+    # vacuum to the restore only: v1's files are shared and must survive
+    vacuum(spark, table, keep_last=1)
+    assert {r.k for r in snapshot_read(spark, table).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="not in"):
+        snap.snapshot_restore(spark, table, 99)
