@@ -143,6 +143,11 @@ _FORCE_REVERIFY: dict[str, int] = {
     # NotImplementedError to Exception — decode behavior on the fixture
     # is unchanged, but the UDF body differs
     "multimodal_resize_real": 7,
+    # r8: the streaming snapshot sink's foreachBatch body moved into the
+    # snapshot_sink_batch factory (maintenance hook added) and
+    # snapshot_append now carries file stats forward — locally green at
+    # sf0.01, but the executed sink path differs from the r7 green
+    "stream_snapshot_rollup": 8,
 }
 
 
