@@ -536,7 +536,8 @@ def _try_rebase_partitioned(
             row = tip_stats.get(f, {}).get(partition_col)
             if row is None or _file_may_contain(row, values, want_null):
                 return None
-        rebased_files = [f for f in tip["files"] if f not in set(touched)]
+        touched_set = set(touched)
+        rebased_files = [f for f in tip["files"] if f not in touched_set]
         file_stats = None
         if new_stats is not None:
             file_stats = {
@@ -912,7 +913,11 @@ def checkpoint_history(spark: SparkSession, table: str) -> int:
     if not versions:
         raise FileNotFoundError(f"no snapshot manifests under {table}")
     prior = _read_history_checkpoint(spark, table)
-    rows = {r[0]: r for r in (prior or {}).get("rows", [])}
+    # prune rows for versions vacuum has dropped: the checkpoint should
+    # not grow without bound across vacuum cycles (they are filtered at
+    # read time anyway — this just bounds the file)
+    live = set(versions)
+    rows = {r[0]: r for r in (prior or {}).get("rows", []) if r[0] in live}
     for v in versions:
         if v not in rows:
             m = _read_manifest(spark, table, v)
