@@ -1180,3 +1180,138 @@ def q_snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_bloom_lookup",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(1 AS BOOLEAN) AS pruned,
+           CAST(1 AS BOOLEAN) AS absent_empty
+    FROM orders
+    WHERE o_orderkey = 7
+    """,
+)
+def q_snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file index on the snapshot table (sources/snapshots.py::
+    snapshot_bloom_index / snapshot_point_lookup): orders committed across
+    8 files hash-distributed on o_custkey — so min/max stats on the lookup
+    column are useless (every file spans most of the orderkey space) — then
+    a point lookup of one orderkey must skip the files whose bloom proves
+    it absent. The 100 TB shape: a needle probe on a non-clustered key
+    touches O(matching files + false positives), not every file. Emits the
+    matching row plus two driver-checked contract flags: ``pruned`` (the
+    lookup opened strictly fewer files than the table has) and
+    ``absent_empty`` (a probe for a nonexistent key returns nothing — and
+    in practice prunes ALL files, asserted in tests/test_snapshots.py).
+    Bloom sizing: 2^18 bits x 7 hashes ≈ 0.4% FP at sf0.1's ~19k values
+    per file — sized to the file count/SF as the docstring prescribes."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _point_lookup_files,
+        snapshot_bloom_index,
+        snapshot_overwrite,
+        snapshot_point_lookup,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("price")
+    ).repartition(8, "o_custkey")
+    root = tempfile.mkdtemp(prefix="blhs_snapbloom_")
+    try:
+        table = f"{root}/orders_snap"
+        snapshot_overwrite(base, table)
+        snapshot_bloom_index(
+            spark, table, "o_orderkey", num_bits=1 << 18, num_hashes=7
+        )
+        kept, all_files, _ = _point_lookup_files(spark, table, "o_orderkey", 7, None)
+        pruned = len(kept) < len(all_files)
+        absent_empty = (
+            snapshot_point_lookup(spark, table, "o_orderkey", 999_999_983).count()
+            == 0
+        )
+        out = snapshot_point_lookup(spark, table, "o_orderkey", 7).select(
+            "o_orderkey",
+            "o_custkey",
+            "price",
+            F.lit(pruned).alias("pruned"),
+            F.lit(absent_empty).alias("absent_empty"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_schema_evolution",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      UNION ALL
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    )
+    SELECT coalesce(o_orderpriority, '(pre-evolution)') AS priority,
+           count(*) AS n_orders,
+           round(sum(price), 2) AS total_price
+    FROM unioned
+    GROUP BY priority
+    """,
+)
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the snapshot table (sources/snapshots.py::
+    snapshot_append(merge_schema=True) — the mergeSchema / ADD COLUMN
+    analog): commit 1995's orders WITHOUT the priority column, append
+    1996's WITH it under the explicit evolution opt-in, and read the
+    evolved table back — historic files resolve the added column to NULL
+    by name, with zero rewrite of old data (O(delta) like Delta's ADD
+    COLUMN). The oracle replays the evolution as a NULL-padded UNION ALL.
+    The strictness half of the contract (silent drift raises without the
+    opt-in; type changes always raise) is pinned in
+    tests/test_snapshots.py."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+    ).select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
+    y96 = orders.filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-12-31")
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderpriority",
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapevo_")
+    try:
+        table = f"{root}/orders_evo"
+        snapshot_overwrite(y95, table)
+        snapshot_append(y96, table, merge_schema=True)
+        out = (
+            snapshot_read(spark, table)
+            .groupBy(
+                F.coalesce("o_orderpriority", F.lit("(pre-evolution)")).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("price"), 2).alias("total_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -55,7 +55,8 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -227,15 +228,19 @@ def _commit(
     files: list[str],
     file_stats: dict | None = None,
     expected_version: int | None = None,
+    schema: "StructType | None" = None,
+    file_blooms: dict | None = None,
 ) -> int:
     manifest = {
         "operation": operation,
         "files": files,
-        "schema": json.loads(df.schema.json()),
+        "schema": json.loads((schema or df.schema).json()),
         "committed_at_unix": round(time.time(), 3),
     }
     if file_stats:
         manifest["file_stats"] = file_stats
+    if file_blooms:
+        manifest["file_blooms"] = file_blooms
     return _try_commit(df.sparkSession, table, manifest, expected_version)
 
 
@@ -321,12 +326,53 @@ def snapshot_overwrite(
     return _commit(df, table, "overwrite", files, stats)
 
 
-def snapshot_append(df: DataFrame, table: str) -> int:
+def _merged_append_schema(
+    prev_schema: StructType, new_schema: StructType, merge_schema: bool
+) -> StructType:
+    """Schema-evolution contract for append (the ``mergeSchema`` analog):
+    fields present in both MUST keep their dataType (nullability is not
+    compared — parquet round-trips flip it); with ``merge_schema`` the
+    committed schema is prev's fields followed by the delta's new fields
+    (added nullable — historic files read back NULL for them, the
+    standard ADD COLUMN semantics); without it any difference raises, so
+    a producer with a drifted schema can't silently narrow or widen the
+    table."""
+    prev_types = {f.name: f.dataType for f in prev_schema.fields}
+    new_types = {f.name: f.dataType for f in new_schema.fields}
+    for name, dt in new_types.items():
+        if name in prev_types and prev_types[name] != dt:
+            raise ValueError(
+                f"append schema conflict on column {name!r}: table has "
+                f"{prev_types[name].simpleString()}, delta has "
+                f"{dt.simpleString()} (type CHANGES are never merged)"
+            )
+    extra = [n for n in new_types if n not in prev_types]
+    missing = [n for n in prev_types if n not in new_types]
+    if not merge_schema and (extra or missing):
+        raise ValueError(
+            f"append schema mismatch (extra={extra}, missing={missing}); "
+            f"pass merge_schema=True to evolve the table schema"
+        )
+    fields = list(prev_schema.fields) + [
+        StructField(f.name, f.dataType, True)
+        for f in new_schema.fields
+        if f.name in extra
+    ]
+    return StructType(fields)
+
+
+def snapshot_append(df: DataFrame, table: str, merge_schema: bool = False) -> int:
     """Append: new version = previous version's files ∪ this commit's.
     No read or rewrite of existing data — O(delta) like Delta's append.
     Conflict-safe: the data files are written once; if a racing writer
     claims our version, only the cheap manifest composition re-reads the
-    new latest and retries, so no concurrent commit's files are lost."""
+    new latest and retries, so no concurrent commit's files are lost.
+
+    Schema evolution: the committed schema is validated against the
+    tip's (see :func:`_merged_append_schema`) — identical schemas pass,
+    new columns require ``merge_schema=True`` (they commit as nullable;
+    ``snapshot_read`` pins the manifest schema, so historic files read
+    back NULL for them with no rewrite), and type changes always raise."""
     spark = df.sparkSession
     new_files = _write_data_files(df, table)
     new_stats_cache: dict[tuple[str, ...], dict | None] = {}
@@ -337,6 +383,19 @@ def snapshot_append(df: DataFrame, table: str) -> int:
         )
         prev = prev_manifest.get("files", [])
         prev_stats = prev_manifest.get("file_stats") or {}
+        schema = df.schema
+        if prev_manifest.get("schema") is not None:
+            try:
+                schema = _merged_append_schema(
+                    StructType.fromJson(prev_manifest["schema"]), df.schema,
+                    merge_schema,
+                )
+            except ValueError:
+                # rejected commit: the already-written delta files are
+                # referenced by no manifest — reclaim them now (vacuum
+                # never would)
+                _delete_files(spark, new_files)
+                raise
         # stats continuity: carry the tip's per-file stats and collect the
         # same columns for this append's files, so a stats-pruned table
         # (merge_partitioned / overwrite(stats_cols=...)) keeps whole-file
@@ -353,7 +412,11 @@ def snapshot_append(df: DataFrame, table: str) -> int:
         try:
             return _commit(
                 df, table, "append", prev + new_files, file_stats,
-                expected_version=nxt,
+                expected_version=nxt, schema=schema,
+                # every prior file stays referenced by an append, so its
+                # bloom entry (snapshot_bloom_index) stays valid verbatim;
+                # this commit's files simply have none yet (conservative)
+                file_blooms=prev_manifest.get("file_blooms"),
             )
         except SnapshotConflictError:
             continue
@@ -1066,3 +1129,200 @@ def vacuum(spark: SparkSession, table: str, keep_last: int = 1) -> int:
     for v in dropped:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v)), False)
     return len(doomed)
+
+
+# ---- bloom-filter file index: point-lookup skipping -----------------------
+#
+# Min/max stats prune RANGE predicates on the clustered column; they are
+# useless for point lookups on any OTHER high-cardinality column (every
+# file's [min, max] spans most of the key space). A per-file Bloom filter
+# answers "can this file contain value v?" in O(k) bit probes — Delta/
+# Iceberg ship the same idea as bloom-filter indexes / puffin blobs. The
+# build is one distributed scan (groupBy file — map-side combinable set
+# agg); the probe is metadata-only at plan time. Hashing is single-sourced
+# in the JVM (xxhash64(value, seed)): the probe computes the lookup
+# value's bit positions through the SAME Spark expression as the build,
+# so there is no Python reimplementation to drift.
+
+
+def _norm_uri(uri: str) -> str:
+    """file:///x, file:/x and /x all name the same local path."""
+    if uri.startswith("file:"):
+        rest = uri[5:].lstrip("/")
+        return "/" + rest
+    return uri
+
+
+def _bloom_positions_expr(value_col, num_bits: int, num_hashes: int):
+    """array<int> of the k bit positions for one value — build and probe
+    both evaluate exactly this expression."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(value_col, F.lit(i)), F.lit(num_bits)).cast("int")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def snapshot_bloom_index(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    num_bits: int = 8192,
+    num_hashes: int = 5,
+) -> int:
+    """Build per-file Bloom filters for ``column`` over the tip snapshot
+    and commit them as an ``index`` version (same files, same stats —
+    only metadata changes). ``snapshot_point_lookup`` then skips files
+    whose filter proves the value absent. NULLs are not represented
+    (point lookups are non-null by contract); files whose every value is
+    NULL simply get no entry and are conservatively read.
+
+    Scale: the build scans the table once and shuffles at most
+    ``num_bits`` distinct positions per (file, column) — kilobytes per
+    file; the driver materializes one ``num_bits/8``-byte bitset per
+    file into the manifest, so size ``num_bits`` against the expected
+    file count (8 KiB × 10k files = 80 MB of manifest — prefer a larger
+    ``num_bits`` only for genuinely hot lookup columns). Appends carry
+    the index forward for existing files (new files are unindexed until
+    the next ``snapshot_bloom_index`` run); DELETE/OPTIMIZE rewrite
+    files and drop their entries — re-run the index after maintenance.
+    False-positive rate ≈ (1 - e^(-k·n/m))^k — at the defaults, ~2% for
+    1k distinct values per file."""
+    if num_bits % 8:
+        raise ValueError("num_bits must be a multiple of 8")
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    tip = versions[-1]
+    manifest = _read_manifest(spark, table, tip)
+    schema = StructType.fromJson(manifest["schema"])
+    if column not in schema.names:
+        raise ValueError(f"column {column!r} not in table schema {schema.names}")
+    files = manifest["files"]
+    blooms = dict(manifest.get("file_blooms") or {})
+    if files:
+        scan = (
+            spark.read.schema(schema)
+            .parquet(*files)
+            .select(F.input_file_name().alias("_f"), F.col(column).alias("_v"))
+            .where(F.col("_v").isNotNull())
+        )
+        per_file = (
+            scan.select(
+                "_f",
+                F.explode(
+                    _bloom_positions_expr(F.col("_v"), num_bits, num_hashes)
+                ).alias("_p"),
+            )
+            .groupBy("_f")
+            .agg(F.collect_set("_p").alias("_ps"))
+        )
+        by_norm = {_norm_uri(f): f for f in files}
+        for row in per_file.collect():  # O(files) rows — manifest-sized
+            f = by_norm.get(_norm_uri(row["_f"]))
+            if f is None:
+                continue
+            bits = bytearray(num_bits // 8)
+            for p in row["_ps"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            entry = dict(blooms.get(f) or {})
+            entry[column] = {"m": num_bits, "k": num_hashes, "bits": bits.hex()}
+            blooms[f] = entry
+    df = snapshot_read(spark, table, tip)
+    return _commit(
+        df,
+        table,
+        "index",
+        files,
+        manifest.get("file_stats"),
+        expected_version=tip + 1,
+        schema=schema,
+        file_blooms=blooms,
+    )
+
+
+def _bloom_may_contain(entry: dict, positions_by_cfg: dict) -> bool:
+    """Probe one file's bloom entry with the precomputed positions for
+    its (m, k) config. Unknown config (not precomputed) → conservative
+    True."""
+    pos = positions_by_cfg.get((entry["m"], entry["k"]))
+    if pos is None:
+        return True
+    bits = bytes.fromhex(entry["bits"])
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in pos)
+
+
+def _point_lookup_files(
+    spark: SparkSession, table: str, column: str, value, version: int | None
+) -> tuple[list[str], list[str], StructType]:
+    """Scan planning for a point lookup: (files to read, all tip files,
+    pinned schema). Pruning composes BOTH metadata layers — min/max
+    stats (range check) and the bloom index (membership check); a file
+    must survive both to be read, and files missing either layer pass
+    that layer conservatively."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {table} (have {versions})")
+    manifest = _read_manifest(spark, table, v)
+    schema = StructType.fromJson(manifest["schema"])
+    if column not in schema.names:
+        raise ValueError(f"column {column!r} not in table schema {schema.names}")
+    dtype = schema[column].dataType
+    stats = manifest.get("file_stats") or {}
+    blooms = manifest.get("file_blooms") or {}
+    cfgs = {
+        (e[column]["m"], e[column]["k"])
+        for e in blooms.values()
+        if column in e
+    }
+    # one local job per distinct (m, k) config — normally exactly one —
+    # evaluates the BUILD's hash expression on the lookup value
+    positions_by_cfg = {}
+    for m, k in cfgs:
+        row = (
+            spark.range(1)
+            .select(
+                _bloom_positions_expr(F.lit(value).cast(dtype), m, k).alias("p")
+            )
+            .head()
+        )
+        positions_by_cfg[(m, k)] = list(row["p"])
+
+    def keep(f: str) -> bool:
+        st = stats.get(f, {}).get(column)
+        if st is not None and not _file_may_contain(st, [value], False):
+            return False
+        entry = blooms.get(f, {}).get(column)
+        if entry is not None and not _bloom_may_contain(entry, positions_by_cfg):
+            return False
+        return True
+
+    return [f for f in manifest["files"] if keep(f)], manifest["files"], schema
+
+
+def snapshot_point_lookup(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """``SELECT * FROM t WHERE column = value`` with whole-file skipping:
+    files are pruned via the manifest's min/max stats AND the bloom index
+    (``snapshot_bloom_index``) before Spark ever plans the scan, then the
+    equality filter runs on the survivors (so the result is exactly the
+    filtered read — pruning is an optimization, never a semantics
+    change). The 100 TB shape: a needle-in-haystack key probe touches
+    O(matching files + false positives) instead of every file."""
+    if value is None:
+        raise ValueError("point lookup value must be non-null (use stats' "
+                         "has_null via snapshot_scan for IS NULL probes)")
+    files, _all, schema = _point_lookup_files(spark, table, column, value, version)
+    pred = F.col(column) == F.lit(value).cast(schema[column].dataType)
+    if not files:
+        return spark.createDataFrame([], schema).filter(pred)
+    return spark.read.schema(schema).parquet(*files).filter(pred)

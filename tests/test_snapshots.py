@@ -260,13 +260,14 @@ def test_snapshot_scan_without_stats_reads_everything(spark, table):
 
 
 def test_schema_evolution_append_adds_column(spark, table):
-    """Delta-style schema evolution: an append with a NEW column commits
-    its own schema; the latest snapshot reads old files with NULL for the
-    added column (by-name parquet resolution), and time travel still
-    serves the old schema."""
+    """Delta-style schema evolution: an append with a NEW column evolves
+    the committed schema under explicit ``merge_schema=True`` (the
+    mergeSchema opt-in); the latest snapshot reads old files with NULL
+    for the added column (by-name parquet resolution), and time travel
+    still serves the old schema."""
     snapshot_overwrite(_df(spark, [(1, "a")]), table)
     wider = spark.createDataFrame([(2, "b", "fr")], "k int, v string, lang string")
-    snapshot_append(wider, table)
+    snapshot_append(wider, table, merge_schema=True)
     latest = snapshot_read(spark, table)
     assert latest.columns == ["k", "v", "lang"]
     got = {r.k: r.lang for r in latest.collect()}
@@ -832,3 +833,128 @@ def test_snapshot_restore_rolls_back_as_new_commit(spark, table):
     assert {r.k for r in snapshot_read(spark, table).collect()} == {1, 2}
     with pytest.raises(ValueError, match="not in"):
         snap.snapshot_restore(spark, table, 99)
+
+
+# ---- bloom-filter file index + schema evolution (r9) ----------------------
+
+
+def test_bloom_index_prunes_point_lookup(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _point_lookup_files,
+        _read_manifest,
+        snapshot_bloom_index,
+        snapshot_point_lookup,
+    )
+
+    # 4 files with disjoint k ranges; NO manifest stats — any pruning the
+    # lookup achieves is the bloom filter's alone
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").cast("int").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    assert snapshot_overwrite(df, table) == 1
+    assert snapshot_bloom_index(spark, table, "k") == 2
+    m = _read_manifest(spark, table, 2)
+    assert m["operation"] == "index"
+    assert set(m["file_blooms"]) == set(m["files"])
+
+    kept, all_files, _ = _point_lookup_files(spark, table, "k", 123, None)
+    assert len(all_files) == 4
+    assert len(kept) < len(all_files)  # bloom skipped provably-absent files
+    got = snapshot_point_lookup(spark, table, "k", 123).collect()
+    assert [(r.k, r.v) for r in got] == [(123, 123 % 7)]
+    # absent value: every file's bloom proves absence (deterministic corpus)
+    assert snapshot_point_lookup(spark, table, "k", 100_000).count() == 0
+
+
+def test_bloom_index_carried_by_append_new_files_conservative(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _point_lookup_files,
+        _read_manifest,
+        snapshot_bloom_index,
+        snapshot_point_lookup,
+    )
+
+    base = (
+        spark.range(0, 300)
+        .select(F.col("id").cast("int").alias("k"), F.lit("old").alias("v"))
+        .repartitionByRange(3, "k")
+        .sortWithinPartitions("k")
+    )
+    snapshot_overwrite(base, table)
+    snapshot_bloom_index(spark, table, "k")
+    delta = spark.createDataFrame([(1000, "new")], "k int, v string")
+    v = snapshot_append(delta, table)
+    m = _read_manifest(spark, table, v)
+    indexed = set(m.get("file_blooms") or {})
+    assert indexed and indexed < set(m["files"])  # old files keep entries
+
+    # value only in the UNindexed appended file: old files bloom-pruned,
+    # new file conservatively read
+    kept, all_files, _ = _point_lookup_files(spark, table, "k", 1000, None)
+    assert len(kept) < len(all_files)
+    assert {r.v for r in snapshot_point_lookup(spark, table, "k", 1000).collect()} == {"new"}
+    # old value still found (its file's bloom hits; append didn't break it)
+    assert snapshot_point_lookup(spark, table, "k", 42).count() == 1
+
+
+def test_bloom_and_stats_pruning_compose(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _point_lookup_files,
+        snapshot_bloom_index,
+    )
+
+    # stats on k (clustered), bloom on v (high-cardinality, unclustered):
+    # a lookup on v must prune via bloom even though k-stats say nothing
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 37 % 1000).cast("int").alias("v"),
+        )
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    snapshot_overwrite(df, table, stats_cols=["k"])
+    snapshot_bloom_index(spark, table, "v")
+    kept_v, all_files, _ = _point_lookup_files(spark, table, "v", 37, None)
+    assert len(kept_v) < len(all_files)
+    # and a k-lookup prunes via the min/max stats with no bloom for k
+    kept_k, _, _ = _point_lookup_files(spark, table, "k", 5, None)
+    assert len(kept_k) == 1
+
+
+def test_append_schema_evolution_add_column(spark, table):
+    import pytest as _pytest
+
+    snapshot_overwrite(_df(spark, [(1, "a"), (2, "b")]), table)
+    wider = spark.createDataFrame([(3, "c", 9.5)], "k int, v string, score double")
+    with _pytest.raises(ValueError, match="merge_schema"):
+        snapshot_append(wider, table)
+    v = snapshot_append(wider, table, merge_schema=True)
+    out = snapshot_read(spark, table, v)
+    assert [f.name for f in out.schema.fields] == ["k", "v", "score"]
+    got = {r.k: (r.v, r.score) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # narrower delta is also an evolution (missing col reads back NULL)
+    v2 = snapshot_append(
+        spark.createDataFrame([(4,)], "k int"), table, merge_schema=True
+    )
+    got2 = {r.k: (r.v, r.score) for r in snapshot_read(spark, table, v2).collect()}
+    assert got2[4] == (None, None)
+    assert got2[3] == ("c", 9.5)
+
+
+def test_append_schema_type_change_always_raises(spark, table):
+    import pytest as _pytest
+
+    snapshot_overwrite(_df(spark, [(1, "a")]), table)
+    drifted = spark.createDataFrame([("oops", "x")], "k string, v string")
+    with _pytest.raises(ValueError, match="type CHANGES"):
+        snapshot_append(drifted, table, merge_schema=True)
+    # rejected commit reclaimed its orphaned data files: only v1 exists
+    # and a fresh identical-schema append still works
+    assert list_versions(spark, table) == [1]
+    assert snapshot_append(_df(spark, [(2, "b")]), table) == 2
