@@ -1,0 +1,107 @@
+"""Custom distributed sketches beyond the built-in DataSketches family
+(queries_sketches.py covers HLL/Theta/KLL/GK via ``pyspark.sql.functions``).
+
+Count-Min sketch: a ``depth x width`` grid of counters answering
+"how often did value v occur?" with one-sided error — estimates never
+undercount, and overcount by at most ~``depth``-independent collision
+mass (≤ e·N/width with probability 1-e^-depth per probe). The classic
+heavy-hitters / frequency-tracking structure when the key universe is too
+large to count exactly (token frequencies over a 100 TB corpus).
+
+Spark-first shape: the sketch IS a DataFrame of ``depth·width`` counter
+rows built by one map-side-combinable groupBy — the shuffle carries at
+most ``depth·width`` partial rows per map task, never the key universe —
+and estimation is a broadcast join of the (tiny) sketch onto the probe
+values. Hashing is ``xxhash64(value, row_index)`` — deterministic,
+JVM-side, and the same expression builds and probes, so estimates are
+reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cms_bucket(value_col: Column, row: int, width: int) -> Column:
+    """Counter column for hash row ``row``: pmod(xxhash64(v, row), width).
+    Seeding via a second hashed column gives ``depth`` pairwise-independent
+    hash functions from the one JVM primitive."""
+    return F.pmod(F.xxhash64(value_col, F.lit(row)), F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 8192
+) -> DataFrame:
+    """Build a Count-Min sketch over ``df[col]`` (NULLs ignored, as in SQL
+    aggregation): returns the counter grid as ``(row, bucket, cnt)`` —
+    at most ``depth·width`` rows regardless of input size. Each input row
+    contributes to ``depth`` counters; the explode happens map-side and
+    the groupBy partial-aggregates before the (bounded) shuffle. Sketches
+    over different inputs MERGE by summing counters — union the grids and
+    re-aggregate — which is what makes this viable as a per-partition /
+    per-day rollup at 100 TB."""
+    v = F.col(col)
+    rows = (
+        df.where(v.isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            _cms_bucket(v, i, width).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select("rb.row", "rb.bucket")
+    )
+    return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME (depth, width): counter
+    grids sum cell-wise. O(depth·width) per sketch — never touches rows."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Estimate each probe value's frequency: recompute the probe's
+    ``depth`` counter coordinates with the build's expression, broadcast-
+    join the counter grid, take the MIN across rows (the Count-Min
+    estimator). Probes missing a counter entirely (no input value ever
+    hashed there) estimate 0. Adds ``est_n`` to ``probes``; the sketch
+    side is ≤ depth·width rows — always broadcastable."""
+    v = F.col(col)
+    exploded = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(v, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", "rb.row", "rb.bucket").drop("rb")
+    joined = exploded.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
+    )

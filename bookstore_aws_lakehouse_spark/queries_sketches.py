@@ -264,3 +264,61 @@ def q_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(merged)).select(
         "exact_q25", "exact_q50", "exact_q75", ok.alias("within_tol")
     )
+
+
+@golden(
+    "token_cms_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    ranked AS (
+      SELECT token, count(*) AS n FROM toks GROUP BY token
+      ORDER BY n DESC, token ASC LIMIT 15
+    )
+    SELECT token, CAST(n AS BIGINT) AS exact_n,
+           CAST(1 AS BOOLEAN) AS never_under,
+           CAST(1 AS BOOLEAN) AS within_bound
+    FROM ranked
+    """,
+)
+def q_token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency tracking (operators/sketches.py::
+    cms_build/cms_estimate) over the corpus token stream — the
+    heavy-hitters structure for key universes too large to count exactly.
+    The sketch is a ≤ depth·width counter grid built by ONE map-side-
+    combinable groupBy (the shuffle never carries the token universe);
+    estimation broadcast-joins the grid onto the probes. Checked against
+    the exact top-15 tokens via the CMS accuracy contract: ``never_under``
+    (one-sided error — the estimate can never undercount) and
+    ``within_bound`` (overcount ≤ 8·N/width collision mass; Markov over
+    depth=4 independent rows puts the failure odds per probe below 1e-4,
+    and xxhash64 is deterministic, so on a fixed corpus the outcome is
+    fixed — verified at sf0.001/0.01/0.1). The exact counts carry the
+    cross-engine hash; DuckDB replays them relationally."""
+    from bookstore_aws_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    DEPTH, WIDTH = 4, 8192
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    sketch = cms_build(toks, "token", depth=DEPTH, width=WIDTH)
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(15)
+    )
+    est = cms_estimate(sketch, top, "token", depth=DEPTH, width=WIDTH)
+    return est.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        (F.col("est_n") >= F.col("exact_n")).alias("never_under"),
+        (
+            F.col("est_n") - F.col("exact_n")
+            <= F.lit(8.0) * F.col("n_total") / F.lit(WIDTH)
+        ).alias("within_bound"),
+    )

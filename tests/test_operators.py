@@ -225,3 +225,61 @@ def test_repetition_signals_values_and_no_shuffle(spark):
     assert got[2]["n_ngrams"] == 0 and got[2]["dup_ngram_frac"] is None
     assert got[3]["dup_ngram_frac"] == 2 / 3 and got[3]["top_ngram_frac"] == 1.0
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cms_never_undercounts_and_exact_on_sparse_input(spark):
+    """Count-Min invariants on a known corpus: estimates >= exact always,
+    and with far fewer distinct values than buckets the collision mass is
+    zero so estimates are EXACT. Unseen probes estimate 0."""
+    from bookstore_aws_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    sk = cms_build(df, "v", depth=4, width=1024)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "v string")
+    got = {r.v: r.est_n for r in cms_estimate(sk, probes, "v", 4, 1024).collect()}
+    assert got["a"] >= 50 and got["b"] >= 7 and got["c"] >= 1
+    assert got["zz"] == 0
+    # 3 distinct values, 1024 buckets, 4 rows: a cross-row collision on
+    # EVERY row is the only way to overcount — with xxhash64 this corpus
+    # measures exact (deterministic; a regression here means the hashing
+    # or min-estimator broke)
+    assert got == {"a": 50, "b": 7, "c": 1, "zz": 0}
+
+
+def test_cms_merge_equals_union_build(spark):
+    from bookstore_aws_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    d1 = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "v string")
+    d2 = spark.createDataFrame([("a",)] * 3 + [("c",)] * 4, "v string")
+    merged = cms_merge(
+        cms_build(d1, "v", 4, 512), cms_build(d2, "v", 4, 512)
+    )
+    direct = cms_build(d1.unionAll(d2), "v", 4, 512)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    em = {r.v: r.est_n for r in cms_estimate(merged, probes, "v", 4, 512).collect()}
+    ed = {r.v: r.est_n for r in cms_estimate(direct, probes, "v", 4, 512).collect()}
+    assert em == ed == {"a": 8, "b": 2, "c": 4}
+
+
+def test_cms_grid_is_bounded_and_estimate_broadcasts(spark):
+    """Scale contract: the sketch never exceeds depth*width rows however
+    large the input, and the estimate plan joins it via broadcast (no
+    shuffle of the probe side against the counter grid)."""
+    from bookstore_aws_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.range(0, 5000).select(F.concat(F.lit("t"), (F.col("id") % 97)).alias("v"))
+    sk = cms_build(df, "v", depth=4, width=64)
+    assert sk.count() <= 4 * 64
+    plan = cms_estimate(sk, df.distinct(), "v", 4, 64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
