@@ -583,3 +583,78 @@ def q_text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_passages(
         docs, "doc_id", "text", block=_RRP_BLOCK, max_docs=1
     )
+
+
+@golden(
+    "text_nb_langid_confusion",
+    """
+    WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+    test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+    ttoks AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM train),
+    counts AS (SELECT lang, token, count(*) AS cnt FROM ttoks GROUP BY lang, token),
+    nlang AS (SELECT lang, count(*) AS n_tok FROM ttoks GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM ttoks),
+    ndocs AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY lang),
+    ntotal AS (SELECT count(*) AS n_total FROM train),
+    langs AS (
+      SELECT nl.lang,
+             CAST(round(ln(nd.n_docs / CAST(nt.n_total AS DOUBLE)) * 1000000) AS BIGINT) AS prior_s,
+             CAST(round(ln(1.0 / (nl.n_tok + vo.v)) * 1000000) AS BIGINT) AS def_s
+      FROM nlang nl
+      JOIN ndocs nd ON nl.lang = nd.lang
+      CROSS JOIN vocab vo CROSS JOIN ntotal nt
+    ),
+    model AS (
+      SELECT c.lang, c.token,
+             CAST(round(ln((c.cnt + 1.0) / (nl.n_tok + vo.v)) * 1000000) AS BIGINT) AS ll_s
+      FROM counts c JOIN nlang nl ON c.lang = nl.lang CROSS JOIN vocab vo
+    ),
+    stoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test),
+    cand AS (SELECT s.doc_id, s.token, l.lang, l.def_s FROM stoks s CROSS JOIN langs l),
+    scored AS (
+      SELECT c.doc_id, c.lang, coalesce(m.ll_s, c.def_s) AS ll_s
+      FROM cand c LEFT JOIN model m ON m.lang = c.lang AND m.token = c.token
+    ),
+    doc_scores AS (
+      SELECT sc.doc_id, sc.lang, l.prior_s + sum(sc.ll_s) AS score
+      FROM scored sc JOIN langs l ON sc.lang = l.lang
+      GROUP BY sc.doc_id, sc.lang, l.prior_s
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+        FROM doc_scores
+      ) WHERE rn = 1
+    )
+    SELECT t.lang AS true_lang, p.pred_lang, count(*) AS n_docs
+    FROM test t JOIN pred p USING (doc_id)
+    GROUP BY true_lang, pred_lang
+    """,
+)
+def q_text_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes language classifier TRAINED ON THE CLUSTER (operators/
+    classify.py::nb_train/nb_score) — the supervised upgrade of the
+    marker-token heuristic (text_langid_confusion): train multinomial NB
+    with add-1 smoothing on 4/5 of the corpus (labels = the fixture's
+    lang column), score the held-out fifth, and emit the confusion matrix
+    against the true labels. Training is two bounded map-side-combinable
+    groupBys (the model IS a DataFrame); scoring is one (label, token)
+    left join + an integer score sum per doc — no gradient loop, no
+    driver-side state, every step built-in JVM expressions. Cross-engine
+    determinism via micro-log integer scores (round(ln·1e6) — exact sums,
+    order-free; ties break label-ascending). The oracle replays the whole
+    train→score→argmax chain as CTEs."""
+    from bookstore_aws_lakehouse_spark.operators.classify import nb_score, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.pmod("doc_id", F.lit(5)) != 0)
+    test = docs.where(F.pmod("doc_id", F.lit(5)) == 0)
+    model, labels = nb_train(train, text_col="text", label_col="lang")
+    pred = nb_score(test, model, labels, text_col="text", id_col="doc_id")
+    return (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred.select("doc_id", F.col("pred_label").alias("pred_lang")), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

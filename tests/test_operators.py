@@ -283,3 +283,55 @@ def test_cms_grid_is_bounded_and_estimate_broadcasts(spark):
     assert sk.count() <= 4 * 64
     plan = cms_estimate(sk, df.distinct(), "v", 4, 64)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_nb_classifier_separable_corpus(spark):
+    """NB trained on a cleanly separable vocabulary must classify held-out
+    docs perfectly, fall back to smoothed defaults for OOV tokens, and
+    break exact ties label-ascending."""
+    from bookstore_aws_lakehouse_spark.operators.classify import nb_score, nb_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "aa bb aa cc", "x"),
+            (2, "aa cc aa bb", "x"),
+            (3, "zz yy zz ww", "y"),
+            (4, "yy ww zz zz", "y"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    model, labels = nb_train(train, text_col="text", label_col="label")
+    assert {r.label for r in labels.collect()} == {"x", "y"}
+    test = spark.createDataFrame(
+        [
+            (10, "aa bb cc"),      # pure x vocab
+            (11, "zz yy ww"),      # pure y vocab
+            (12, "qq qq"),         # fully OOV: defaults + priors only
+        ],
+        "doc_id long, text string",
+    )
+    pred = {r.doc_id: r.pred_label
+            for r in nb_score(test, model, labels, id_col="doc_id").collect()}
+    assert pred[10] == "x" and pred[11] == "y"
+    # equal priors (2 docs each), equal token totals (8 each) -> identical
+    # smoothed defaults: doc 12 is an exact integer tie, broken label-asc
+    assert pred[12] == "x"
+
+
+def test_nb_scores_are_integers_and_partition_invariant(spark):
+    """The micro-log device: scores are BIGINT sums, so re-partitioning
+    the corpus cannot move them (float accumulation order would)."""
+    from bookstore_aws_lakehouse_spark.operators.classify import nb_score, nb_train
+
+    rows = [(i, f"t{i % 13} t{(i * 7) % 13} shared", "a" if i % 2 else "b")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    model, labels = nb_train(docs)
+    test = docs.select("doc_id", "text")
+    s1 = {(r.doc_id): (r.pred_label, r.score_s)
+          for r in nb_score(test, model, labels).collect()}
+    model2, labels2 = nb_train(docs.repartition(13))
+    s2 = {(r.doc_id): (r.pred_label, r.score_s)
+          for r in nb_score(test.repartition(7), model2, labels2).collect()}
+    assert s1 == s2
+    assert all(isinstance(v[1], int) for v in s1.values())
