@@ -206,6 +206,12 @@ def main() -> None:
         "snapshot_changes_feed",
         "embedding_pq_encode",
         "ann_ivfpq_topk",
+        # r9 additions: bloom-index point lookup, schema-evolving append,
+        # the Count-Min heavy hitters, and the cluster-trained NB langid
+        "snapshot_bloom_lookup",
+        "snapshot_schema_evolution",
+        "token_cms_heavy_hitters",
+        "text_nb_langid_confusion",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
@@ -362,6 +368,10 @@ def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
         # stays 16 and the ratio measures a true corpus scale-up —
         # expected ≈linear: per-iteration assign volume is corpus×16).
         "kmeans_converge_2iter",
+        # r9: the Count-Min build — output is a FIXED depth×width grid, so
+        # the 10× corpus should cost ≈10× scan/explode with an unchanged
+        # shuffle ceiling (the bounded-sketch scale story, measured).
+        "token_cms_heavy_hitters",
     ]
     factor = 10
     tmp = tempfile.mkdtemp(prefix="bench_growth_")

@@ -1315,3 +1315,113 @@ def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_incremental_rollup",
+    """
+    WITH base AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    ),
+    final AS (
+      SELECT o_orderkey, o_month,
+             CASE WHEN o_orderkey % 7 = 0 THEN price + 5.00 ELSE price END AS price
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_month, CAST(100.00 AS DECIMAL(18,2))
+      FROM base WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_month, count(*) AS n_orders,
+           CAST(sum(price) AS DOUBLE) AS total_price
+    FROM final
+    WHERE o_month <> '1995-03'
+    GROUP BY o_month
+    """,
+)
+def q_snapshot_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance off the change feed (operators/
+    incremental.py): materialize a monthly rollup of the v1 snapshot,
+    then run a price-update + insert merge AND a whole-month DELETE
+    against the table — and refresh the mart from the CDC alone
+    (snapshot_changed_rows → rollup_delta → apply_rollup_delta), never
+    re-aggregating the unchanged keys. The returned mart is the
+    INCREMENTALLY maintained one; the oracle recomputes the final state
+    from scratch in SQL — equality is precisely the IVM correctness
+    statement (including the deleted month VANISHING from the mart via
+    the count-reaches-zero rule). Sums ride DECIMAL(18,2) end-to-end so
+    the mart+delta addition is exact and order-free; the double cast
+    happens once at the end."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        apply_rollup_delta,
+        rollup_delta,
+        snapshot_changed_rows,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete,
+        snapshot_merge_partitioned,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+    ).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapivm_")
+    try:
+        table = f"{root}/orders_snap"
+        v1 = snapshot_merge_partitioned(
+            base, table, key_cols=["o_orderkey"], partition_col="o_month"
+        )
+        # the stored mart, pinned as of v1 (localCheckpoint = "the mart
+        # exists on disk"; the refresh below must not re-derive it)
+        mart1 = (
+            snapshot_read(spark, table, v1)
+            .groupBy("o_month")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("price").alias("sum_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # edit 1: price bump for every 7th key + brand-new rows (merge)
+        updated = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "price", (F.col("price") + F.lit(5.00)).cast("decimal(18,2)")
+        )
+        added = base.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_month",
+            F.lit(100.00).cast("decimal(18,2)").alias("price"),
+        )
+        snapshot_merge_partitioned(
+            updated.unionByName(added),
+            table,
+            key_cols=["o_orderkey"],
+            partition_col="o_month",
+        )
+        # edit 2: drop one whole month (stats-pruned row-level DELETE)
+        snapshot_delete(spark, table, "o_month", "1995-03", "1995-03")
+        # refresh from the change feed only
+        old_rows, new_rows = snapshot_changed_rows(
+            spark, table, ["o_orderkey"], v1
+        )
+        delta = rollup_delta(old_rows, new_rows, ["o_month"], ["price"])
+        mart2 = apply_rollup_delta(
+            mart1, delta, ["o_month"], "n_orders", {"sum_price": "price"}
+        )
+        out = mart2.select(
+            "o_month",
+            "n_orders",
+            F.col("sum_price").cast("double").alias("total_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

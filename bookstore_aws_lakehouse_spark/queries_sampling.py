@@ -320,3 +320,57 @@ def q_dataset_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@golden(
+    "dataset_percentile_filter",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, score,
+             cume_dist() OVER (PARTITION BY source ORDER BY score) AS cd
+      FROM scored
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN cd > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(min(CASE WHEN cd > 0.25 THEN score END), 6) AS threshold_score
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def q_dataset_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality curation: drop each SOURCE's bottom quartile by
+    lexical-diversity score (distinct-token ratio) instead of one global
+    absolute threshold (text_quality_filter) — the standard adaptive
+    per-domain gate (a threshold tuned for web text would gut code or
+    forum sources). One window (cume_dist per source) + one aggregation;
+    the ratio is an exact IEEE division of two ints and cume_dist is
+    tie-stable, so membership is engine-exact. At 100 TB the window
+    shuffles once on source — same cost class as any per-source stat;
+    skewed sources ride AQE. Emits per-source totals, survivors, and the
+    effective (adaptive) threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("score")
+    ranked = scored.withColumn("cd", F.cume_dist().over(w))
+    kept = F.when(F.col("cd") > 0.25, F.col("score"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("cd") > 0.25).cast("bigint")).alias("n_kept"),
+        F.round(F.min(kept), 6).alias("threshold_score"),
+    )

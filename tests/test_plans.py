@@ -299,3 +299,26 @@ def test_theta_and_kll_are_two_level_sketch_rollups(spark, sf_smoke):
     plan2 = plan_of(GOLDEN["theta_set_ops"](spark, sf_smoke))
     assert "theta_sketch_agg" in plan2
     assert "Expand" not in plan2
+
+
+def test_cms_heavy_hitters_bounded_shuffle_shape(spark, sf_smoke):
+    """CMS: the sketch build partial-aggregates map-side (HashAggregate
+    below the exchange on (row, bucket) — the shuffle ceiling is
+    depth*width rows per task), the grid joins the probes by broadcast,
+    and nothing is cartesian except the 1-row total-count broadcast."""
+    plan = plan_of(GOLDEN["token_cms_heavy_hitters"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for grid & topk
+
+
+def test_nb_langid_model_join_is_keyed(spark, sf_smoke):
+    """NB scoring: the model joins on (label, token) — keyed hash join;
+    the only nested-loop allowed is the broadcast label fan-out (|labels|
+    rows) and scalar aggregates."""
+    plan = plan_of(GOLDEN["text_nb_langid_confusion"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    # broadcast fan-outs: labels onto tokens, scalars into the model
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the argmax is a window row_number, not a self-join
+    assert "Window" in plan

@@ -958,3 +958,60 @@ def test_append_schema_type_change_always_raises(spark, table):
     # and a fresh identical-schema append still works
     assert list_versions(spark, table) == [1]
     assert snapshot_append(_df(spark, [(2, "b")]), table) == 2
+
+
+def test_incremental_rollup_matches_recompute(spark, table):
+    """IVM refresh off the change feed equals a from-scratch recompute
+    across all three change kinds: update (both-side weight), insert
+    (new group appears), delete (group count reaches zero and vanishes)."""
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        apply_rollup_delta,
+        rollup_delta,
+        snapshot_changed_rows,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_merge
+
+    rows = [(k, "g1" if k < 5 else "g2", k * 10) for k in range(10)]
+    base = spark.createDataFrame(rows, "k int, g string, amt long")
+    v1 = snapshot_overwrite(base, table)
+    mart1 = (
+        snapshot_read(spark, table, v1)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("amt").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    # update k=1 (+5), insert k=100 into NEW group g3, delete all of g2
+    # (merge can't delete → emulate via overwrite of the final state? no:
+    # use merge for upserts, then snapshot_delete on g)
+    snapshot_merge(
+        spark.createDataFrame([(1, "g1", 15), (100, "g3", 7)], "k int, g string, amt long"),
+        table,
+        key_cols=["k"],
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_delete
+
+    snapshot_delete(spark, table, "g", "g2", "g2")
+    old_rows, new_rows = snapshot_changed_rows(spark, table, ["k"], v1)
+    delta = rollup_delta(old_rows, new_rows, ["g"], ["amt"])
+    mart2 = apply_rollup_delta(mart1, delta, ["g"], "n", {"s": "amt"})
+    got = {r.g: (r.n, r.s) for r in mart2.collect()}
+    want = {
+        r.g: (r.n, r.s)
+        for r in snapshot_read(spark, table)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+    assert got == want
+    assert "g2" not in got and got["g3"] == (1, 7)
+
+
+def test_rollup_delta_no_changes_is_empty(spark, table):
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        rollup_delta,
+        snapshot_changed_rows,
+    )
+
+    v1 = snapshot_overwrite(_df(spark, [(1, "a"), (2, "b")]), table)
+    old_rows, new_rows = snapshot_changed_rows(spark, table, ["k"], v1, v1)
+    assert rollup_delta(old_rows, new_rows, ["v"], []).count() == 0
