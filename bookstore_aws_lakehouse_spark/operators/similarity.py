@@ -553,3 +553,107 @@ def ivfpq_search(
         tiebreak=[id_col],
         rank_name="rank",
     )
+
+
+def vector_residuals(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual quantization prep: assign each vector to its nearest
+    coarse centroid and subtract it — ``r = x − c(x)`` — the transform
+    that makes PQ codebooks dramatically tighter (residuals cluster
+    around the origin instead of spreading across cells; Jégou et al.'s
+    IVFADC). One broadcast-centroid assignment + one map-side zip_with;
+    output (id, centroid_id, vec_col=residual as array<double>)."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    cent = centroids.select(
+        "centroid_id", F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    return (
+        df.join(assigned, id_col)
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("_cv"),
+                lambda x, y: x - y,
+            ).alias(vec_col),
+        )
+    )
+
+
+def ivfpq_residual_search(
+    corpus: DataFrame,
+    coarse_centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    n_seeds: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the canonical billion-scale form
+    (`ivfpq_search` encodes raw vectors; production IVFADC encodes
+    ``x − c(x)``): corpus residuals are PQ-encoded per their own cell,
+    and each query's distance LUT is built from the QUERY's residual in
+    its probed cell, so a candidate's ADC approximates the true
+    query-to-candidate distance with the coarse offset removed. The
+    tighter-codes payoff is a DATA property: it materializes when
+    vectors cluster around their centroids (real embedding corpora),
+    not on near-random vectors (tests/test_vector.py pins the operator
+    invariants instead). Seeds for the sub-codebooks
+    are the residuals of ``id < n_seeds`` (fixed-size, corpus-scale-
+    independent). Same scale shape as `ivfpq_search`: every join is
+    broadcast or keyed (cell, (query, subspace, code)), candidates
+    contribute bytes not floats, ADC rounded to 6 dp before ranking
+    (partials bit-identical cross-engine; summation order is not).
+
+    Output: (query_id, ``id_col``, adc, rank), rank 1..k by adc asc."""
+    from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
+
+    res = vector_residuals(corpus, coarse_centroids, id_col, vec_col)
+    seeds = res.filter(F.col(id_col) < n_seeds).select(id_col, vec_col)
+    codes = pq_encode(res, seeds, m, dim, id_col, vec_col).select(
+        id_col, "subspace", "code"
+    )
+    cells = res.select(id_col, "centroid_id")
+    qres = vector_residuals(queries, coarse_centroids, id_col, vec_col)
+    qcells = qres.select(F.col(id_col).alias("query_id"), "centroid_id")
+    books = pq_codebooks(seeds, m, dim, id_col, vec_col)
+    qsubs = _pq_subvectors(
+        qres.select(id_col, vec_col), m, dim, id_col, vec_col
+    ).select(F.col(id_col).alias("query_id"), "subspace", "_sv", "_xx")
+    lut = qsubs.join(F.broadcast(books), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        (
+            F.col("_xx")
+            - F.lit(2.0) * _dot(F.col("_sv"), F.col("centroid"))
+            + F.col("_cc")
+        ).alias("pdist"),
+    )
+    cand = cells.join(F.broadcast(qcells), "centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("pdist"), 6).alias("adc"))
+    )
+    return top_n_per_group(
+        adc,
+        ["query_id"],
+        [("adc", False)],
+        k,
+        tiebreak=[id_col],
+        rank_name="rank",
+    )

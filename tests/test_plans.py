@@ -322,3 +322,13 @@ def test_nb_langid_model_join_is_keyed(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the argmax is a window row_number, not a self-join
     assert "Window" in plan
+
+
+def test_ivfpq_residual_joins_are_keyed(spark, sf_smoke):
+    """Residual IVFADC keeps ivfpq's scale shape: candidates come from a
+    cell-keyed join, scoring is LUT-keyed on (query, subspace, code);
+    the only nested loops are the deliberate broadcast-centroid
+    assignment scans."""
+    plan = plan_of(GOLDEN["ann_ivfpq_residual_topk"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

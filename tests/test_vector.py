@@ -303,3 +303,55 @@ def test_ivfpq_search_structure(spark):
         assert adcs == sorted(adcs), "adc must be non-decreasing in rank"
     for r in out:
         assert cells[r.vec_id] == cells[r.query_id], "candidate left its cell"
+
+
+def test_ivfpq_residual_structure_and_self_coding(spark):
+    """Residual IVFADC: same structural invariants as ivfpq_search
+    (ranks 1..k, adc monotone, cell-confined, no self-matches) PLUS the
+    residual-space anchors — seed residuals self-code with zero error,
+    and residual norm equals the exact distance-to-centroid (the
+    quantity PQ now codes instead of the raw vector). NOTE the classic
+    'residuals are tighter' win is a DATA property (it needs vectors
+    clustered around their centroids); on this near-random fixture it
+    does not hold, so the test pins operator invariants, not corpus
+    luck."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_residual_search,
+        pq_encode,
+        vector_residuals,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_residual_search(emb, centroids, queries, k=5).collect()
+    assert out, "no results"
+    by_q = {}
+    for r in out:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc))
+    cells = {r.vec_id: r.centroid_id for r in ivf_assign(emb, centroids).collect()}
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        adcs = [r[1] for r in rows]
+        assert adcs == sorted(adcs)
+    for r in out:
+        assert cells[r.vec_id] == cells[r.query_id]
+
+    # residual-space anchors: the 16 seed residuals must self-code with
+    # zero error in every subspace (the codebook contains them verbatim)
+    res = vector_residuals(emb, centroids)
+    seeds_res = res.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+    enc = pq_encode(res, seeds_res, m=4, dim=64)
+    self_rows = enc.filter(F.col("vec_id") < 16).collect()
+    assert len(self_rows) == 16 * 4
+    assert all(r.code == r.vec_id and r.dist2 == 0.0 for r in self_rows)
+    # a centroid vector's residual in its own cell is the zero vector
+    zero = res.filter(F.col("vec_id") == F.col("centroid_id")).first()
+    assert zero is not None and all(x == 0.0 for x in zero.embedding)
