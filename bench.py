@@ -207,11 +207,16 @@ def main() -> None:
         "embedding_pq_encode",
         "ann_ivfpq_topk",
         # r9 additions: bloom-index point lookup, schema-evolving append,
-        # the Count-Min heavy hitters, and the cluster-trained NB langid
+        # the Count-Min heavy hitters, the cluster-trained NB langid,
+        # CDC-driven incremental mart refresh, the per-source percentile
+        # curation gate, and residual IVFADC
         "snapshot_bloom_lookup",
         "snapshot_schema_evolution",
         "token_cms_heavy_hitters",
         "text_nb_langid_confusion",
+        "snapshot_incremental_rollup",
+        "dataset_percentile_filter",
+        "ann_ivfpq_residual_topk",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

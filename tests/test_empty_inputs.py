@@ -290,3 +290,53 @@ def test_incremental_dedup_reliable_checkpoint(spark, tmp_path):
     b2 = spark.createDataFrame([(4, "alpha text"), (5, "new")], ["doc_id", "text"])
     out2 = {r["doc_id"] for r in incremental_dedup(b2, store, reliable=True).collect()}
     assert out2 == {5}
+
+
+def test_cms_empty_corpus(spark):
+    from bookstore_aws_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    empty = spark.createDataFrame([], "v string")
+    sk = cms_build(empty, "v", depth=4, width=64)
+    assert sk.count() == 0
+    probes = spark.createDataFrame([("a",)], "v string")
+    got = cms_estimate(sk, probes, "v", 4, 64).collect()
+    assert [(r.v, r.est_n) for r in got] == [("a", 0)]
+
+
+def test_nb_score_empty_test_set(spark):
+    from bookstore_aws_lakehouse_spark.operators.classify import nb_score, nb_train
+
+    train = spark.createDataFrame(
+        [(1, "aa bb", "x"), (2, "cc dd", "y")], "doc_id long, text string, label string"
+    )
+    model, labels = nb_train(train)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert nb_score(empty, model, labels).count() == 0
+
+
+def test_apply_rollup_delta_empty_delta_is_identity(spark):
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        apply_rollup_delta,
+    )
+
+    mart = spark.createDataFrame([("g1", 2, 30)], "g string, n long, s long")
+    delta = spark.createDataFrame([], "g string, d_count long, d_amt long")
+    out = apply_rollup_delta(mart, delta, ["g"], "n", {"s": "amt"})
+    assert [(r.g, r.n, r.s) for r in out.collect()] == [("g1", 2, 30)]
+
+
+def test_bloom_index_empty_table(spark, tmp_path):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_bloom_index,
+        snapshot_overwrite,
+        snapshot_point_lookup,
+    )
+
+    table = str(tmp_path / "snap_empty")
+    snapshot_overwrite(spark.createDataFrame([], "k int, v string"), table)
+    v = snapshot_bloom_index(spark, table, "k")
+    assert v == 2
+    assert snapshot_point_lookup(spark, table, "k", 1).count() == 0
