@@ -1254,13 +1254,16 @@ def _bloom_may_contain(entry: dict, positions_by_cfg: dict) -> bool:
 
 
 def _point_lookup_files(
-    spark: SparkSession, table: str, column: str, value, version: int | None
+    spark: SparkSession, table: str, column: str, values, version: int | None
 ) -> tuple[list[str], list[str], StructType]:
-    """Scan planning for a point lookup: (files to read, all tip files,
-    pinned schema). Pruning composes BOTH metadata layers — min/max
-    stats (range check) and the bloom index (membership check); a file
-    must survive both to be read, and files missing either layer pass
-    that layer conservatively."""
+    """Scan planning for a point/IN lookup (``values``: one value or a
+    list): (files to read, all tip files, pinned schema). Pruning
+    composes BOTH metadata layers — min/max stats (range check) and the
+    bloom index (membership check, a file survives if ANY value may be
+    present); a file must survive both to be read, and files missing
+    either layer pass that layer conservatively."""
+    if not isinstance(values, (list, tuple)):
+        values = [values]
     versions = list_versions(spark, table)
     if not versions:
         raise FileNotFoundError(f"no snapshot manifests under {table}")
@@ -1280,24 +1283,35 @@ def _point_lookup_files(
         if column in e
     }
     # one local job per distinct (m, k) config — normally exactly one —
-    # evaluates the BUILD's hash expression on the lookup value
-    positions_by_cfg = {}
+    # evaluates the BUILD's hash expression on every lookup value at once
+    positions_by_cfg: dict[tuple, list[list[int]]] = {}
     for m, k in cfgs:
         row = (
             spark.range(1)
             .select(
-                _bloom_positions_expr(F.lit(value).cast(dtype), m, k).alias("p")
+                F.array(
+                    *[
+                        _bloom_positions_expr(F.lit(val).cast(dtype), m, k)
+                        for val in values
+                    ]
+                ).alias("p")
             )
             .head()
         )
-        positions_by_cfg[(m, k)] = list(row["p"])
+        positions_by_cfg[(m, k)] = [list(p) for p in row["p"]]
 
     def keep(f: str) -> bool:
         st = stats.get(f, {}).get(column)
-        if st is not None and not _file_may_contain(st, [value], False):
+        if st is not None and not _file_may_contain(st, list(values), False):
             return False
         entry = blooms.get(f, {}).get(column)
-        if entry is not None and not _bloom_may_contain(entry, positions_by_cfg):
+        if entry is not None and not any(
+            _bloom_may_contain(
+                entry,
+                {cfg: plist[i] for cfg, plist in positions_by_cfg.items()},
+            )
+            for i in range(len(values))
+        ):
             return False
         return True
 
@@ -1323,6 +1337,30 @@ def snapshot_point_lookup(
                          "has_null via snapshot_scan for IS NULL probes)")
     files, _all, schema = _point_lookup_files(spark, table, column, value, version)
     pred = F.col(column) == F.lit(value).cast(schema[column].dataType)
+    if not files:
+        return spark.createDataFrame([], schema).filter(pred)
+    return spark.read.schema(schema).parquet(*files).filter(pred)
+
+
+def snapshot_in_lookup(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """``SELECT * FROM t WHERE column IN (...)`` with whole-file skipping:
+    the multi-needle sibling of :func:`snapshot_point_lookup` — a file is
+    read iff stats/bloom say it may hold ANY of the values (all probe
+    positions come from ONE local hashing job). The batched-key-fetch
+    shape: resolving a 100-key worklist against a 100 TB table touches
+    the union of the keys' files, not the table."""
+    vals = [v for v in values]
+    if not vals or any(v is None for v in vals):
+        raise ValueError("IN lookup needs a non-empty list of non-null values")
+    files, _all, schema = _point_lookup_files(spark, table, column, vals, version)
+    dtype = schema[column].dataType
+    pred = F.col(column).isin([v for v in vals])
     if not files:
         return spark.createDataFrame([], schema).filter(pred)
     return spark.read.schema(schema).parquet(*files).filter(pred)

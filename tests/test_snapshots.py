@@ -1015,3 +1015,81 @@ def test_rollup_delta_no_changes_is_empty(spark, table):
     v1 = snapshot_overwrite(_df(spark, [(1, "a"), (2, "b")]), table)
     old_rows, new_rows = snapshot_changed_rows(spark, table, ["k"], v1, v1)
     assert rollup_delta(old_rows, new_rows, ["v"], []).count() == 0
+
+
+def test_in_lookup_prunes_union_of_files(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _point_lookup_files,
+        snapshot_bloom_index,
+        snapshot_in_lookup,
+    )
+
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").cast("int").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    snapshot_overwrite(df, table)
+    snapshot_bloom_index(spark, table, "k")
+    # two needles in different files: plan must keep ~2 files, not 8
+    kept, all_files, _ = _point_lookup_files(spark, table, "k", [10, 390], None)
+    assert len(all_files) == 8
+    assert 2 <= len(kept) < len(all_files)
+    got = sorted(r.k for r in snapshot_in_lookup(spark, table, "k", [10, 390]).collect())
+    assert got == [10, 390]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-null"):
+        snapshot_in_lookup(spark, table, "k", [])
+
+
+def test_incremental_rollup_composes_across_versions(spark, table):
+    """The CDC walk: applying per-version deltas v1→v2→v3 one step at a
+    time must land on the same mart as one v1→v3 delta AND as a full
+    recompute — the streaming-consumer contract (each micro-batch applies
+    one version's changes)."""
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        apply_rollup_delta,
+        rollup_delta,
+        snapshot_changed_rows,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_merge
+
+    base = spark.createDataFrame(
+        [(k, "g%d" % (k % 3), k) for k in range(12)], "k int, g string, amt long"
+    )
+    v1 = snapshot_overwrite(base, table)
+    mart = (
+        snapshot_read(spark, table, v1)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("amt").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    v2 = snapshot_merge(
+        spark.createDataFrame([(1, "g1", 100), (20, "g0", 7)], "k int, g string, amt long"),
+        table, key_cols=["k"],
+    )
+    v3 = snapshot_merge(
+        spark.createDataFrame([(20, "g0", 9), (2, "g2", -5)], "k int, g string, amt long"),
+        table, key_cols=["k"],
+    )
+    stepped = mart
+    for lo, hi in ((v1, v2), (v2, v3)):
+        o, n = snapshot_changed_rows(spark, table, ["k"], lo, hi)
+        stepped = apply_rollup_delta(
+            stepped, rollup_delta(o, n, ["g"], ["amt"]), ["g"], "n", {"s": "amt"}
+        ).localCheckpoint(eager=True)
+    o, n = snapshot_changed_rows(spark, table, ["k"], v1, v3)
+    oneshot = apply_rollup_delta(
+        mart, rollup_delta(o, n, ["g"], ["amt"]), ["g"], "n", {"s": "amt"}
+    )
+    want = {
+        r.g: (r.n, r.s)
+        for r in snapshot_read(spark, table)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+    assert {r.g: (r.n, r.s) for r in stepped.collect()} == want
+    assert {r.g: (r.n, r.s) for r in oneshot.collect()} == want
