@@ -217,6 +217,8 @@ def main() -> None:
         "snapshot_incremental_rollup",
         "dataset_percentile_filter",
         "ann_ivfpq_residual_topk",
+        "dataset_temperature_mix",
+        "bucketed_join_roundtrip",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

@@ -124,3 +124,38 @@ def weighted_source_mix(
         expr = F.when(cond, cut) if expr is None else expr.when(cond, cut)
     keep_cut = expr.otherwise(0) if expr is not None else F.lit(0)
     return df.filter(split_bucket(id_col, salt) < keep_cut)
+
+
+def temperature_source_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.7,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the mT5/multilingual-sampling
+    scheme): per-source keep rates ∝ n_i^(α−1), normalized so the
+    SMALLEST source keeps everything — α<1 flattens the source
+    distribution (big web crawls down-sampled, small curated sources
+    kept), α=1 keeps all rows. Unlike `weighted_source_mix` the weights
+    come from the DATA (one per-source count aggregate, broadcast back),
+    so the mix adapts as the corpus grows. Per-row membership is
+    hash-gated (md5 bucket < round(1000·(n_min/n_i)^(1−α))) —
+    deterministic, engine-portable, stable under growth; the cut is
+    rounded to integer per-mille BEFORE gating so the only cross-engine
+    float op (pow) cannot flip a row unless it lands within an ulp of a
+    .5 per-mille boundary."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    cuts = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.round(
+            F.lit(1000.0)
+            * F.pow(F.col("_n_min") / F.col("_n"), F.lit(1.0 - alpha))
+        )
+        .cast("int")
+        .alias("_cut"),
+    )
+    return df.join(F.broadcast(cuts), source_col).filter(
+        split_bucket(id_col, salt) < F.col("_cut")
+    ).drop("_cut")

@@ -1425,3 +1425,65 @@ def q_snapshot_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "bucketed_join_roundtrip",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(1 AS BOOLEAN) AS no_exchange
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join end-to-end (sources/writers.py::
+    save_as_bucketed_table): lineitem and orders are saved bucketed ×8 on
+    the join key, so the fact-fact join needs ZERO exchange — the shuffle
+    is paid once at write time, then every nightly join on the key is
+    co-located (the 100 TB answer to repeated fact-fact joins). The
+    aggregation must match the raw-table oracle, and ``no_exchange`` is
+    the driver-checked plan contract: True iff the join subtree plans
+    without an Exchange under a disabled broadcast threshold (broadcast
+    would trivially hide the shuffle). Tables are dropped after the
+    result is pinned; the catalog write goes to the session warehouse."""
+    from bookstore_aws_lakehouse_spark.sources.writers import (
+        save_as_bucketed_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    save_as_bucketed_table(
+        li, "bjr_lineitem", ["l_orderkey"], num_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    save_as_bucketed_table(
+        orders, "bjr_orders", ["o_orderkey"], num_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    try:
+        bl, bo = spark.table("bjr_lineitem"), spark.table("bjr_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            no_exchange = "Exchange" not in joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        out = joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        ).select(
+            "o_orderstatus", "n_items", "sum_qty",
+            F.lit(no_exchange).alias("no_exchange"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bjr_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bjr_orders")

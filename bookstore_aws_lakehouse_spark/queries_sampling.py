@@ -374,3 +374,65 @@ def q_dataset_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("cd") > 0.25).cast("bigint")).alias("n_kept"),
         F.round(F.min(kept), 6).alias("threshold_score"),
     )
+
+
+@golden(
+    "dataset_temperature_mix",
+    f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    cuts AS (
+      SELECT source, n,
+             CAST(round(1000.0 * pow((SELECT min(n) FROM counts) / CAST(n AS DOUBLE), 0.3)) AS INT) AS cut
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.source
+      FROM documents d JOIN cuts USING (source)
+      WHERE {_BUCKET.format(salt="tmix")} < cuts.cut
+    )
+    SELECT c.source, c.n AS n_orig, c.cut,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM cuts c
+    LEFT JOIN (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) k
+      USING (source)
+    """,
+)
+def q_dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling over sources (operators/sampling.py::
+    temperature_source_mix, α=0.7): keep rates ∝ n^(α−1) normalized to
+    the smallest source — the multilingual/multi-source flattening
+    scheme, with the weights derived from the corpus itself (one count
+    aggregate broadcast back) instead of a hand-written table. Emits per
+    source the original count, the integer per-mille cut, and the kept
+    count; the oracle recomputes cuts and replays the md5 hash gate
+    row-exactly."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import (
+        temperature_source_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
+    n_min = counts.agg(F.min("n_orig").alias("_m"))
+    cuts = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_orig",
+        F.round(
+            F.lit(1000.0) * F.pow(F.col("_m") / F.col("n_orig"), F.lit(0.3))
+        ).cast("int").alias("cut"),
+    )
+    kept = (
+        temperature_source_mix(docs, "doc_id", "source", alpha=0.7, salt="tmix")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        cuts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_orig",
+            "cut",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

@@ -335,3 +335,27 @@ def test_nb_scores_are_integers_and_partition_invariant(spark):
           for r in nb_score(test.repartition(7), model2, labels2).collect()}
     assert s1 == s2
     assert all(isinstance(v[1], int) for v in s1.values())
+
+
+def test_temperature_mix_properties(spark):
+    """α=1 keeps every row; at α<1 the smallest source keeps everything
+    (cut=1000) and keep-rates are monotone decreasing in source size."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import (
+        temperature_source_mix,
+    )
+
+    rows = (
+        [(i, "big") for i in range(1000)]
+        + [(i + 10_000, "mid") for i in range(200)]
+        + [(i + 20_000, "small") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    assert temperature_source_mix(df, "doc_id", "source", alpha=1.0).count() == len(rows)
+    kept = (
+        temperature_source_mix(df, "doc_id", "source", alpha=0.5)
+        .groupBy("source").count().collect()
+    )
+    by_src = {r.source: r["count"] for r in kept}
+    assert by_src["small"] == 50  # smallest keeps all
+    rate = {s: by_src[s] / n for s, n in (("big", 1000), ("mid", 200), ("small", 50))}
+    assert rate["big"] < rate["mid"] < rate["small"] + 1e-9
