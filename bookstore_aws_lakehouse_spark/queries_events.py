@@ -720,3 +720,61 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.try_variant_get("v", "$.missing", "string")).alias("n_missing"),
         F.max(F.schema_of_variant("v")).alias("variant_schema"),
     )
+
+
+@golden(
+    "events_observed_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+           CAST(max(user_id) AS BIGINT) AS max_user_id,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    """,
+)
+def q_events_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``DataFrame.observe`` (the Observation
+    API): data-quality metrics — row/null counts, id bounds, an
+    exact decimal value total (DISTINCT aggregates are disallowed in
+    observed metrics — use an HLL sketch metric if cardinality is
+    needed) — are PIGGYBACKED on a job's existing pass
+    instead of a second aggregation scan. At 100 TB that difference is a
+    full table read: observe() accumulates per-task and merges on the
+    driver for free with whatever action already runs. Here the observed
+    job is a trivial noop-write of the frame; the returned single-row
+    frame carries the harvested metrics, and the oracle recomputes them
+    relationally (the value total rides DECIMAL so the per-task merge
+    order cannot move it)."""
+    from pyspark.sql import Observation
+
+    events = load_events(spark, sf_dir)
+    obs = Observation("dq")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null_value"),
+        F.max("user_id").cast("bigint").alias("max_user_id"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real job
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_value"],
+                m["max_user_id"],
+                m["min_event_id"],
+                m["max_event_id"],
+                m["total_value"],
+            )
+        ],
+        "n_rows long, n_null_value long, max_user_id long, "
+        "min_event_id long, max_event_id long, total_value double",
+    )
