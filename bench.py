@@ -219,6 +219,7 @@ def main() -> None:
         "ann_ivfpq_residual_topk",
         "dataset_temperature_mix",
         "bucketed_join_roundtrip",
+        "events_observed_metrics",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
