@@ -118,6 +118,9 @@ _PROBE_EXCLUDE = frozenset(
         "dedup_incremental_bucketed",
         # runs connected_components' convergence loop on build
         "embedding_dedup_survivors",
+        # runs its observed noop-write job on build (the metrics ARE the
+        # result, so construction executes)
+        "events_observed_metrics",
     }
 )
 
