@@ -220,6 +220,7 @@ def main() -> None:
         "dataset_temperature_mix",
         "bucketed_join_roundtrip",
         "events_observed_metrics",
+        "token_heavy_hitters_mg",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

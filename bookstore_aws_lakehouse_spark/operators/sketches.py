@@ -105,3 +105,60 @@ def cms_estimate(
         joined.groupBy(*probes.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
     )
+
+
+def mg_candidates(
+    df: DataFrame, col: str, capacity: int = 2048
+) -> DataFrame:
+    """Misra–Gries heavy-hitter CANDIDATES per partition (Arrow
+    ``mapInPandas`` — Python is the point here: the summary is an
+    imperative bounded dict). Each partition keeps at most ``capacity``
+    counters; merging a batch then subtracting the (capacity+1)-th
+    largest count preserves the MG bound (total undercount ≤ n_p /
+    capacity per partition). Pigeonhole gives the global guarantee: any
+    value with total frequency > N/capacity exceeds n_p/capacity in at
+    least one partition, so it SURVIVES in that partition's summary —
+    the union of per-partition candidates is a superset of every such
+    heavy hitter. Output: one ``col`` row per surviving candidate per
+    partition (dedupe downstream); resolve exact counts by broadcast-
+    joining the candidate set back onto the stream (`exact top-k
+    without ever shuffling the key universe`)."""
+    import pandas as pd
+
+    field = df.schema[col]
+
+    def summarize(batches):
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            for val, n in vc.items():
+                counts[val] = counts.get(val, 0) + int(n)
+            if len(counts) > capacity:
+                cut = sorted(counts.values(), reverse=True)[capacity]
+                counts = {
+                    v: c - cut for v, c in counts.items() if c - cut > 0
+                }
+        yield pd.DataFrame({col: list(counts.keys())})
+
+    return df.select(col).mapInPandas(
+        summarize, f"{col} {field.dataType.simpleString()}"
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame, col: str, k: int = 15, capacity: int = 2048
+) -> DataFrame:
+    """Exact top-k over an unbounded key universe WITHOUT a full-universe
+    shuffle: Misra–Gries candidates per partition (superset of every
+    value with frequency > N/capacity), then one broadcast semi-join
+    restricts the stream to candidates and an ordinary groupBy counts
+    them exactly — the shuffle carries only candidate keys. Correct
+    whenever the true k-th count exceeds N/capacity (size ``capacity``
+    accordingly); ties broken on the value ascending."""
+    cand = mg_candidates(df, col, capacity).distinct()
+    counted = (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return counted.orderBy(F.col("exact_n").desc(), F.col(col).asc()).limit(k)

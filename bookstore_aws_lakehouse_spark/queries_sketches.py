@@ -322,3 +322,36 @@ def q_token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(8.0) * F.col("n_total") / F.lit(WIDTH)
         ).alias("within_bound"),
     )
+
+
+@golden(
+    "token_heavy_hitters_mg",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+    FROM toks GROUP BY token
+    ORDER BY exact_n DESC, token ASC LIMIT 15
+    """,
+)
+def q_token_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter DISCOVERY at scale (operators/sketches.py::
+    heavy_hitters_exact — the complement of token_cms_heavy_hitters,
+    which only VERIFIES a known top-k): Misra–Gries summaries bound each
+    partition to `capacity` counters (Arrow mapInPandas — the bounded
+    imperative dict is exactly where Python belongs), the pigeonhole
+    union of candidates provably contains every token with frequency >
+    N/capacity, and one broadcast semi-join + groupBy resolves EXACT
+    counts over candidates only — the key universe is never shuffled.
+    The result is therefore exactly the true top-15 (the 15th token's
+    count dwarfs N/2048 on this corpus — asserted in tests), so the
+    oracle is the plain relational top-15."""
+    from bookstore_aws_lakehouse_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    out = heavy_hitters_exact(toks, "token", k=15, capacity=2048)
+    return out.select("token", F.col("exact_n").cast("bigint").alias("exact_n"))

@@ -359,3 +359,27 @@ def test_temperature_mix_properties(spark):
     assert by_src["small"] == 50  # smallest keeps all
     rate = {s: by_src[s] / n for s, n in (("big", 1000), ("mid", 200), ("small", 50))}
     assert rate["big"] < rate["mid"] < rate["small"] + 1e-9
+
+
+def test_mg_candidates_guarantee_and_exact_topk(spark):
+    """Misra–Gries: candidates must contain every value above N/capacity
+    even with a tiny capacity and adversarial partitioning, and
+    heavy_hitters_exact must equal the plain groupBy top-k."""
+    from bookstore_aws_lakehouse_spark.operators.sketches import (
+        heavy_hitters_exact,
+        mg_candidates,
+    )
+
+    rows = (
+        [("hh1",)] * 400 + [("hh2",)] * 300
+        + [(f"noise{i}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    # capacity 16 << distinct 502; N=1200, N/capacity=75 — both hh above
+    cand = {r.v for r in mg_candidates(df, "v", capacity=16).collect()}
+    assert {"hh1", "hh2"} <= cand
+    got = [(r.v, r.exact_n)
+           for r in heavy_hitters_exact(df, "v", k=2, capacity=16).collect()]
+    assert got == [("hh1", 400), ("hh2", 300)]
+    # the guarantee is threshold-based: N/capacity must stay below the
+    # k-th count for exactness — the query sizes capacity accordingly
