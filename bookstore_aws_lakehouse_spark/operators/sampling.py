@@ -126,12 +126,37 @@ def weighted_source_mix(
     return df.filter(split_bucket(id_col, salt) < keep_cut)
 
 
+def temperature_cuts(
+    df: DataFrame, source_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Per-source temperature-sampling cuts: ``(source_col, n_src, cut)``
+    with cut = round(1000·(n_min/n)^(1−α)) — keep rates ∝ n^(α−1)
+    normalized so the smallest source keeps everything. One aggregate
+    scan; the result is |sources| rows. Callers that both GATE and
+    REPORT should compute this once (and pin it with localCheckpoint if
+    reused) so the corpus is scanned once for counts and once for the
+    gate — the two-scan minimum for data-derived weights."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_src"))
+    n_min = counts.agg(F.min("n_src").alias("_n_min"))
+    return counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        "n_src",
+        F.round(
+            F.lit(1000.0)
+            * F.pow(F.col("_n_min") / F.col("n_src"), F.lit(1.0 - alpha))
+        )
+        .cast("int")
+        .alias("cut"),
+    )
+
+
 def temperature_source_mix(
     df: DataFrame,
     id_col: str,
     source_col: str,
     alpha: float = 0.7,
     salt: str = "tmix",
+    cuts: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-based corpus mixing (the mT5/multilingual-sampling
     scheme): per-source keep rates ∝ n_i^(α−1), normalized so the
@@ -144,18 +169,11 @@ def temperature_source_mix(
     deterministic, engine-portable, stable under growth; the cut is
     rounded to integer per-mille BEFORE gating so the only cross-engine
     float op (pow) cannot flip a row unless it lands within an ulp of a
-    .5 per-mille boundary."""
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    n_min = counts.agg(F.min("_n").alias("_n_min"))
-    cuts = counts.crossJoin(F.broadcast(n_min)).select(
-        source_col,
-        F.round(
-            F.lit(1000.0)
-            * F.pow(F.col("_n_min") / F.col("_n"), F.lit(1.0 - alpha))
-        )
-        .cast("int")
-        .alias("_cut"),
-    )
-    return df.join(F.broadcast(cuts), source_col).filter(
-        split_bucket(id_col, salt) < F.col("_cut")
-    ).drop("_cut")
+    .5 per-mille boundary. Pass a precomputed/pinned ``cuts``
+    (:func:`temperature_cuts`) to avoid re-deriving the counts when the
+    caller also reports them."""
+    if cuts is None:
+        cuts = temperature_cuts(df, source_col, alpha)
+    return df.join(
+        F.broadcast(cuts.select(source_col, "cut")), source_col
+    ).filter(split_bucket(id_col, salt) < F.col("cut")).drop("cut")

@@ -409,21 +409,21 @@ def q_dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; the oracle recomputes cuts and replays the md5 hash gate
     row-exactly."""
     from bookstore_aws_lakehouse_spark.operators.sampling import (
+        temperature_cuts,
         temperature_source_mix,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
-    n_min = counts.agg(F.min("n_orig").alias("_m"))
-    cuts = counts.crossJoin(F.broadcast(n_min)).select(
-        "source",
-        "n_orig",
-        F.round(
-            F.lit(1000.0) * F.pow(F.col("_m") / F.col("n_orig"), F.lit(0.3))
-        ).cast("int").alias("cut"),
+    # |sources| rows — pin them so the gate join and the report both read
+    # this tiny frame instead of re-aggregating the corpus (two corpus
+    # scans total: one for counts, one for the gate)
+    cuts = temperature_cuts(docs, "source", alpha=0.7).localCheckpoint(
+        eager=True
     )
     kept = (
-        temperature_source_mix(docs, "doc_id", "source", alpha=0.7, salt="tmix")
+        temperature_source_mix(
+            docs, "doc_id", "source", alpha=0.7, salt="tmix", cuts=cuts
+        )
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -431,7 +431,7 @@ def q_dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cuts.join(kept, "source", "left")
         .select(
             "source",
-            "n_orig",
+            F.col("n_src").alias("n_orig"),
             "cut",
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         )
