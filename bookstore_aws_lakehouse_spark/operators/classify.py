@@ -45,12 +45,24 @@ def nb_train(
                training slice (count 0 → 1/(n_tok + |V|))
 
     The vocabulary size joins in as a broadcast 1-row aggregate, keeping
-    the whole build declarative — no driver-side scalars."""
+    the whole build declarative — no driver-side scalars.
+
+    Scan accounting (the corpus is the expensive thing): the token
+    stream is exploded ONCE into the (label, token) count grid, which is
+    pinned (localCheckpoint — it is model-sized, |labels|·|vocab| rows,
+    the artifact a real trainer would persist anyway); per-label token
+    totals and the vocabulary size are then derived from the GRID, and
+    the doc-level priors cost one more (cheap, no-explode) pass — two
+    corpus scans total instead of one per aggregate."""
     lbl, txt = F.col(label_col), F.col(text_col)
     toks = train.select(lbl.alias("label"), F.explode(F.split(txt, " ")).alias("token"))
-    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    n_lang = toks.groupBy("label").agg(F.count(F.lit(1)).alias("n_tok"))
-    vocab = toks.agg(F.count_distinct("token").alias("v"))
+    counts = toks.groupBy("label", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
+    n_lang = counts.groupBy("label").agg(F.sum("cnt").alias("n_tok"))
+    vocab = counts.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
     model = (
         counts.join(F.broadcast(n_lang), "label")
         .crossJoin(F.broadcast(vocab))
@@ -63,7 +75,7 @@ def nb_train(
         )
     )
     n_docs = train.groupBy(lbl.alias("label")).agg(F.count(F.lit(1)).alias("n_docs"))
-    n_total = train.agg(F.count(F.lit(1)).alias("n_total"))
+    n_total = n_docs.agg(F.sum("n_docs").alias("n_total"))
     labels = (
         n_lang.join(F.broadcast(n_docs), "label")
         .crossJoin(F.broadcast(vocab))

@@ -619,12 +619,22 @@ def ivfpq_residual_search(
     from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
 
     res = vector_residuals(corpus, coarse_centroids, id_col, vec_col)
-    seeds = res.filter(F.col(id_col) < n_seeds).select(id_col, vec_col)
+    # the seed residuals and query residuals are TINY (n_seeds and
+    # |queries| rows) but each textual reuse would re-derive the full
+    # corpus assignment — pin them, exactly as a real ANN system
+    # materializes its codebooks (plan audit: 96 scans → ~8 without)
+    seeds = (
+        res.filter(F.col(id_col) < n_seeds)
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
     codes = pq_encode(res, seeds, m, dim, id_col, vec_col).select(
         id_col, "subspace", "code"
     )
     cells = res.select(id_col, "centroid_id")
-    qres = vector_residuals(queries, coarse_centroids, id_col, vec_col)
+    qres = vector_residuals(queries, coarse_centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     qcells = qres.select(F.col(id_col).alias("query_id"), "centroid_id")
     books = pq_codebooks(seeds, m, dim, id_col, vec_col)
     qsubs = _pq_subvectors(

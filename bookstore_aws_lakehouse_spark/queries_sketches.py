@@ -304,8 +304,17 @@ def q_token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEPTH, WIDTH = 4, 8192
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    sketch = cms_build(toks, "token", depth=DEPTH, width=WIDTH)
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # pin the (tiny, ≤ depth·width rows) grid: it is THE materialized
+    # artifact, and both the estimator and the N derivation read it —
+    # without the pin each textual reuse would re-scan the corpus
+    sketch = cms_build(toks, "token", depth=DEPTH, width=WIDTH).localCheckpoint(
+        eager=True
+    )
+    # N comes from the sketch itself: every input row increments exactly
+    # one row-0 counter, so sum(cnt | row=0) = token count — no extra scan
+    total = sketch.filter(F.col("row") == 0).agg(
+        F.sum("cnt").alias("n_total")
+    )
     top = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_n"))
