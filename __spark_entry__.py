@@ -121,6 +121,8 @@ _PROBE_EXCLUDE = frozenset(
         # runs its observed noop-write job on build (the metrics ARE the
         # result, so construction executes)
         "events_observed_metrics",
+        # pins its stage frames with eager localCheckpoints on build
+        "dataset_curation_pipeline_v2",
     }
 )
 

@@ -221,6 +221,7 @@ def main() -> None:
         "bucketed_join_roundtrip",
         "events_observed_metrics",
         "token_heavy_hitters_mg",
+        "dataset_curation_pipeline_v2",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
