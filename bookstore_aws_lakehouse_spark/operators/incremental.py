@@ -36,11 +36,17 @@ def snapshot_changed_rows(
     on both sides (its −1 and +1 contributions), an insert only on new,
     a delete only on old — exactly the weighting rollup_delta expects."""
     from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        list_versions,
         snapshot_changes,
         snapshot_read,
     )
 
     keys = list(key_cols)
+    if v_to is None:
+        # pin "latest" ONCE: a writer committing between the feed and the
+        # payload reads would otherwise make new_rows disagree with the
+        # change keys they were selected by
+        v_to = list_versions(spark, table)[-1]
     changes = snapshot_changes(spark, table, keys, v_from, v_to)
     old_keys = changes.filter(F.col("status").isin("removed", "changed")).select(keys)
     new_keys = changes.filter(F.col("status").isin("added", "changed")).select(keys)

@@ -85,6 +85,12 @@ def cms_estimate(
     estimator). Probes missing a counter entirely (no input value ever
     hashed there) estimate 0. Adds ``est_n`` to ``probes``; the sketch
     side is ≤ depth·width rows — always broadcastable."""
+    clash = {"row", "bucket"} & set(probes.columns)
+    if clash:
+        raise ValueError(
+            f"probe columns {sorted(clash)} collide with the sketch's "
+            f"coordinate columns — rename them before estimating"
+        )
     v = F.col(col)
     exploded = probes.select(
         "*",
