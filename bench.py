@@ -222,6 +222,7 @@ def main() -> None:
         "events_observed_metrics",
         "token_heavy_hitters_mg",
         "dataset_curation_pipeline_v2",
+        "ann_ivfpq_residual_multiprobe",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

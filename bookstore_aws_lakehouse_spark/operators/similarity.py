@@ -667,3 +667,113 @@ def ivfpq_residual_search(
         tiebreak=[id_col],
         rank_name="rank",
     )
+
+
+def ivfpq_residual_multiprobe(
+    corpus: DataFrame,
+    coarse_centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    n_seeds: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe residual IVFADC — the complete production search path:
+    each query probes its ``nprobe`` nearest coarse cells, and because
+    codes quantize residuals, the query's distance LUT is built PER
+    PROBED CELL from ``q − c(cell)`` (a candidate in cell c is scored
+    against the query's residual in that same c — the offsets cancel).
+    Keyed like everything in this stack: candidates via the cell id, ADC
+    via (query, cell, subspace, code), every small side broadcast; a
+    corpus vector lives in exactly one cell and probes are distinct, so
+    no (query, candidate) pair scores twice. ADC rounds to 6 dp before
+    ranking. Output: (query_id, ``id_col``, adc, rank)."""
+    from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
+
+    d = dim // m
+    res = vector_residuals(corpus, coarse_centroids, id_col, vec_col)
+    seeds = (
+        res.filter(F.col(id_col) < n_seeds)
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    codes = pq_encode(res, seeds, m, dim, id_col, vec_col).select(
+        id_col, "subspace", "code"
+    )
+    cells = res.select(id_col, "centroid_id")
+    books = pq_codebooks(seeds, m, dim, id_col, vec_col)
+
+    # nprobe nearest cells per query (cosine, ties on centroid_id)
+    c = coarse_centroids.select(
+        "centroid_id",
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cen_n"),
+    )
+    ranked = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+        )
+        .crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "_qv",
+            "centroid_id",
+            "_cv",
+            _cosine_prenormed(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cen_n")
+            ).alias("_c_cos"),
+        )
+    )
+    probes = top_n_per_group(
+        ranked,
+        ["query_id"],
+        [("_c_cos", True)],
+        nprobe,
+        tiebreak=["centroid_id"],
+        rank_name="_pn",
+    ).select(
+        "query_id",
+        "centroid_id",
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x - y).alias("_qr"),
+    ).localCheckpoint(eager=True)  # |queries|·nprobe rows — tiny
+
+    qsubs = probes.select(
+        "query_id",
+        "centroid_id",
+        F.posexplode(
+            F.array(*[F.slice(F.col("_qr"), s * d + 1, d) for s in range(m)])
+        ).alias("subspace", "_sv"),
+    ).withColumn("_xx", _dot(F.col("_sv"), F.col("_sv")))
+    lut = qsubs.join(F.broadcast(books), "subspace").select(
+        "query_id",
+        "centroid_id",
+        "subspace",
+        "code",
+        (
+            F.col("_xx")
+            - F.lit(2.0) * _dot(F.col("_sv"), F.col("centroid"))
+            + F.col("_cc")
+        ).alias("pdist"),
+    )
+    cand = cells.join(
+        F.broadcast(probes.select("query_id", "centroid_id")), "centroid_id"
+    ).filter(F.col(id_col) != F.col("query_id"))
+    adc = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), ["query_id", "centroid_id", "subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("pdist"), 6).alias("adc"))
+    )
+    return top_n_per_group(
+        adc,
+        ["query_id"],
+        [("adc", False)],
+        k,
+        tiebreak=[id_col],
+        rank_name="rank",
+    )

