@@ -231,6 +231,26 @@ def _commit(
     schema: "StructType | None" = None,
     file_blooms: dict | None = None,
 ) -> int:
+    if file_blooms is None:
+        # bloom entries are PER-FILE facts about immutable files, so any
+        # entry whose file this commit still references stays valid
+        # verbatim — inherit from the tip. Ops that rewrite files (merge/
+        # delete/optimize) produce new names, so stale entries can't
+        # survive; only genuinely new/rewritten files end up unindexed.
+        try:
+            versions = list_versions(df.sparkSession, table)
+            if versions:
+                prev = (
+                    _read_manifest(df.sparkSession, table, versions[-1]).get(
+                        "file_blooms"
+                    )
+                    or {}
+                )
+                inherited = {f: prev[f] for f in files if f in prev}
+                if inherited:
+                    file_blooms = inherited
+        except Exception:
+            pass  # inheritance is best-effort; absence is conservative
     manifest = {
         "operation": operation,
         "files": files,
@@ -1057,6 +1077,9 @@ def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
     }
     if m.get("file_stats"):
         manifest["file_stats"] = m["file_stats"]
+    if m.get("file_blooms"):
+        # per-file facts travel with the restored file list
+        manifest["file_blooms"] = m["file_blooms"]
     return _try_commit(spark, table, manifest, expected_version=None)
 
 
@@ -1183,10 +1206,12 @@ def snapshot_bloom_index(
     file; the driver materializes one ``num_bits/8``-byte bitset per
     file into the manifest, so size ``num_bits`` against the expected
     file count (8 KiB × 10k files = 80 MB of manifest — prefer a larger
-    ``num_bits`` only for genuinely hot lookup columns). Appends carry
-    the index forward for existing files (new files are unindexed until
-    the next ``snapshot_bloom_index`` run); DELETE/OPTIMIZE rewrite
-    files and drop their entries — re-run the index after maintenance.
+    ``num_bits`` only for genuinely hot lookup columns). Bloom entries
+    are per-file facts about immutable files, so EVERY commit inherits
+    the tip's entries for files it still references (see ``_commit``) —
+    merges/deletes/optimizes keep carried files indexed; only new or
+    rewritten files are unindexed (conservatively read) until the next
+    ``snapshot_bloom_index`` run.
     False-positive rate ≈ (1 - e^(-k·n/m))^k — at the defaults, ~2% for
     1k distinct values per file."""
     if num_bits % 8:

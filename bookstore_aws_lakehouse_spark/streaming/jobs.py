@@ -286,6 +286,7 @@ def snapshot_sink_batch(
     table: str,
     maintenance_every: int | None = None,
     target_file_bytes: int = 128 << 20,
+    bloom_col: str | None = None,
 ):
     """foreachBatch body for the snapshot sink, factored out so the
     maintenance policy is testable batch-by-batch (exactly how Spark
@@ -299,10 +300,18 @@ def snapshot_sink_batch(
     versioned commits themselves, so a maintenance crash mid-way leaves
     a consistent table and the next cycle retries. Keying maintenance on
     the version COUNT (not the batch counter) makes it restart-safe: a
-    replayed batch that commits nothing triggers nothing."""
+    replayed batch that commits nothing triggers nothing.
+
+    With ``bloom_col`` the maintenance cycle also rebuilds the
+    bloom-filter file index for that column AFTER compaction — OPTIMIZE
+    rewrites files (dropping their bloom entries, by design), so
+    re-indexing inside the same cycle keeps point lookups on the sink
+    table file-skipping continuously instead of degrading to
+    conservative full reads between manual index runs."""
     from bookstore_aws_lakehouse_spark.sources.snapshots import (
         checkpoint_history,
         list_versions,
+        snapshot_bloom_index,
         snapshot_merge_partitioned,
         snapshot_optimize,
     )
@@ -319,6 +328,8 @@ def snapshot_sink_batch(
                 snapshot_optimize(
                     spark, table, target_file_bytes, cluster_col="day_no"
                 )
+                if bloom_col is not None:
+                    snapshot_bloom_index(spark, table, bloom_col)
                 checkpoint_history(spark, table)
 
     return merge_batch

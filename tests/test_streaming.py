@@ -151,3 +151,61 @@ def test_snapshot_sink_maintenance_packs_and_checkpoints(spark, tmp_path):
     assert ckpt is not None and ckpt["upto"] >= 2
     got = {r.window_start_ns: r.n_events for r in snapshot_read(spark, table).collect()}
     assert got == {i * ns_day: i + 1 for i in range(4)}
+
+
+def test_snapshot_sink_maintenance_rebuilds_bloom_index(spark, tmp_path):
+    """With bloom_col set, each maintenance cycle re-indexes AFTER
+    compaction (OPTIMIZE drops rewritten files' bloom entries by
+    design), so point lookups on the sink table keep file-skipping: the
+    post-maintenance tip must carry blooms for every file, and a lookup
+    of one window key must not open every file."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _point_lookup_files,
+        _read_manifest,
+        history,
+        list_versions,
+        snapshot_point_lookup,
+    )
+    from bookstore_aws_lakehouse_spark.streaming.jobs import snapshot_sink_batch
+
+    table = str(tmp_path / "sink_snap_bloom")
+    sink = snapshot_sink_batch(
+        table, maintenance_every=5, bloom_col="window_start_ns"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "window_start_ns long, n_events long, total_value double, day_no long"
+        )
+
+    ns_day = 86_400_000_000_000
+    # 5 merges -> version count hits 5 -> optimize (v6) + index (v7);
+    # the two later merges land at v8/v9, BELOW the next multiple of 5,
+    # so the tip keeps their unindexed files alongside the packed one
+    for i in range(5):
+        sink(batch([(i * ns_day + h * 3_600_000_000_000, 1, 0.5, i)
+                    for h in range(3)]), i)
+
+    ops = [r.operation for r in history(spark, table).sort("version").collect()]
+    assert "index" in ops and "optimize" in ops
+    # the index commit follows its optimize within the same cycle
+    assert ops.index("index") > ops.index("optimize")
+    # the indexed version covered every file it referenced
+    versions = list_versions(spark, table)
+    v_index = versions[
+        max(i for i, op in enumerate(ops) if op == "index")
+    ]
+    m = _read_manifest(spark, table, v_index)
+    assert set(m["file_blooms"]) == set(m["files"])
+    # two more merges AFTER the last maintenance cycle: their files are
+    # unindexed (conservatively read), but a probe for one of THEIR keys
+    # must bloom-prune the packed indexed file — the sink keeps skipping
+    # between maintenance cycles
+    for i in (6, 7):
+        sink(batch([(i * ns_day, 1, 0.5, i)]), i)
+    key = 6 * ns_day
+    kept, all_files, _ = _point_lookup_files(
+        spark, table, "window_start_ns", key, None
+    )
+    assert len(kept) < len(all_files), (len(kept), len(all_files))
+    assert snapshot_point_lookup(spark, table, "window_start_ns", key).count() == 1
