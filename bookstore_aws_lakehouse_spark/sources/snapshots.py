@@ -1131,14 +1131,40 @@ def snapshot_changes(
     return snapshot_diff(old, new, key_cols)
 
 
-def vacuum(spark: SparkSession, table: str, keep_last: int = 1) -> int:
-    """Drop all but the newest ``keep_last`` versions and delete every
-    data file no surviving version references (the VACUUM analog; bounds
-    time-travel storage). Returns the number of files deleted."""
+def vacuum(
+    spark: SparkSession,
+    table: str,
+    keep_last: int = 1,
+    retain_seconds: float | None = None,
+) -> int:
+    """Drop expired versions and delete every data file no surviving
+    version references (the VACUUM analog; bounds time-travel storage).
+    Returns the number of files deleted.
+
+    Retention composes two policies, keeping the UNION (a version
+    survives if either rule keeps it — never less retention than asked):
+    the newest ``keep_last`` versions always survive, and with
+    ``retain_seconds`` every version committed within that window of the
+    newest commit's time also survives (Delta's ``RETAIN n HOURS`` —
+    time-based, against the log's own clock so a paused table doesn't
+    expire everything on resume)."""
     if keep_last < 1:
         raise ValueError("vacuum must keep at least the latest version")
     versions = list_versions(spark, table)
-    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    n_keep = keep_last
+    if retain_seconds is not None and versions:
+        newest_ts = _read_manifest(spark, table, versions[-1]).get(
+            "committed_at_unix", 0.0
+        )
+        cutoff = newest_ts - retain_seconds
+        in_window = [
+            v
+            for v in versions
+            if _read_manifest(spark, table, v).get("committed_at_unix", 0.0)
+            >= cutoff
+        ]
+        n_keep = max(keep_last, len(in_window))
+    kept, dropped = versions[-n_keep:], versions[:-n_keep]
     referenced = set()
     for v in kept:
         referenced.update(_read_manifest(spark, table, v)["files"])

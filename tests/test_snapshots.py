@@ -1093,3 +1093,37 @@ def test_incremental_rollup_composes_across_versions(spark, table):
     }
     assert {r.g: (r.n, r.s) for r in stepped.collect()} == want
     assert {r.g: (r.n, r.s) for r in oneshot.collect()} == want
+
+
+def test_vacuum_time_based_retention(spark, table):
+    """retain_seconds keeps every version committed within the window of
+    the NEWEST commit (log-clock, not wall-clock), unioned with
+    keep_last; outside the window the count policy alone applies."""
+    import json as _json
+    import os
+
+    snapshot_overwrite(_df(spark, [(1, "a")]), table)
+    snapshot_overwrite(_df(spark, [(2, "b")]), table)
+    snapshot_overwrite(_df(spark, [(3, "c")]), table)
+    # doctor the log clock: v1 is 2h old, v2 30min old, v3 now
+    mdir = f"{table}/_manifests"
+    now = 1_700_000_000.0
+    for v, age in ((1, 7200.0), (2, 1800.0), (3, 0.0)):
+        p = os.path.join(mdir, f"v{v}.json")
+        with open(p) as f:
+            m = _json.load(f)
+        m["committed_at_unix"] = now - age
+        with open(p, "w") as f:
+            _json.dump(m, f)
+        # Hadoop's LocalFileSystem checksums reads: drop the stale crc
+        crc = os.path.join(mdir, f".v{v}.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    # 1h retention: v2 and v3 are in-window -> only v1 expires
+    deleted = vacuum(spark, table, keep_last=1, retain_seconds=3600.0)
+    assert deleted == 1
+    assert list_versions(spark, table) == [2, 3]
+    # count policy still guarantees the newest even with zero retention
+    deleted = vacuum(spark, table, keep_last=1, retain_seconds=0.0)
+    assert list_versions(spark, table) == [3]
+    assert sorted(r.k for r in snapshot_read(spark, table).collect()) == [3]
