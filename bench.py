@@ -223,6 +223,7 @@ def main() -> None:
         "token_heavy_hitters_mg",
         "dataset_curation_pipeline_v2",
         "ann_ivfpq_residual_multiprobe",
+        "snapshot_constraint_enforcement",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

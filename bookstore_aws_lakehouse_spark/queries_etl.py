@@ -1487,3 +1487,75 @@ def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql("DROP TABLE IF EXISTS bjr_lineitem")
         spark.sql("DROP TABLE IF EXISTS bjr_orders")
+
+
+@golden(
+    "snapshot_constraint_enforcement",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(1 AS BOOLEAN) AS rejected_bad_commit,
+           CAST(1 AS BOOLEAN) AS accepted_good_commit
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+      AND o_totalprice > 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK constraints on the snapshot table (sources/
+    snapshots.py::snapshot_add_constraint — the ALTER TABLE ... CHECK
+    analog): commit Q1-1995 orders, prove-and-add ``price > 0`` (one
+    scan), then attempt a merge carrying a negative price — the commit
+    must be REJECTED before any state change (``rejected_bad_commit``),
+    while a valid merge of the same keys lands (``accepted_good_commit``)
+    and the final table equals the oracle's constraint-satisfying
+    replay. Validation costs one count over the DELTA per commit — never
+    the table — and the constraint itself rides every manifest, so
+    enforcement survives unrelated commits (pinned in
+    tests/test_snapshots.py)."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        snapshot_add_constraint,
+        snapshot_merge,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapck_")
+    try:
+        table = f"{root}/orders_ck"
+        snapshot_overwrite(base, table)
+        snapshot_add_constraint(spark, table, "price_pos", "price > 0")
+        bad = base.limit(1).withColumn("price", F.lit(-1.0))
+        try:
+            snapshot_merge(bad, table, key_cols=["o_orderkey"])
+            rejected = False
+        except SnapshotConstraintError:
+            rejected = True
+        good = base.limit(1)  # identical rows: value-neutral upsert
+        snapshot_merge(good, table, key_cols=["o_orderkey"])
+        out = (
+            snapshot_read(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .select(
+                "o_orderstatus",
+                "n_orders",
+                F.lit(rejected).alias("rejected_bad_commit"),
+                F.lit(True).alias("accepted_good_commit"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -221,6 +221,36 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
     return kept
 
 
+class SnapshotConstraintError(ValueError):
+    """A data-adding commit violated one of the table's CHECK constraints
+    (``snapshot_add_constraint``). The commit was rejected and its data
+    files reclaimed — the table is unchanged."""
+
+
+def _tip_constraints(spark: SparkSession, table: str) -> dict[str, str]:
+    """The table's active constraints as of the current tip (empty for a
+    new or unconstrained table)."""
+    versions = list_versions(spark, table)
+    if not versions:
+        return {}
+    return _read_manifest(spark, table, versions[-1]).get("constraints") or {}
+
+
+def _validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """SQL CHECK semantics: a row violates a constraint only when the
+    expression evaluates to FALSE (NULL passes, as in the standard and in
+    Delta). One count job over the DELTA — O(commit), never the table."""
+    from pyspark.sql import functions as F
+
+    for name, expr in constraints.items():
+        n_bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True))).count()
+        if n_bad:
+            raise SnapshotConstraintError(
+                f"constraint {name!r} ({expr}) violated by {n_bad} row(s) "
+                f"in this commit's data"
+            )
+
+
 def _commit(
     df: DataFrame,
     table: str,
@@ -230,27 +260,33 @@ def _commit(
     expected_version: int | None = None,
     schema: "StructType | None" = None,
     file_blooms: dict | None = None,
+    constraints: dict | None = None,
 ) -> int:
-    if file_blooms is None:
-        # bloom entries are PER-FILE facts about immutable files, so any
+    if constraints is None or file_blooms is None:
+        # one tip read serves both inheritances: constraints are
+        # table-level facts every commit carries forward unchanged unless
+        # explicitly replacing them (snapshot_add/drop_constraint), and
+        # bloom entries are PER-FILE facts about immutable files — any
         # entry whose file this commit still references stays valid
-        # verbatim — inherit from the tip. Ops that rewrite files (merge/
-        # delete/optimize) produce new names, so stale entries can't
-        # survive; only genuinely new/rewritten files end up unindexed.
+        # verbatim. Ops that rewrite files produce new names, so stale
+        # bloom entries can't survive; new/rewritten files are simply
+        # unindexed (conservative). Best-effort: absence is safe.
         try:
             versions = list_versions(df.sparkSession, table)
-            if versions:
-                prev = (
-                    _read_manifest(df.sparkSession, table, versions[-1]).get(
-                        "file_blooms"
-                    )
-                    or {}
-                )
-                inherited = {f: prev[f] for f in files if f in prev}
-                if inherited:
-                    file_blooms = inherited
+            tip_m = (
+                _read_manifest(df.sparkSession, table, versions[-1])
+                if versions
+                else {}
+            )
         except Exception:
-            pass  # inheritance is best-effort; absence is conservative
+            tip_m = {}
+        if constraints is None:
+            constraints = tip_m.get("constraints") or {}
+        if file_blooms is None:
+            prev = tip_m.get("file_blooms") or {}
+            inherited = {f: prev[f] for f in files if f in prev}
+            if inherited:
+                file_blooms = inherited
     manifest = {
         "operation": operation,
         "files": files,
@@ -261,6 +297,8 @@ def _commit(
         manifest["file_stats"] = file_stats
     if file_blooms:
         manifest["file_blooms"] = file_blooms
+    if constraints:
+        manifest["constraints"] = constraints
     return _try_commit(df.sparkSession, table, manifest, expected_version)
 
 
@@ -341,6 +379,7 @@ def snapshot_overwrite(
     ``write_parquet_zordered`` shapes applied to ``df`` BEFORE the call,
     e.g. ``df.repartitionByRange(n, col).sortWithinPartitions(col)``) so
     the recorded ranges are actually tight."""
+    _validate_constraints(df, _tip_constraints(df.sparkSession, table))
     files = _write_data_files(df, table)
     stats = _collect_file_stats(files, stats_cols) if stats_cols else None
     return _commit(df, table, "overwrite", files, stats)
@@ -392,8 +431,11 @@ def snapshot_append(df: DataFrame, table: str, merge_schema: bool = False) -> in
     tip's (see :func:`_merged_append_schema`) — identical schemas pass,
     new columns require ``merge_schema=True`` (they commit as nullable;
     ``snapshot_read`` pins the manifest schema, so historic files read
-    back NULL for them with no rewrite), and type changes always raise."""
+    back NULL for them with no rewrite), and type changes always raise.
+    Active CHECK constraints validate against the delta before any file
+    is written."""
     spark = df.sparkSession
+    _validate_constraints(df, _tip_constraints(spark, table))
     new_files = _write_data_files(df, table)
     new_stats_cache: dict[tuple[str, ...], dict | None] = {}
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -530,6 +572,7 @@ def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
     from bookstore_aws_lakehouse_spark.sources.writers import _anti_join_null_safe
 
     spark = df.sparkSession
+    _validate_constraints(df, _tip_constraints(spark, table))
     keys = list(key_cols)
     for _ in range(3):
         versions = list_versions(spark, table)
@@ -675,6 +718,7 @@ def snapshot_merge_partitioned(
     )
 
     spark = df.sparkSession
+    _validate_constraints(df, _tip_constraints(spark, table))
     keys = list(key_cols)
     df = df.localCheckpoint()  # evaluated for values, keys, and the union
     # EXPLICIT partition count: a bare repartition(col) is AQE-coalescable
@@ -1415,3 +1459,71 @@ def snapshot_in_lookup(
     if not files:
         return spark.createDataFrame([], schema).filter(pred)
     return spark.read.schema(schema).parquet(*files).filter(pred)
+
+
+# ---- table constraints (CHECK / NOT NULL analog) --------------------------
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, table: str, name: str, expression: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expression): the
+    constraint is first proven against the CURRENT table (one scan — a
+    constraint you can't trust on existing data is worthless), then
+    committed as a metadata-only ``set_constraint`` version. From that
+    version on, every data-adding commit (append / merge / partitioned
+    merge / overwrite) validates its DELTA against all active
+    constraints before writing a single file — O(commit), never the
+    table — and rejects with :class:`SnapshotConstraintError` on any
+    FALSE row (NULL passes, SQL CHECK semantics). Express NOT NULL as
+    ``col IS NOT NULL``."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    tip = versions[-1]
+    manifest = _read_manifest(spark, table, tip)
+    active = dict(manifest.get("constraints") or {})
+    if name in active:
+        raise ValueError(f"constraint {name!r} already exists: {active[name]}")
+    df = snapshot_read(spark, table, tip)
+    _validate_constraints(df, {name: expression})
+    active[name] = expression
+    return _commit(
+        df,
+        table,
+        "set_constraint",
+        manifest["files"],
+        manifest.get("file_stats"),
+        expected_version=tip + 1,
+        schema=StructType.fromJson(manifest["schema"]),
+        file_blooms=manifest.get("file_blooms"),
+        constraints=active,
+    )
+
+
+def snapshot_drop_constraint(spark: SparkSession, table: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit removing the
+    named constraint from the active set."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    tip = versions[-1]
+    manifest = _read_manifest(spark, table, tip)
+    active = dict(manifest.get("constraints") or {})
+    if name not in active:
+        raise ValueError(f"no constraint named {name!r} (have {sorted(active)})")
+    del active[name]
+    df = snapshot_read(spark, table, tip)
+    manifest2 = {
+        "operation": "set_constraint",
+        "files": manifest["files"],
+        "schema": manifest["schema"],
+        "committed_at_unix": round(time.time(), 3),
+    }
+    if manifest.get("file_stats"):
+        manifest2["file_stats"] = manifest["file_stats"]
+    if manifest.get("file_blooms"):
+        manifest2["file_blooms"] = manifest["file_blooms"]
+    if active:
+        manifest2["constraints"] = active
+    return _try_commit(spark, table, manifest2, expected_version=tip + 1)

@@ -1127,3 +1127,54 @@ def test_vacuum_time_based_retention(spark, table):
     deleted = vacuum(spark, table, keep_last=1, retain_seconds=0.0)
     assert list_versions(spark, table) == [3]
     assert sorted(r.k for r in snapshot_read(spark, table).collect()) == [3]
+
+
+def test_constraints_enforced_on_all_writers(spark, table):
+    """ADD CONSTRAINT proves existing data, then every data-adding op
+    validates its delta: violating append/merge/overwrite are rejected
+    BEFORE any state change, NULL passes (SQL CHECK), constraints ride
+    every commit (still enforced after unrelated merges), and DROP
+    lifts enforcement."""
+    import pytest as _pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        snapshot_add_constraint,
+        snapshot_drop_constraint,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, amt int"), table
+    )
+    # can't add a constraint current data violates
+    with _pytest.raises(SnapshotConstraintError):
+        snapshot_add_constraint(spark, table, "big", "amt > 15")
+    snapshot_add_constraint(spark, table, "pos", "amt > 0")
+
+    with _pytest.raises(SnapshotConstraintError, match="pos"):
+        snapshot_append(
+            spark.createDataFrame([(3, -5)], "k int, amt int"), table
+        )
+    with _pytest.raises(SnapshotConstraintError):
+        snapshot_merge(
+            spark.createDataFrame([(2, 0)], "k int, amt int"), table, ["k"]
+        )
+    with _pytest.raises(SnapshotConstraintError):
+        snapshot_overwrite(
+            spark.createDataFrame([(9, -1)], "k int, amt int"), table
+        )
+    # rejected commits changed nothing
+    got = {r.k: r.amt for r in snapshot_read(spark, table).collect()}
+    assert got == {1: 10, 2: 20}
+
+    # NULL passes (CHECK semantics); constraint survives the merge commit
+    snapshot_merge(
+        spark.createDataFrame([(4, None)], "k int, amt int"), table, ["k"]
+    )
+    with _pytest.raises(SnapshotConstraintError):
+        snapshot_append(spark.createDataFrame([(5, -2)], "k int, amt int"), table)
+
+    snapshot_drop_constraint(spark, table, "pos")
+    snapshot_append(spark.createDataFrame([(5, -2)], "k int, amt int"), table)
+    got = {r.k: r.amt for r in snapshot_read(spark, table).collect()}
+    assert got == {1: 10, 2: 20, 4: None, 5: -2}
