@@ -224,6 +224,7 @@ def main() -> None:
         "dataset_curation_pipeline_v2",
         "ann_ivfpq_residual_multiprobe",
         "snapshot_constraint_enforcement",
+        "snapshot_materialized_view_refresh",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

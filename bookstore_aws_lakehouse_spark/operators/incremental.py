@@ -100,3 +100,128 @@ def apply_rollup_delta(
             ).alias(mart_col)
         )
     return joined.select(*out_cols).filter(F.col(count_col) > 0)
+
+
+# ---- materialized rollup: CREATE/REFRESH MATERIALIZED VIEW ----------------
+#
+# The productized IVM loop: the mart is ITSELF a snapshot table (atomic
+# commits, readers keep a consistent version mid-refresh, the mart is
+# time-travelable), and a tiny state file beside it records which source
+# version the mart reflects — so REFRESH applies exactly the CDC window
+# [as_of, tip] and a refresh with nothing new is a true no-op.
+
+
+def _mv_state_path(mart_table: str) -> str:
+    return f"{mart_table.rstrip('/')}/_mv_state.json"
+
+
+def _read_mv_state(spark: SparkSession, mart_table: str) -> dict:
+    from bookstore_aws_lakehouse_spark.sources.snapshots import _fs
+
+    import json
+
+    fs, hpath, jvm = _fs(spark, _mv_state_path(mart_table))
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"no materialized-view state at {hpath} — run "
+            f"materialized_rollup_build first"
+        )
+    stream = fs.open(hpath)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        return json.loads(data.decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _write_mv_state(spark: SparkSession, mart_table: str, state: dict) -> None:
+    from bookstore_aws_lakehouse_spark.sources.snapshots import _fs
+
+    import json
+
+    fs, hpath, _ = _fs(spark, _mv_state_path(mart_table))
+    out = fs.create(hpath, True)  # overwrite: state is last-writer-wins
+    try:
+        out.write(bytearray(json.dumps(state, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def materialized_rollup_build(
+    spark: SparkSession,
+    source_table: str,
+    mart_table: str,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+) -> int:
+    """CREATE MATERIALIZED VIEW: full count/sum aggregate of the source
+    snapshot's tip, committed to the mart snapshot table, with the
+    reflected source version durably recorded. Returns that version."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        list_versions,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    versions = list_versions(spark, source_table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {source_table}")
+    as_of = versions[-1]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias(count_col)] + [
+        F.sum(c).alias(f"sum_{c}") for c in sum_cols
+    ]
+    mart = snapshot_read(spark, source_table, as_of).groupBy(
+        list(group_cols)
+    ).agg(*aggs)
+    snapshot_overwrite(mart, mart_table)
+    _write_mv_state(
+        spark,
+        mart_table,
+        {"as_of_version": as_of, "key_cols": list(key_cols),
+         "group_cols": list(group_cols), "sum_cols": list(sum_cols),
+         "count_col": count_col},
+    )
+    return as_of
+
+
+def materialized_rollup_refresh(
+    spark: SparkSession, source_table: str, mart_table: str
+) -> int:
+    """REFRESH MATERIALIZED VIEW, incrementally: apply exactly the CDC
+    window (recorded as_of → source tip) to the stored mart via
+    rollup_delta/apply_rollup_delta, commit the refreshed mart as a new
+    snapshot version, advance the state. Returns the number of source
+    versions applied (0 = already fresh, nothing recomputed, nothing
+    committed). The aggregate definition travels in the state file, so
+    the caller needs only the two table paths — the REFRESH shape a
+    scheduler invokes."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        list_versions,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    st = _read_mv_state(spark, mart_table)
+    v_from = st["as_of_version"]
+    tip = list_versions(spark, source_table)[-1]
+    if tip == v_from:
+        return 0
+    old_rows, new_rows = snapshot_changed_rows(
+        spark, source_table, st["key_cols"], v_from, tip
+    )
+    delta = rollup_delta(old_rows, new_rows, st["group_cols"], st["sum_cols"])
+    mart = snapshot_read(spark, mart_table)
+    refreshed = apply_rollup_delta(
+        mart,
+        delta,
+        st["group_cols"],
+        st["count_col"],
+        {f"sum_{c}": c for c in st["sum_cols"]},
+    )
+    # pin before committing: the new version's write must not re-read the
+    # mart table it is about to supersede mid-plan
+    snapshot_overwrite(refreshed.localCheckpoint(eager=True), mart_table)
+    _write_mv_state(spark, mart_table, {**st, "as_of_version": tip})
+    return tip - v_from

@@ -1559,3 +1559,93 @@ def q_snapshot_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataF
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_materialized_view_refresh",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+    ),
+    final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 5 = 0 THEN price + 7.50 ELSE price END AS price
+      FROM base
+      WHERE o_orderpriority <> '1-URGENT'
+    )
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_rows,
+           CAST(sum(price) AS DOUBLE) AS total_price,
+           CAST(1 AS BOOLEAN) AS refresh_was_incremental,
+           CAST(1 AS BOOLEAN) AS second_refresh_noop
+    FROM final
+    GROUP BY priority
+    """,
+)
+def q_snapshot_materialized_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packaged materialized view (operators/incremental.py::
+    materialized_rollup_build/refresh — CREATE/REFRESH MATERIALIZED VIEW
+    over the snapshot format): build a priority rollup of 1994's orders,
+    run a price-bump merge AND a priority DELETE against the source, and
+    REFRESH — the scheduler-shaped call that reads its own durable state,
+    applies exactly the CDC window, and commits the mart (itself a
+    snapshot table, so dashboards keep a consistent version mid-refresh).
+    Driver-checked flags: ``refresh_was_incremental`` (the refresh
+    applied >0 source versions) and ``second_refresh_noop`` (a fresh mart
+    refuses to recompute). Values must equal the oracle's from-scratch
+    replay of the final state."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        materialized_rollup_build,
+        materialized_rollup_refresh,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete,
+        snapshot_merge_partitioned,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate").between("1994-01-01", "1994-12-31")
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapmv_")
+    try:
+        table = f"{root}/orders_mv_src"
+        mart = f"{root}/orders_mv_mart"
+        snapshot_merge_partitioned(
+            base, table, key_cols=["o_orderkey"], partition_col="o_orderpriority"
+        )
+        materialized_rollup_build(
+            spark, table, mart,
+            key_cols=["o_orderkey"], group_cols=["o_orderpriority"],
+            sum_cols=["price"],
+        )
+        updated = base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "price", (F.col("price") + F.lit(7.50)).cast("decimal(18,2)")
+        )
+        snapshot_merge_partitioned(
+            updated, table, key_cols=["o_orderkey"],
+            partition_col="o_orderpriority",
+        )
+        snapshot_delete(spark, table, "o_orderpriority", "1-URGENT", "1-URGENT")
+        applied = materialized_rollup_refresh(spark, table, mart)
+        noop = materialized_rollup_refresh(spark, table, mart) == 0
+        out = snapshot_read(spark, mart).select(
+            F.col("o_orderpriority").alias("priority"),
+            "n_rows",
+            F.col("sum_price").cast("double").alias("total_price"),
+            F.lit(applied > 0).alias("refresh_was_incremental"),
+            F.lit(noop).alias("second_refresh_noop"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

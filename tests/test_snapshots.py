@@ -1178,3 +1178,55 @@ def test_constraints_enforced_on_all_writers(spark, table):
     snapshot_append(spark.createDataFrame([(5, -2)], "k int, amt int"), table)
     got = {r.k: r.amt for r in snapshot_read(spark, table).collect()}
     assert got == {1: 10, 2: 20, 4: None, 5: -2}
+
+
+def test_materialized_rollup_build_refresh_lifecycle(spark, table, tmp_path):
+    """CREATE/REFRESH MATERIALIZED VIEW: build aggregates the tip and
+    records it; refresh applies exactly the CDC window (returns versions
+    applied, 0 when fresh), equals a from-scratch recompute after
+    arbitrary merges+deletes, and the mart — itself a snapshot table —
+    keeps its pre-refresh version readable (consistent dashboards
+    mid-refresh)."""
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        materialized_rollup_build,
+        materialized_rollup_refresh,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    mart = str(tmp_path / "mart_mv")
+    src = spark.createDataFrame(
+        [(k, "g%d" % (k % 3), k * 10) for k in range(12)], "k int, g string, amt long"
+    )
+    snapshot_overwrite(src, table)
+    v0 = materialized_rollup_build(
+        spark, table, mart, key_cols=["k"], group_cols=["g"], sum_cols=["amt"]
+    )
+    assert v0 == 1
+    assert materialized_rollup_refresh(spark, table, mart) == 0  # fresh
+
+    snapshot_merge(
+        spark.createDataFrame([(1, "g1", 999), (50, "g9", 5)], "k int, g string, amt long"),
+        table, key_cols=["k"],
+    )
+    snapshot_delete(spark, table, "g", "g2", "g2")
+    applied = materialized_rollup_refresh(spark, table, mart)
+    assert applied >= 2
+
+    got = {r.g: (r.n_rows, r.sum_amt)
+           for r in snapshot_read(spark, mart).collect()}
+    want = {
+        r.g: (r.n, r.s)
+        for r in snapshot_read(spark, table)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+    assert got == want and "g9" in got and "g2" not in got
+    # the mart's PRE-refresh version is still readable (snapshot mart)
+    v1_mart = {r.g: r.n_rows for r in snapshot_read(spark, mart, 1).collect()}
+    assert v1_mart["g2"] == 4
+    # idempotent: nothing new -> no commit, no recompute
+    assert materialized_rollup_refresh(spark, table, mart) == 0
