@@ -225,6 +225,7 @@ def main() -> None:
         "ann_ivfpq_residual_multiprobe",
         "snapshot_constraint_enforcement",
         "snapshot_materialized_view_refresh",
+        "snapshot_update_roundtrip",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

@@ -1649,3 +1649,65 @@ def q_snapshot_materialized_view_refresh(spark: SparkSession, sf_dir: str) -> Da
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_update_roundtrip",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey % 4 = 0
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) + 25.00
+                         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-addressed UPDATE on the snapshot table (sources/
+    snapshots.py::snapshot_update — ``UPDATE t SET ... WHERE ...``):
+    commit H1-1996 orders, bump every 4th orderkey's price by a constant,
+    read the updated table back. Rows outside the predicate must carry
+    bit-identically (the oracle's CASE replays both branches); DECIMAL
+    arithmetic keeps the updated sums exact. The constraint interplay
+    (an UPDATE cannot violate an active CHECK) and NULL-predicate
+    skip-semantics are pinned in tests/test_snapshots.py."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_update,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-06-30")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapupd_")
+    try:
+        table = f"{root}/orders_upd"
+        snapshot_overwrite(base, table)
+        snapshot_update(
+            spark,
+            table,
+            {"price": "CAST(price + 25.00 AS DECIMAL(18,2))"},
+            where="o_orderkey % 4 = 0",
+        )
+        out = (
+            snapshot_read(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price").cast("double").alias("total_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1527,3 +1527,62 @@ def snapshot_drop_constraint(spark: SparkSession, table: str, name: str) -> int:
     if active:
         manifest2["constraints"] = active
     return _try_commit(spark, table, manifest2, expected_version=tip + 1)
+
+
+def snapshot_delete_where(
+    spark: SparkSession, table: str, predicate: str
+) -> int:
+    """``DELETE FROM t WHERE predicate`` for ARBITRARY predicates: keeps
+    the complement (NULL-predicate rows are KEPT, SQL DELETE semantics)
+    and commits it as a full rewrite. This is the general-but-unpruned
+    path — when the predicate is a range on a stats-covered column, use
+    :func:`snapshot_delete`, which rewrites only the files whose stats
+    can match and carries the rest by identity. Constraints and carried
+    bloom entries inherit via the normal commit path (rewritten files
+    are unindexed until re-index)."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    kept = snapshot_read(spark, table).filter(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    )
+    files = _write_data_files(kept, table)
+    return _commit(kept, table, "delete", files)
+
+
+def snapshot_update(
+    spark: SparkSession,
+    table: str,
+    set_exprs: dict[str, str],
+    where: str | None = None,
+) -> int:
+    """``UPDATE t SET col = expr, ... [WHERE predicate]``: rows matching
+    the predicate (NULL = no match, SQL semantics) get every ``set_exprs``
+    column recomputed; all other rows carry unchanged. Committed as a
+    full rewrite through the normal path, so active CHECK constraints
+    validate the UPDATED table content before it replaces the tip —
+    an UPDATE cannot sneak a violating value past ADD CONSTRAINT. For
+    key-addressed upserts prefer :func:`snapshot_merge` /
+    :func:`snapshot_merge_partitioned` (file-pruned); this is the
+    predicate-addressed form."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    df = snapshot_read(spark, table)
+    for col in set_exprs:
+        if col not in df.columns:
+            raise ValueError(f"UPDATE of unknown column {col!r} ({df.columns})")
+    hit = (
+        F.coalesce(F.expr(where), F.lit(False)) if where is not None else F.lit(True)
+    )
+    updated = df.select(
+        *[
+            F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    _validate_constraints(updated, _tip_constraints(spark, table))
+    files = _write_data_files(updated, table)
+    return _commit(updated, table, "update", files, schema=df.schema)

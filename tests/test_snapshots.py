@@ -1230,3 +1230,76 @@ def test_materialized_rollup_build_refresh_lifecycle(spark, table, tmp_path):
     assert v1_mart["g2"] == 4
     # idempotent: nothing new -> no commit, no recompute
     assert materialized_rollup_refresh(spark, table, mart) == 0
+
+
+def test_delete_where_and_update_predicate_forms(spark, table):
+    """General-predicate DELETE/UPDATE: NULL predicates KEEP rows on
+    delete and SKIP rows on update (SQL semantics), UPDATE recomputes
+    only matching rows, and an UPDATE violating an active CHECK
+    constraint is rejected with the table unchanged."""
+    import pytest as _pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        snapshot_add_constraint,
+        snapshot_delete_where,
+        snapshot_update,
+    )
+
+    rows = [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "a", 40)]
+    snapshot_overwrite(
+        spark.createDataFrame(rows, "k int, tag string, amt int"), table
+    )
+    # NULL tag -> predicate NULL -> row KEPT by delete
+    snapshot_delete_where(spark, table, "tag = 'b'")
+    got = sorted(r.k for r in snapshot_read(spark, table).collect())
+    assert got == [1, 3, 4]
+
+    snapshot_update(spark, table, {"amt": "amt + 100"}, where="tag = 'a'")
+    got = {r.k: r.amt for r in snapshot_read(spark, table).collect()}
+    assert got == {1: 110, 3: 30, 4: 140}  # NULL tag row untouched
+
+    snapshot_add_constraint(spark, table, "amt_cap", "amt < 1000")
+    with _pytest.raises(SnapshotConstraintError):
+        snapshot_update(spark, table, {"amt": "amt * 100"}, where="k = 1")
+    got2 = {r.k: r.amt for r in snapshot_read(spark, table).collect()}
+    assert got2 == got  # rejected update changed nothing
+    # history records the predicate ops
+    ops = [r.operation for r in history(spark, table).sort("version").collect()]
+    assert "delete" in ops and "update" in ops
+
+
+def test_forgotten_key_leaves_no_bytes_after_vacuum(spark, table):
+    """Right-to-be-forgotten end-to-end: DELETE the key, VACUUM the
+    history, then scan every byte remaining under the table — the
+    forgotten value must be physically gone, not just filtered (time
+    travel is what keeps deleted data; vacuum is what forgets it)."""
+    import glob
+    import os
+
+    secret = "SECRET-PII-9f3b7c"
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [(1, secret), (2, "keep-me")], "k int, payload string"
+        ),
+        table,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+    )
+
+    snapshot_delete_where(spark, table, f"payload = '{secret}'")
+    # pre-vacuum: the old version still serves the secret (time travel)
+    assert snapshot_read(spark, table, 1).filter(
+        F.col("payload") == secret
+    ).count() == 1
+    vacuum(spark, table, keep_last=1)
+    # post-vacuum: no byte under the table root contains the secret
+    hit = []
+    for path in glob.glob(f"{table}/**", recursive=True):
+        if os.path.isfile(path):
+            with open(path, "rb") as f:
+                if secret.encode() in f.read():
+                    hit.append(path)
+    assert not hit, hit
+    assert {r.payload for r in snapshot_read(spark, table).collect()} == {"keep-me"}
