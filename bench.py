@@ -226,6 +226,7 @@ def main() -> None:
         "snapshot_constraint_enforcement",
         "snapshot_materialized_view_refresh",
         "snapshot_update_roundtrip",
+        "dq_expectations_quarantine",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

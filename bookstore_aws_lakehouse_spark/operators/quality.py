@@ -91,3 +91,34 @@ def snapshot_diff(
             *[F.coalesce(o[k], n[f"_n_{k}"]).alias(k) for k in keys], "status"
         )
     )
+
+
+def split_by_expectations(
+    df: DataFrame, rules: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level data-quality EXPECTATIONS (the DLT ``@expect`` family's
+    quarantine policy) — the complement of the snapshot table's CHECK
+    constraints, which reject whole commits: here bad ROWS are routed to
+    a side output tagged with every rule they failed, and the clean rows
+    flow on. A rule fails only when its expression is FALSE (NULL passes,
+    matching CHECK semantics — express non-null-ness explicitly).
+
+    Returns ``(clean, quarantine)``; ``quarantine`` carries an extra
+    ``failed_rules`` array<string> (rule names in dict order). One
+    map-side Project evaluates every rule once — no shuffle, no second
+    scan; at 100 TB the split costs what the scan costs. Rule names must
+    not collide with ``df``'s columns."""
+    if "failed_rules" in df.columns:
+        raise ValueError("df already has a 'failed_rules' column")
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(F.expr(expr), F.lit(True)), F.lit(name))
+                for name, expr in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    clean = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantine = tagged.filter(F.size("failed_rules") > 0)
+    return clean, quarantine

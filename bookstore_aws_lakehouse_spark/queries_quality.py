@@ -142,3 +142,66 @@ def q_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.floor(F.col("c_acctbal") / 500.0) * 500.0, 1).alias("acctbal_band"),
     )
+
+
+@golden(
+    "dq_expectations_quarantine",
+    """
+    WITH checked AS (
+      SELECT source,
+             len(string_split(text, ' ')) >= 5 AS ok_min_tokens,
+             lang IN ('en', 'de', 'fr', 'es', 'zh') AS ok_known_lang,
+             n_chars <= 100000 AS ok_max_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN ok_min_tokens AND ok_known_lang AND ok_max_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN NOT ok_min_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_min_tokens,
+           CAST(sum(CASE WHEN NOT ok_known_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_known_lang,
+           CAST(sum(CASE WHEN NOT ok_max_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_max_chars
+    FROM checked
+    GROUP BY source
+    """,
+)
+def q_dq_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectations with quarantine (operators/quality.py::
+    split_by_expectations — the DLT @expect analog next to the snapshot
+    table's commit-level CHECK constraints): three rules over documents,
+    bad rows routed to a side output tagged with every rule they failed,
+    clean rows counted per source. The per-rule violation counts come
+    from exploding the quarantine's failed_rules tags — i.e. the check
+    verifies the TAGS, not just the split sizes. One map-side Project
+    evaluates all rules in a single pass."""
+    from bookstore_aws_lakehouse_spark.operators.quality import (
+        split_by_expectations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = {
+        "min_tokens": "size(split(text, ' ')) >= 5",
+        "known_lang": "lang IN ('en', 'de', 'fr', 'es', 'zh')",
+        "max_chars": "n_chars <= 100000",
+    }
+    clean, quarantine = split_by_expectations(docs, rules)
+    n_clean = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
+    per_rule = (
+        quarantine.select("source", F.explode("failed_rules").alias("rule"))
+        .groupBy("source")
+        .pivot("rule", list(rules))
+        .count()
+    )
+    out = (
+        docs.select("source")
+        .distinct()
+        .join(n_clean, "source", "left")
+        .join(per_rule, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_clean", F.lit(0)).cast("bigint").alias("n_clean"),
+            F.coalesce("min_tokens", F.lit(0)).cast("bigint").alias("n_min_tokens"),
+            F.coalesce("known_lang", F.lit(0)).cast("bigint").alias("n_known_lang"),
+            F.coalesce("max_chars", F.lit(0)).cast("bigint").alias("n_max_chars"),
+        )
+    )
+    return out

@@ -383,3 +383,23 @@ def test_mg_candidates_guarantee_and_exact_topk(spark):
     assert got == [("hh1", 400), ("hh2", 300)]
     # the guarantee is threshold-based: N/capacity must stay below the
     # k-th count for exactness — the query sizes capacity accordingly
+
+
+def test_split_by_expectations_semantics(spark):
+    """NULL passes (CHECK semantics), tags list every failed rule in
+    dict order, clean+quarantine partition the input exactly."""
+    from bookstore_aws_lakehouse_spark.operators.quality import (
+        split_by_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, -1, "x"), (3, None, "y"), (4, -5, None)],
+        "k int, amt int, tag string",
+    )
+    clean, quar = split_by_expectations(
+        df, {"pos": "amt > 0", "tagged": "tag IS NOT NULL"}
+    )
+    assert sorted(r.k for r in clean.collect()) == [1, 3]  # NULL amt passes
+    got = {r.k: list(r.failed_rules) for r in quar.collect()}
+    assert got == {2: ["pos"], 4: ["pos", "tagged"]}
+    assert clean.count() + quar.count() == df.count()
