@@ -227,6 +227,7 @@ def main() -> None:
         "snapshot_materialized_view_refresh",
         "snapshot_update_roundtrip",
         "dq_expectations_quarantine",
+        "snapshot_python_datasource",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

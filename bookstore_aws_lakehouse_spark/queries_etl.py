@@ -1711,3 +1711,74 @@ def q_snapshot_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_python_datasource",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(1 AS BOOLEAN) AS pruned
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 1999
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table as a REGISTERED Spark data source (sources/
+    pyds.py, Spark 4 Python DataSource API): after registration,
+    ``spark.read.format("lakesnap")`` plans a manifest-pinned scan with
+    ENGINE-DRIVEN pushdown — Spark hands the range predicate to the
+    reader's pushFilters, file pruning happens against the manifest
+    stats inside scan planning (one InputPartition per surviving file,
+    Arrow-batch reads), and every filter is still re-applied row-level.
+    ``pruned`` is the planner-level contract: the same pushed predicate,
+    fed to the reader class directly, keeps strictly fewer files than
+    the table holds. Values must equal the raw-table oracle."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import (
+        SnapshotReader,
+        register_snapshot_datasource,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey")
+    root = tempfile.mkdtemp(prefix="blhs_snappyds_")
+    try:
+        table = f"{root}/orders_pyds"
+        snapshot_overwrite(base, table, stats_cols=["o_orderkey"])
+        register_snapshot_datasource(spark)
+        df = (
+            spark.read.format("lakesnap")
+            .option("path", table)
+            .load()
+            .filter(F.col("o_orderkey").between(1000, 1999))
+        )
+        # planner-level pruning proof via the reader itself
+        r = SnapshotReader({"path": table}, snapshot_read(spark, table).schema)
+        r.pushFilters(
+            [GreaterThanOrEqual(("o_orderkey",), 1000),
+             LessThanOrEqual(("o_orderkey",), 1999)]
+        )
+        pruned = len(r.partitions()) < 8
+        out = df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select(
+            "o_orderstatus", "n_orders", "total_price",
+            F.lit(pruned).alias("pruned"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

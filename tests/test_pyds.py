@@ -1,0 +1,103 @@
+"""Spark 4 Python DataSource integration for the snapshot format
+(sources/pyds.py): registration, correctness vs snapshot_read, planner
+pruning via pushed filters, schema evolution, time travel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.sources.pyds import (
+    SnapshotReader,
+    _bounds_for,
+    register_snapshot_datasource,
+)
+from bookstore_aws_lakehouse_spark.sources.snapshots import (
+    snapshot_append,
+    snapshot_overwrite,
+    snapshot_read,
+)
+
+
+def _mk(spark, table):
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").cast("int").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    snapshot_overwrite(df, table, stats_cols=["k"])
+
+
+def test_format_read_matches_snapshot_read(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    register_snapshot_datasource(spark)
+    via_fmt = spark.read.format("lakesnap").option("path", table).load()
+    want = {(r.k, r.v) for r in snapshot_read(spark, table).collect()}
+    assert {(r.k, r.v) for r in via_fmt.collect()} == want
+    # filters still evaluate row-level after pruning
+    assert via_fmt.filter("k = 123").collect() == [
+        r for r in snapshot_read(spark, table).filter("k = 123").collect()
+    ]
+
+
+def test_reader_prunes_files_from_pushed_filters(spark, tmp_path):
+    """Planner-level proof, no Spark needed: the reader keeps only files
+    whose stats may match the pushed predicate, returns every filter as
+    unconsumed, and without filters keeps everything."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    schema = snapshot_read(spark, table).schema
+
+    r = SnapshotReader({"path": table}, schema)
+    assert len(r.partitions()) == 4  # no filters: all files
+
+    r = SnapshotReader({"path": table}, schema)
+    unconsumed = list(r.pushFilters([EqualTo(("k",), 5)]))
+    assert len(unconsumed) == 1  # everything re-applied by Spark
+    assert len(r.partitions()) == 1
+
+    r = SnapshotReader({"path": table}, schema)
+    r.pushFilters([In(("k",), (5, 399))])
+    assert len(r.partitions()) == 2
+
+    # bounds are merged inclusively (GT treated as GE — conservative:
+    # the k>299 boundary file with hi=299 stays), so probe past it
+    r = SnapshotReader({"path": table}, schema)
+    r.pushFilters([GreaterThan(("k",), 300)])
+    assert len(r.partitions()) == 1
+
+    # un-stats'd column: no pruning, still correct
+    r = SnapshotReader({"path": table}, schema)
+    r.pushFilters([EqualTo(("v",), 3)])
+    assert len(r.partitions()) == 4
+
+
+def test_bounds_distillation_ignores_nested_paths(spark):
+    from pyspark.sql.datasource import EqualTo
+
+    b = _bounds_for([EqualTo(("a", "b"), 1), EqualTo(("k",), 2)])
+    assert list(b) == ["k"]
+
+
+def test_format_schema_evolution_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    snapshot_append(
+        spark.createDataFrame([(1000, 1, "x")], "k int, v bigint, extra string"),
+        table,
+        merge_schema=True,
+    )
+    register_snapshot_datasource(spark)
+    tip = spark.read.format("lakesnap").option("path", table).load()
+    assert tip.columns == ["k", "v", "extra"]
+    assert tip.filter("k = 0").collect()[0].extra is None  # null-filled
+    v1 = (
+        spark.read.format("lakesnap")
+        .option("path", table)
+        .option("version", "1")
+        .load()
+    )
+    assert v1.columns == ["k", "v"] and v1.count() == 400
