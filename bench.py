@@ -228,6 +228,7 @@ def main() -> None:
         "snapshot_update_roundtrip",
         "dq_expectations_quarantine",
         "snapshot_python_datasource",
+        "stream_snapshot_source_tail",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

@@ -366,3 +366,82 @@ def q_stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "stream_snapshot_source_tail",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+    GROUP BY o_month
+    """,
+)
+def q_stream_snapshot_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot log as a STREAMING SOURCE (sources/pyds.py::
+    SnapshotStreamReader — the lakesnap format's readStream side):
+    three monthly appends build an append-only table, then
+    ``spark.readStream.format("lakesnap")`` tails the commit log with
+    availableNow — offsets are version numbers, each appended commit
+    streams exactly once (one InputPartition per new file, Arrow
+    batches), and the result aggregated from the STREAM must equal the
+    batch aggregate of the three months. Checkpoint-resume exactly-once
+    and the append-only refusal contract are pinned in
+    tests/test_pyds.py."""
+    import shutil
+    import tempfile as _tempfile
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import (
+        register_snapshot_datasource,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_overwrite,
+    )
+    from bookstore_aws_lakehouse_spark.catalog import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    months = [
+        ("1997-01-01", "1997-01-31"),
+        ("1997-02-01", "1997-02-28"),
+        ("1997-03-01", "1997-03-31"),
+    ]
+    root = _tempfile.mkdtemp(prefix="blhs_snaptail_")
+    try:
+        table = f"{root}/orders_tail"
+        for i, (lo, hi) in enumerate(months):
+            slice_df = orders.filter(F.col("o_orderdate").between(lo, hi)).select(
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            )
+            if i == 0:
+                snapshot_overwrite(slice_df, table)
+            else:
+                snapshot_append(slice_df, table)
+        register_snapshot_datasource(spark)
+        q = (
+            spark.readStream.format("lakesnap")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{root}/out")
+            .groupBy("o_month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price").cast("double").alias("total_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

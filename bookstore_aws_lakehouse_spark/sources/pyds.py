@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -202,6 +203,10 @@ class SnapshotDataSource(DataSource):
     def reader(self, schema: StructType) -> SnapshotReader:
         return SnapshotReader(dict(self.options), schema)
 
+    def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
+        # defined below; resolved at call time
+        return SnapshotStreamReader(dict(self.options))
+
 
 def register_snapshot_datasource(spark) -> None:
     """Register ``format("lakesnap")`` on the session (idempotent) and
@@ -210,3 +215,79 @@ def register_snapshot_datasource(spark) -> None:
     outright)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotDataSource)
+
+
+# ---- streaming source: tail the snapshot log ------------------------------
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Micro-batch source over the snapshot COMMIT LOG: offsets are
+    version numbers, a batch is the data files that are referenced at
+    the end version but not at the start version — i.e. each appended
+    commit streams exactly once, with one InputPartition per new file
+    (the Delta streaming-source model). Restart-safe by construction:
+    the engine checkpoints the version offsets.
+
+    Contract (same as Delta's default streaming source): the table must
+    be APPEND-ONLY within the streamed window — an op that rewrites or
+    replaces data (merge/overwrite/delete/update/optimize/restore) would
+    re-emit or lose rows, so the reader REFUSES the window loudly
+    instead of silently corrupting the stream. Metadata-only commits
+    (index, set_constraint) are transparent."""
+
+    _APPEND_SAFE_OPS = {"append", "index", "set_constraint"}
+
+    def __init__(self, options: dict) -> None:
+        self._table = options["path"]
+        # DS options arrive case-insensitively (lowercased keys)
+        start = options.get("startingversion", options.get("startingVersion"))
+        self._start = int(start) if start is not None else 0
+
+    def _versions(self) -> list[int]:
+        mdir = os.path.join(_local(self._table), "_manifests")
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        vs = self._versions()
+        return {"version": vs[-1] if vs else self._start}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = start["version"], end["version"]
+        if v1 <= v0:
+            return []
+        have = set(self._versions())
+        base_files: set[str] = set()
+        if v0 and v0 in have:
+            base_files = set(_read_manifest_local(self._table, v0)["files"])
+        for v in range(v0 + 1, v1 + 1):
+            if v not in have:
+                continue  # vacuumed history below the retained floor
+            if v0 == 0 and v == min(have):
+                # streaming from the beginning: the table-creating commit
+                # is the INITIAL SNAPSHOT (Delta streams it wholesale) —
+                # its op kind is irrelevant, its files emit exactly once
+                continue
+            op = _read_manifest_local(self._table, v).get("operation")
+            if op not in self._APPEND_SAFE_OPS:
+                raise ValueError(
+                    f"snapshot stream requires append-only history, but "
+                    f"version {v} is {op!r} — stream from a later "
+                    f"startingVersion or keep the table append-only"
+                )
+        end_files = _read_manifest_local(self._table, v1)["files"]
+        return [_FilePartition(_local(f)) for f in end_files if f not in base_files]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        yield from pq.ParquetFile(partition.path).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass

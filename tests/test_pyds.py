@@ -101,3 +101,50 @@ def test_format_schema_evolution_and_time_travel(spark, tmp_path):
         .load()
     )
     assert v1.columns == ["k", "v"] and v1.count() == 400
+
+
+def test_stream_source_tails_appends_exactly_once(spark, tmp_path):
+    """The snapshot log as a streaming source: offsets are versions, each
+    appended commit streams once, checkpoint resume emits only the new
+    commits, and a non-append commit inside the window is refused."""
+    import pytest as _pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_merge
+
+    table = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register_snapshot_datasource(spark)
+    snapshot_overwrite(spark.createDataFrame([(1, "a")], "k int, v string"), table)
+    snapshot_append(spark.createDataFrame([(2, "b")], "k int, v string"), table)
+
+    def run():
+        q = (
+            spark.readStream.format("lakesnap")
+            .option("path", table)
+            .option("startingVersion", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+
+    assert run() == [(2, "b")]
+    snapshot_append(spark.createDataFrame([(3, "c")], "k int, v string"), table)
+    assert run() == [(2, "b"), (3, "c")]  # only the new commit re-emitted
+    assert run() == [(2, "b"), (3, "c")]  # nothing new: no duplicates
+
+    # a MERGE (rewrite) poisons the window: the stream refuses loudly
+    snapshot_merge(
+        spark.createDataFrame([(2, "B!")], "k int, v string"), table, ["k"]
+    )
+    snapshot_append(spark.createDataFrame([(9, "z")], "k int, v string"), table)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="append-only"):
+        run()
