@@ -36,6 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualNullSafe,
@@ -47,6 +48,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -207,6 +209,9 @@ class SnapshotDataSource(DataSource):
         # defined below; resolved at call time
         return SnapshotStreamReader(dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
+        return SnapshotWriter(dict(self.options), schema, overwrite)
+
 
 def register_snapshot_datasource(spark) -> None:
     """Register ``format("lakesnap")`` on the session (idempotent) and
@@ -291,3 +296,125 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+# ---- batch writer: df.write.format("lakesnap") ----------------------------
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+    num_rows: int
+
+
+class SnapshotWriter(DataSourceArrowWriter):
+    """Arrow-batch writer completing the format trio (read / readStream /
+    write): each task streams its RecordBatches into ONE parquet file
+    under an uncommitted tx dir and reports the path; ``commit`` — on
+    the driver, exactly once, only if every task succeeded — composes
+    and atomically claims the next manifest version (append = previous
+    files ∪ new, overwrite = new only), i.e. the snapshot commit
+    protocol expressed through Spark's own two-phase writer hooks. A
+    failed job never publishes: ``abort`` deletes the orphan files and
+    no manifest references them."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
+        import uuid as _uuid
+
+        self._table = _local(options["path"])
+        self._schema = schema
+        self._overwrite = overwrite
+        self._tx = f"{self._table.rstrip('/')}/data/tx-{_uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._tx, exist_ok=True)
+        path = os.path.join(self._tx, f"part-{_uuid.uuid4().hex[:12]}.parquet")
+        writer = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            n += batch.num_rows
+        if writer is None:
+            # empty task: no file, no manifest entry (the API requires a
+            # message object either way)
+            return _WroteFile(path="", num_rows=0)
+        writer.close()
+        if n == 0:
+            os.remove(path)
+            return _WroteFile(path="", num_rows=0)
+        return _WroteFile(path=path, num_rows=n)
+
+    def commit(self, messages) -> None:
+        import time as _time
+
+        files = sorted(
+            "file:" + m.path for m in messages if m is not None and m.path
+        )
+        mdir = os.path.join(self._table, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        for _ in range(50):
+            versions = sorted(
+                int(f[1:-5])
+                for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            prev: list[str] = []
+            if versions:
+                with open(os.path.join(mdir, f"v{versions[-1]}.json")) as f:
+                    tip = json.load(f)
+                # the format writer has no engine to validate CHECK
+                # expressions with — refuse rather than silently skip
+                # enforcement (use snapshot_append/merge on constrained
+                # tables)
+                if tip.get("constraints"):
+                    self.abort(messages)
+                    raise ValueError(
+                        f"table has CHECK constraints "
+                        f"{sorted(tip['constraints'])}; the lakesnap format "
+                        f"writer cannot validate them — write via "
+                        f"snapshot_append/snapshot_merge instead"
+                    )
+                if not self._overwrite:
+                    tip_fields = {
+                        (fl["name"], json.dumps(fl["type"], sort_keys=True))
+                        for fl in tip["schema"]["fields"]
+                    }
+                    new_fields = {
+                        (fl["name"], json.dumps(fl["type"], sort_keys=True))
+                        for fl in json.loads(self._schema.json())["fields"]
+                    }
+                    if tip_fields != new_fields:
+                        self.abort(messages)
+                        raise ValueError(
+                            "append schema differs from the table schema; "
+                            "the format writer does not evolve schemas — "
+                            "use snapshot_append(merge_schema=True)"
+                        )
+                    prev = tip["files"]
+            v = (versions[-1] + 1) if versions else 1
+            manifest = {
+                "operation": "overwrite" if self._overwrite else "append",
+                "files": prev + files,
+                "schema": json.loads(self._schema.json()),
+                "committed_at_unix": round(_time.time(), 3),
+                "version": v,
+            }
+            try:
+                with open(os.path.join(mdir, f"v{v}.json"), "x") as f:
+                    json.dump(manifest, f, sort_keys=True)
+                return
+            except FileExistsError:
+                continue  # lost the race: recompose against the new tip
+        raise RuntimeError("snapshot write lost 50 consecutive version races")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)

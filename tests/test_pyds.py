@@ -148,3 +148,49 @@ def test_stream_source_tails_appends_exactly_once(spark, tmp_path):
 
     with _pytest.raises(StreamingQueryException, match="append-only"):
         run()
+
+
+def test_format_writer_append_overwrite_and_guards(spark, tmp_path):
+    """df.write.format('lakesnap'): two-phase commit through Spark's own
+    writer hooks — append composes prev ∪ new, overwrite replaces, time
+    travel works across both; the writer refuses constrained tables (it
+    has no engine to validate CHECK exprs) and schema-drifted appends."""
+    import pytest as _pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        history,
+        snapshot_add_constraint,
+    )
+
+    table = str(tmp_path / "t")
+    register_snapshot_datasource(spark)
+    df = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    df.write.format("lakesnap").option("path", table).mode("append").save()
+    spark.createDataFrame([(999, 7)], "k int, v bigint").write.format(
+        "lakesnap"
+    ).option("path", table).mode("append").save()
+    assert snapshot_read(spark, table).count() == 51
+    ops = [r.operation for r in history(spark, table).sort("version").collect()]
+    assert ops == ["append", "append"]
+
+    # schema drift on append is refused (and leaves no orphan version)
+    with _pytest.raises(Exception, match="merge_schema"):
+        spark.createDataFrame([(1, 2.5)], "k int, v double").write.format(
+            "lakesnap"
+        ).option("path", table).mode("append").save()
+    assert snapshot_read(spark, table).count() == 51
+
+    spark.createDataFrame([(1, 1)], "k int, v bigint").write.format(
+        "lakesnap"
+    ).option("path", table).mode("overwrite").save()
+    assert snapshot_read(spark, table).count() == 1
+    assert snapshot_read(spark, table, 2).count() == 51  # time travel
+
+    # constrained tables are engine-write-only
+    snapshot_add_constraint(spark, table, "pos", "v >= 0")
+    with _pytest.raises(Exception, match="CHECK constraints"):
+        spark.createDataFrame([(5, 5)], "k int, v bigint").write.format(
+            "lakesnap"
+        ).option("path", table).mode("append").save()
