@@ -123,6 +123,13 @@ _PROBE_EXCLUDE = frozenset(
         "events_observed_metrics",
         # pins its stage frames with eager localCheckpoints on build
         "dataset_curation_pipeline_v2",
+        # r9 plan-hygiene pins (model-sized artifacts localCheckpointed
+        # eagerly) make these execute partial jobs on build too
+        "token_cms_heavy_hitters",
+        "text_nb_langid_confusion",
+        "ann_ivfpq_residual_topk",
+        "ann_ivfpq_residual_multiprobe",
+        "dataset_temperature_mix",
     }
 )
 
