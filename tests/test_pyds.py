@@ -194,3 +194,31 @@ def test_format_writer_append_overwrite_and_guards(spark, tmp_path):
         spark.createDataFrame([(5, 5)], "k int, v bigint").write.format(
             "lakesnap"
         ).option("path", table).mode("append").save()
+
+
+def test_format_writer_recomposes_after_version_race(spark, tmp_path):
+    """The writer's commit loop: when an interloper claims the version the
+    writer composed, the writer recomposes against the NEW tip — the
+    racer's files are never dropped from an append's manifest."""
+    import json
+    import os
+
+    table = str(tmp_path / "t")
+    register_snapshot_datasource(spark)
+    spark.createDataFrame([(1, 1)], "k int, v bigint").write.format(
+        "lakesnap"
+    ).option("path", table).mode("append").save()
+    # interloper hand-claims v2 referencing a phantom file
+    mdir = f"{table}/_manifests"
+    with open(os.path.join(mdir, "v1.json")) as f:
+        m1 = json.load(f)
+    racer = dict(m1, version=2, files=m1["files"] + ["file:/racer.parquet"])
+    with open(os.path.join(mdir, "v2.json"), "x") as f:
+        json.dump(racer, f)
+    spark.createDataFrame([(2, 2)], "k int, v bigint").write.format(
+        "lakesnap"
+    ).option("path", table).mode("append").save()
+    with open(os.path.join(mdir, "v3.json")) as f:
+        m3 = json.load(f)
+    assert "file:/racer.parquet" in m3["files"]  # racer's state preserved
+    assert len(m3["files"]) == 3
