@@ -389,6 +389,11 @@ def _growth_section(spark, sf_dir: str, GOLDEN) -> dict:
         # the 10× corpus should cost ≈10× scan/explode with an unchanged
         # shuffle ceiling (the bounded-sketch scale story, measured).
         "token_cms_heavy_hitters",
+        # r9: NB training over 10× docs — the label set is fixed and the
+        # mutated copies grow the vocab sublinearly, so the (label, token)
+        # model grid grows far slower than the corpus; expect ≈linear
+        # train/score cost dominated by the token explode.
+        "text_nb_langid_confusion",
     ]
     factor = 10
     tmp = tempfile.mkdtemp(prefix="bench_growth_")
