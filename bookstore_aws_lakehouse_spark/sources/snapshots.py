@@ -1216,6 +1216,12 @@ def vacuum(
     for v in dropped:
         doomed.update(_read_manifest(spark, table, v)["files"])
     doomed -= referenced
+    # OWNERSHIP guard: a table only ever deletes data under its own root.
+    # A shallow clone (snapshot_clone) references the SOURCE table's
+    # files — expiring the clone's history must never reach into the
+    # source's directory (the clone doesn't own those bytes).
+    own_root = _norm_uri(table).rstrip("/") + "/"
+    doomed = {f for f in doomed if _norm_uri(f).startswith(own_root)}
     fs, _, jvm = _fs(spark, table)
     for f in sorted(doomed):
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
@@ -1586,3 +1592,46 @@ def snapshot_update(
     _validate_constraints(updated, _tip_constraints(spark, table))
     files = _write_data_files(updated, table)
     return _commit(updated, table, "update", files, schema=df.schema)
+
+
+def snapshot_clone(
+    spark: SparkSession,
+    source_table: str,
+    target_table: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE: create a new table whose v1 manifest references the
+    SOURCE's data files at the pinned version — zero data copied, O(one
+    manifest) however large the table (Delta's ``CREATE TABLE ... SHALLOW
+    CLONE``). The clone is immediately writable: merges/appends/deletes
+    on it write THEIR OWN files under the clone's root and never touch
+    the source; stats, bloom entries and constraints travel with the
+    referenced files/metadata.
+
+    Ownership contract (enforced in ``vacuum``): a table only deletes
+    data under its own root, so expiring the CLONE's history can never
+    reach into the source. The inverse dependency is Delta's documented
+    shallow-clone caveat and holds here too: vacuuming the SOURCE can
+    delete files the clone still references (the source doesn't know its
+    readers) — deep-copy first if the source's retention is shorter than
+    the clone's life."""
+    versions = list_versions(spark, source_table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {source_table}")
+    if list_versions(spark, target_table):
+        raise ValueError(f"clone target {target_table} already exists")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {source_table} (have {versions})")
+    m = _read_manifest(spark, source_table, v)
+    manifest = {
+        "operation": "clone",
+        "cloned_from": {"table": source_table, "version": v},
+        "files": m["files"],
+        "schema": m["schema"],
+        "committed_at_unix": round(time.time(), 3),
+    }
+    for key in ("file_stats", "file_blooms", "constraints"):
+        if m.get(key):
+            manifest[key] = m[key]
+    return _try_commit(spark, target_table, manifest, expected_version=1)

@@ -1303,3 +1303,46 @@ def test_forgotten_key_leaves_no_bytes_after_vacuum(spark, table):
                     hit.append(path)
     assert not hit, hit
     assert {r.payload for r in snapshot_read(spark, table).collect()} == {"keep-me"}
+
+
+def test_shallow_clone_zero_copy_divergence_and_vacuum_ownership(spark, tmp_path):
+    """SHALLOW CLONE: v1 references the source's files verbatim (zero
+    copy), writes diverge (clone merges never touch the source and vice
+    versa), constraints travel, and the ownership guard means expiring
+    the CLONE's history deletes nothing from the source's directory."""
+    import pytest as _pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        _read_manifest,
+        snapshot_add_constraint,
+        snapshot_clone,
+        snapshot_merge,
+    )
+
+    src = str(tmp_path / "src")
+    cl = str(tmp_path / "clone")
+    snapshot_overwrite(_df(spark, [(1, "a"), (2, "b")]), src)
+    snapshot_add_constraint(spark, src, "k_pos", "k > 0")
+    assert snapshot_clone(spark, src, cl) == 1
+    m = _read_manifest(spark, cl, 1)
+    assert m["files"] == _read_manifest(spark, src, 2)["files"]  # zero copy
+    assert {r.k for r in snapshot_read(spark, cl).collect()} == {1, 2}
+    # constraints traveled: the clone enforces them
+    with _pytest.raises(SnapshotConstraintError):
+        snapshot_append(_df(spark, [(-5, "bad")]), cl)
+
+    # divergence: a clone merge writes its own files, source unchanged
+    snapshot_merge(_df(spark, [(2, "B!"), (3, "c")]), cl, key_cols=["k"])
+    assert {r.v for r in snapshot_read(spark, cl).collect()} == {"a", "B!", "c"}
+    assert {r.v for r in snapshot_read(spark, src).collect()} == {"a", "b"}
+
+    # ownership: vacuuming the clone's history (v1 referenced SOURCE
+    # files) must not delete anything under the source root
+    deleted = vacuum(spark, cl, keep_last=1)
+    assert deleted == 0  # the dropped v1's files are source-owned
+    assert {r.v for r in snapshot_read(spark, src).collect()} == {"a", "b"}
+    assert {r.v for r in snapshot_read(spark, cl).collect()} == {"a", "B!", "c"}
+    # clone target collision is refused
+    with _pytest.raises(ValueError, match="already exists"):
+        snapshot_clone(spark, src, cl)
