@@ -229,6 +229,7 @@ def main() -> None:
         "dq_expectations_quarantine",
         "snapshot_python_datasource",
         "stream_snapshot_source_tail",
+        "snapshot_clone_divergence",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

@@ -1782,3 +1782,87 @@ def q_snapshot_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_clone_divergence",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1998-01-01' AND DATE '1998-03-31'
+    )
+    SELECT 'source' AS side, count(*) AS n_rows,
+           CAST(sum(price) AS DOUBLE) AS total_price,
+           CAST(1 AS BOOLEAN) AS zero_copy
+    FROM base
+    UNION ALL
+    SELECT 'clone' AS side, count(*) + 1 AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 9 = 0 THEN price + 1.00 ELSE price END)
+                + 42.42 AS DOUBLE) AS total_price,
+           CAST(1 AS BOOLEAN) AS zero_copy
+    FROM base
+    """,
+)
+def q_snapshot_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (sources/snapshots.py::snapshot_clone): fork the
+    Q1-1998 orders table in O(one manifest) — ``zero_copy`` is the
+    driver-checked contract that the clone's v1 references the source's
+    data files VERBATIM — then merge a price bump + one new row into the
+    CLONE only. The emitted two-row result proves divergence: the source
+    side must still aggregate to the untouched base while the clone side
+    reflects its own merge; the oracle replays both sides relationally.
+    Vacuum ownership (expiring clone history never deletes source bytes)
+    is pinned in tests/test_snapshots.py."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_clone,
+        snapshot_merge,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate").between("1998-01-01", "1998-03-31")
+    ).select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapclone_")
+    try:
+        src = f"{root}/orders_src"
+        cl = f"{root}/orders_clone"
+        snapshot_overwrite(base, src)
+        snapshot_clone(spark, src, cl)
+        zero_copy = (
+            _read_manifest(spark, cl, 1)["files"]
+            == _read_manifest(spark, src, 1)["files"]
+        )
+        delta = base.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+            "price", (F.col("price") + F.lit(1.00)).cast("decimal(18,2)")
+        ).unionByName(
+            spark.createDataFrame(
+                [(999_999_901, "42.42")], "o_orderkey long, price string"
+            ).select("o_orderkey", F.col("price").cast("decimal(18,2)"))
+        )
+        snapshot_merge(delta, cl, key_cols=["o_orderkey"])
+
+        def agg(df, side):
+            return df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("price").cast("double").alias("total_price"),
+            ).select(
+                F.lit(side).alias("side"),
+                "n_rows",
+                "total_price",
+                F.lit(zero_copy).alias("zero_copy"),
+            )
+
+        out = agg(snapshot_read(spark, src), "source").unionByName(
+            agg(snapshot_read(spark, cl), "clone")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
