@@ -160,6 +160,18 @@ _FORCE_REVERIFY: dict[str, int] = {
     # snapshot_append now carries file stats forward — locally green at
     # sf0.01, but the executed sink path differs from the r7 green
     "stream_snapshot_rollup": 8,
+    # r8 (ADVICE fixes): incremental.py's semi/outer joins went
+    # null-safe and the MV watermark moved INTO the mart's manifest
+    # (app.mv_state) — both queries' executed refresh path changed
+    "snapshot_incremental_rollup": 8,
+    "snapshot_materialized_view_refresh": 8,
+    # r8: snapshot_update now validates SET-expression types pre-commit
+    "snapshot_update_roundtrip": 8,
+    # r8: the lakesnap stream reader's window loop restructured
+    # (failOnDataLoss on vacuumed versions) and _file_may_match learned
+    # the all-NULL-column case — reader paths differ from the r7 greens
+    "stream_snapshot_source_tail": 8,
+    "snapshot_python_datasource": 8,
 }
 
 

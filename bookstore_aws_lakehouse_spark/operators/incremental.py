@@ -17,10 +17,21 @@ full-outer join on the group key, O(|groups|), never O(|rows|).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _null_safe_cond(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> Column:
+    """Conjunction of per-key ``<=>`` comparisons: SQL ``=`` never matches
+    NULL with NULL, so an ordinary key join silently drops NULL-keyed
+    groups — `eqNullSafe` keeps them (a NULL group key is one group, same
+    as GROUP BY treats it)."""
+    return functools.reduce(
+        lambda a, b: a & b, [left[k].eqNullSafe(right[k]) for k in keys]
+    )
 
 
 def snapshot_changed_rows(
@@ -50,8 +61,15 @@ def snapshot_changed_rows(
     changes = snapshot_changes(spark, table, keys, v_from, v_to)
     old_keys = changes.filter(F.col("status").isin("removed", "changed")).select(keys)
     new_keys = changes.filter(F.col("status").isin("added", "changed")).select(keys)
-    old_rows = snapshot_read(spark, table, v_from).join(old_keys, keys, "left_semi")
-    new_rows = snapshot_read(spark, table, v_to).join(new_keys, keys, "left_semi")
+    # null-safe semi-joins: a NULL key value must still select its rows
+    old_base = snapshot_read(spark, table, v_from)
+    new_base = snapshot_read(spark, table, v_to)
+    old_rows = old_base.join(
+        old_keys, _null_safe_cond(old_base, old_keys, keys), "left_semi"
+    )
+    new_rows = new_base.join(
+        new_keys, _null_safe_cond(new_base, new_keys, keys), "left_semi"
+    )
     return old_rows, new_rows
 
 
@@ -87,11 +105,16 @@ def apply_rollup_delta(
     ``sum_col_map`` maps the mart's sum column → the delta's source
     column (d_<source>)."""
     groups = list(group_cols)
-    joined = mart.join(delta, groups, "full_outer")
+    # null-safe outer join: a NULL-valued group key is a single group (as
+    # GROUP BY produced it) — plain equality would keep the stale mart row
+    # AND the delta row as two separate NULL-key rows
+    joined = mart.join(delta, _null_safe_cond(mart, delta, groups), "full_outer")
     n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
         F.col("d_count"), F.lit(0)
     )
-    out_cols = [F.col(g) for g in groups] + [n.alias(count_col)]
+    out_cols = [
+        F.coalesce(mart[g], delta[g]).alias(g) for g in groups
+    ] + [n.alias(count_col)]
     for mart_col, src in sum_col_map.items():
         out_cols.append(
             (
@@ -106,45 +129,34 @@ def apply_rollup_delta(
 #
 # The productized IVM loop: the mart is ITSELF a snapshot table (atomic
 # commits, readers keep a consistent version mid-refresh, the mart is
-# time-travelable), and a tiny state file beside it records which source
-# version the mart reflects — so REFRESH applies exactly the CDC window
-# [as_of, tip] and a refresh with nothing new is a true no-op.
-
-
-def _mv_state_path(mart_table: str) -> str:
-    return f"{mart_table.rstrip('/')}/_mv_state.json"
+# time-travelable), and the mart's own committed manifest records which
+# source version it reflects (``app.mv_state`` — the Delta txn-version
+# pattern) — so mart content and watermark advance ATOMICALLY: no crash
+# window can publish a refreshed mart with a stale as_of (which would
+# re-apply the same CDC window and double-count), and REFRESH applies
+# exactly [as_of, tip], a no-change refresh being a true no-op.
 
 
 def _read_mv_state(spark: SparkSession, mart_table: str) -> dict:
-    from bookstore_aws_lakehouse_spark.sources.snapshots import _fs
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        list_versions,
+    )
 
-    import json
-
-    fs, hpath, jvm = _fs(spark, _mv_state_path(mart_table))
-    if not fs.exists(hpath):
-        raise FileNotFoundError(
-            f"no materialized-view state at {hpath} — run "
-            f"materialized_rollup_build first"
+    versions = list_versions(spark, mart_table)
+    state = (
+        (_read_manifest(spark, mart_table, versions[-1]).get("app") or {}).get(
+            "mv_state"
         )
-    stream = fs.open(hpath)
-    try:
-        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        return json.loads(data.decode("utf-8"))
-    finally:
-        stream.close()
-
-
-def _write_mv_state(spark: SparkSession, mart_table: str, state: dict) -> None:
-    from bookstore_aws_lakehouse_spark.sources.snapshots import _fs
-
-    import json
-
-    fs, hpath, _ = _fs(spark, _mv_state_path(mart_table))
-    out = fs.create(hpath, True)  # overwrite: state is last-writer-wins
-    try:
-        out.write(bytearray(json.dumps(state, sort_keys=True).encode("utf-8")))
-    finally:
-        out.close()
+        if versions
+        else None
+    )
+    if state is None:
+        raise FileNotFoundError(
+            f"{mart_table} carries no materialized-view state in its tip "
+            f"manifest — run materialized_rollup_build first"
+        )
+    return state
 
 
 def materialized_rollup_build(
@@ -175,14 +187,14 @@ def materialized_rollup_build(
     mart = snapshot_read(spark, source_table, as_of).groupBy(
         list(group_cols)
     ).agg(*aggs)
-    snapshot_overwrite(mart, mart_table)
-    _write_mv_state(
-        spark,
-        mart_table,
-        {"as_of_version": as_of, "key_cols": list(key_cols),
-         "group_cols": list(group_cols), "sum_cols": list(sum_cols),
-         "count_col": count_col},
-    )
+    state = {
+        "as_of_version": as_of,
+        "key_cols": list(key_cols),
+        "group_cols": list(group_cols),
+        "sum_cols": list(sum_cols),
+        "count_col": count_col,
+    }
+    snapshot_overwrite(mart, mart_table, app={"mv_state": state})
     return as_of
 
 
@@ -221,7 +233,11 @@ def materialized_rollup_refresh(
         {f"sum_{c}": c for c in st["sum_cols"]},
     )
     # pin before committing: the new version's write must not re-read the
-    # mart table it is about to supersede mid-plan
-    snapshot_overwrite(refreshed.localCheckpoint(eager=True), mart_table)
-    _write_mv_state(spark, mart_table, {**st, "as_of_version": tip})
+    # mart table it is about to supersede mid-plan. The advanced watermark
+    # rides the SAME commit (app.mv_state) — content and state are atomic.
+    snapshot_overwrite(
+        refreshed.localCheckpoint(eager=True),
+        mart_table,
+        app={"mv_state": {**st, "as_of_version": tip}},
+    )
     return tip - v_from

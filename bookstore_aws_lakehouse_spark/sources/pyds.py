@@ -121,8 +121,14 @@ def _file_may_match(stats_entry: dict, bounds: dict[str, dict]) -> bool:
         row = stats_entry.get(col)
         if row is None:
             continue
-        lo, hi, _has_null = row
-        if lo is None:  # stats say the file is empty
+        lo, hi, has_null = row
+        if lo is None:
+            # min None = empty file OR a non-empty file whose column is
+            # entirely NULL. A pushed null-probe (EqualNullSafe(col, NULL)
+            # → None in values) MATCHES an all-NULL column, so only prune
+            # when no probe asks for NULL or the file provably has none.
+            if has_null and any(v is None for v in b["values"]):
+                continue
             return False
         try:
             if b["values"]:
@@ -269,12 +275,36 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return []
         have = set(self._versions())
         base_files: set[str] = set()
-        if v0 and v0 in have:
+        if v0:
+            if v0 not in have:
+                # the checkpointed start version was vacuumed: the batch
+                # [v0, v1] can no longer be diffed, and treating it as
+                # "from empty" would RE-EMIT every previously-streamed row.
+                # Refuse loudly (Delta's failOnDataLoss default) — the
+                # caller must restart from a fresh checkpoint.
+                raise ValueError(
+                    f"snapshot stream start version {v0} has been vacuumed "
+                    f"from {self._table!r} — cannot reconstruct the batch "
+                    f"without duplicating already-streamed rows. Restart "
+                    f"the stream with a fresh checkpoint (failOnDataLoss)."
+                )
             base_files = set(_read_manifest_local(self._table, v0)["files"])
+        floor = min(have) if have else 0
         for v in range(v0 + 1, v1 + 1):
             if v not in have:
-                continue  # vacuumed history below the retained floor
-            if v0 == 0 and v == min(have):
+                if v0 == 0 and v < floor:
+                    # pre-initial-snapshot history: subsumed by the full
+                    # file list we emit at the first retained manifest
+                    continue
+                # a vacuumed version INSIDE an incremental window hides
+                # its op kind — the append-only contract can't be checked
+                raise ValueError(
+                    f"snapshot stream window ({v0}, {v1}] on "
+                    f"{self._table!r} crosses vacuumed version {v} — "
+                    f"append-only history cannot be verified; restart "
+                    f"from a fresh checkpoint"
+                )
+            if v0 == 0 and v == floor:
                 # streaming from the beginning: the table-creating commit
                 # is the INITIAL SNAPSHOT (Delta streams it wholesale) —
                 # its op kind is irrelevant, its files emit exactly once

@@ -261,6 +261,7 @@ def _commit(
     schema: "StructType | None" = None,
     file_blooms: dict | None = None,
     constraints: dict | None = None,
+    app: dict | None = None,
 ) -> int:
     if constraints is None or file_blooms is None:
         # one tip read serves both inheritances: constraints are
@@ -299,6 +300,12 @@ def _commit(
         manifest["file_blooms"] = file_blooms
     if constraints:
         manifest["constraints"] = constraints
+    if app:
+        # application metadata rides the commit ATOMICALLY (Delta's
+        # txn/commitInfo analog): e.g. the materialized-view watermark
+        # advances in the same manifest write that publishes the mart
+        # content, so no crash window can separate the two
+        manifest["app"] = app
     return _try_commit(df.sparkSession, table, manifest, expected_version)
 
 
@@ -367,7 +374,10 @@ def _file_may_contain(stats_row, values: list, want_null: bool) -> bool:
 
 
 def snapshot_overwrite(
-    df: DataFrame, table: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    table: str,
+    stats_cols: list[str] | None = None,
+    app: dict | None = None,
 ) -> int:
     """Logical overwrite: the new version references ONLY this commit's
     files. Prior versions (and their files) remain readable — time travel
@@ -382,7 +392,7 @@ def snapshot_overwrite(
     _validate_constraints(df, _tip_constraints(df.sparkSession, table))
     files = _write_data_files(df, table)
     stats = _collect_file_stats(files, stats_cols) if stats_cols else None
-    return _commit(df, table, "overwrite", files, stats)
+    return _commit(df, table, "overwrite", files, stats, app=app)
 
 
 def _merged_append_schema(
@@ -1589,6 +1599,20 @@ def snapshot_update(
             for c in df.columns
         ]
     )
+    # UPDATE never changes a column's type: the when/otherwise coercion can
+    # silently widen a SET column (int col = double expr), and committing
+    # df.schema while the files carry updated's types would make the
+    # manifest schema lie about the parquet data. Validate and refuse —
+    # the caller CASTs explicitly if a type change is intended.
+    for f_old, f_new in zip(df.schema.fields, updated.schema.fields):
+        if f_old.dataType != f_new.dataType:
+            raise ValueError(
+                f"UPDATE SET expression changes column {f_old.name!r} from "
+                f"{f_old.dataType.simpleString()} to "
+                f"{f_new.dataType.simpleString()} — UPDATE preserves column "
+                f"types; add an explicit CAST(... AS "
+                f"{f_old.dataType.simpleString()}) to the SET expression"
+            )
     _validate_constraints(updated, _tip_constraints(spark, table))
     files = _write_data_files(updated, table)
     return _commit(updated, table, "update", files, schema=df.schema)

@@ -222,3 +222,56 @@ def test_format_writer_recomposes_after_version_race(spark, tmp_path):
         m3 = json.load(f)
     assert "file:/racer.parquet" in m3["files"]  # racer's state preserved
     assert len(m3["files"]) == 3
+
+
+def test_stream_reader_refuses_vacuumed_start_version(spark, tmp_path):
+    """failOnDataLoss contract (planner-level, no streaming query): when
+    the checkpointed start version's manifest has been vacuumed, the
+    reader must RAISE — silently treating the window as from-empty would
+    re-emit every previously streamed row."""
+    import os
+
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import SnapshotStreamReader
+
+    table = str(tmp_path / "t")
+    for i in range(3):  # v1..v3 appends
+        snapshot_append(
+            spark.createDataFrame([(i, i)], "k int, v bigint"), table
+        )
+    rdr = SnapshotStreamReader({"path": table})
+    # healthy incremental window works
+    assert len(rdr.partitions({"version": 1}, {"version": 3})) == 2
+    # a vacuumed version INSIDE an incremental (v0 > 0) window is
+    # unverifiable — its op kind is gone
+    os.remove(f"{table}/_manifests/v2.json")
+    with pytest.raises(ValueError, match="vacuumed"):
+        rdr.partitions({"version": 1}, {"version": 3})
+    # a vacuumed START version can't be diffed against
+    os.remove(f"{table}/_manifests/v1.json")
+    with pytest.raises(ValueError, match="vacuumed"):
+        rdr.partitions({"version": 1}, {"version": 3})
+    # but streaming FROM SCRATCH (v0 == 0) over a vacuumed table is fine:
+    # the first retained manifest is the initial snapshot, emitted
+    # wholesale — vacuumed history below the floor is subsumed by it
+    assert len(rdr.partitions({"version": 0}, {"version": 3})) == 3
+
+
+def test_file_may_match_all_null_column_with_null_probe(spark):
+    """An all-NULL column stats row is [None, None, True] — identical min
+    to an empty file. A pushed null probe (EqualNullSafe(col, NULL) →
+    None in values) matches exactly those files, so they must SURVIVE
+    pruning; an empty file ([None, None, False]) never matches anything."""
+    from bookstore_aws_lakehouse_spark.sources.pyds import _file_may_match
+
+    all_null = {"k": [None, None, True]}
+    empty = {"k": [None, None, False]}
+    null_probe = {"k": {"values": [None], "lo": None, "hi": None}}
+    value_probe = {"k": {"values": [5], "lo": None, "hi": None}}
+    assert _file_may_match(all_null, null_probe)  # must keep
+    assert not _file_may_match(all_null, value_probe)  # = 5 can't match NULLs
+    assert not _file_may_match(empty, null_probe)  # empty matches nothing
+    assert not _file_may_match(empty, value_probe)
+    # normal file with a null probe: conservative keep (range check TypeErrors)
+    assert _file_may_match({"k": [1, 9, True]}, null_probe)

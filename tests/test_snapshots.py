@@ -1346,3 +1346,107 @@ def test_shallow_clone_zero_copy_divergence_and_vacuum_ownership(spark, tmp_path
     # clone target collision is refused
     with _pytest.raises(ValueError, match="already exists"):
         snapshot_clone(spark, src, cl)
+
+
+def test_update_refuses_type_changing_set_expr(spark, table):
+    """UPDATE preserves column types: a SET expression whose when/otherwise
+    coercion would widen the column (int = double expr) is refused — the
+    manifest schema must never disagree with the written parquet files —
+    and an explicit CAST back to the column's type passes."""
+    import pytest as _pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_update
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, amt int"), table
+    )
+    with _pytest.raises(ValueError, match="preserves column types"):
+        snapshot_update(spark, table, {"amt": "amt * 1.5"}, where="k = 1")
+    # refused commit changed nothing
+    assert {r.amt for r in snapshot_read(spark, table).collect()} == {10, 20}
+    snapshot_update(
+        spark, table, {"amt": "CAST(amt * 1.5 AS int)"}, where="k = 1"
+    )
+    assert {r.k: r.amt for r in snapshot_read(spark, table).collect()} == {
+        1: 15,
+        2: 20,
+    }
+
+
+def test_mv_state_rides_mart_manifest_atomically(spark, table, tmp_path):
+    """The materialized view's as_of watermark is committed IN the mart's
+    manifest (app.mv_state), not in a side file: content and watermark
+    can't diverge across a crash, and each mart version pins the state it
+    was built with."""
+    import json
+    import os
+
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        materialized_rollup_build,
+        materialized_rollup_refresh,
+    )
+
+    mart = str(tmp_path / "mart_atomic")
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [(k, "g%d" % (k % 2), k) for k in range(8)], "k int, g string, amt long"
+        ),
+        table,
+    )
+    materialized_rollup_build(
+        spark, table, mart, key_cols=["k"], group_cols=["g"], sum_cols=["amt"]
+    )
+    assert not os.path.exists(f"{mart}/_mv_state.json")  # no side file
+    with open(f"{mart}/_manifests/v1.json") as f:
+        st1 = json.load(f)["app"]["mv_state"]
+    assert st1["as_of_version"] == 1
+
+    snapshot_append(spark.createDataFrame([(100, "g0", 7)], "k int, g string, amt long"), table)
+    assert materialized_rollup_refresh(spark, table, mart) == 1
+    with open(f"{mart}/_manifests/v2.json") as f:
+        st2 = json.load(f)["app"]["mv_state"]
+    assert st2["as_of_version"] == 2
+    # v1's manifest still records the state IT reflected (time-travelable)
+    with open(f"{mart}/_manifests/v1.json") as f:
+        assert json.load(f)["app"]["mv_state"]["as_of_version"] == 1
+
+
+def test_rollup_handles_null_group_keys(spark, table, tmp_path):
+    """NULL group keys are one group (GROUP BY semantics): the delta/mart
+    merge joins null-safely, so a refresh touching a NULL-keyed group
+    updates THE row instead of leaving a stale row + a delta row."""
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        materialized_rollup_build,
+        materialized_rollup_refresh,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_merge
+
+    mart = str(tmp_path / "mart_nullg")
+    rows = [(1, None, 10), (2, None, 20), (3, "g1", 30)]
+    snapshot_overwrite(
+        spark.createDataFrame(rows, "k int, g string, amt long"), table
+    )
+    materialized_rollup_build(
+        spark, table, mart, key_cols=["k"], group_cols=["g"], sum_cols=["amt"]
+    )
+    # touch the NULL group: update k=1 (None group) and add k=9 to it
+    snapshot_merge(
+        spark.createDataFrame(
+            [(1, None, 100), (9, None, 1)], "k int, g string, amt long"
+        ),
+        table,
+        key_cols=["k"],
+    )
+    assert materialized_rollup_refresh(spark, table, mart) == 1
+    got = {r.g: (r.n_rows, r.sum_amt) for r in snapshot_read(spark, mart).collect()}
+    want = {
+        r.g: (r.n, r.s)
+        for r in snapshot_read(spark, table)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+    assert got == want  # exactly one NULL-group row, correctly refreshed
+    assert got[None] == (3, 121)
+    # the dict above would mask a duplicated NULL row — pin the row count
+    assert snapshot_read(spark, mart).count() == 2
