@@ -129,6 +129,7 @@ _PROBE_EXCLUDE = frozenset(
         "text_nb_langid_confusion",
         "ann_ivfpq_residual_topk",
         "ann_ivfpq_residual_multiprobe",
+        "ann_recall_floor",  # runs the multiprobe pipeline on build
         "dataset_temperature_mix",
     }
 )

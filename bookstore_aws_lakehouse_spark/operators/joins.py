@@ -35,12 +35,42 @@ def join_dim_fact(
     return fact.join(right, on=on, how=how)
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    on: str | Sequence[str],
+    threshold_frac: float = 0.01,
+    max_keys: int = 64,
+) -> list:
+    """Keys holding more than ``threshold_frac`` of the rows — the
+    candidates worth salting. One map-side-combinable count job whose
+    result is at most ``max_keys`` driver-side values (bounded collect:
+    this is planning metadata, not data). At 100 TB run it on a sample
+    (``df.sample(0.001)``) — hot keys are by definition dense enough to
+    survive sampling."""
+    keys = [on] if isinstance(on, str) else list(on)
+    total = df.count()
+    if total == 0:
+        return []
+    rows = (
+        df.groupBy(keys)
+        .count()
+        .filter(F.col("count") > total * threshold_frac)
+        .orderBy(F.col("count").desc())
+        .limit(max_keys)
+        .collect()
+    )
+    if len(keys) == 1:
+        return [r[keys[0]] for r in rows]
+    return [tuple(r[k] for k in keys) for r in rows]
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
     on: str | Sequence[str],
     num_salts: int = 8,
     how: str = "inner",
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Skew-mitigated equi-join: the skewed side gets a deterministic salt
     in [0, num_salts) (hash of the whole row — spreads a hot key's rows
@@ -64,6 +94,15 @@ def salted_join(
     salts; murmur-hashing the counter first breaks any stride. Salt
     values never affect join RESULTS (only distribution), so the
     counter's run-to-run instability is harmless.
+
+    ``hot_keys`` (the production form — pair with :func:`detect_hot_keys`):
+    salt ONLY those key values. The replicated side then grows by
+    ``num_salts × |hot rows|`` instead of ``num_salts ×`` its entire row
+    count — at a 100 TB fact ⋈ 10 GB dim with three pathological keys,
+    blanket replication ships 10 GB × num_salts through the shuffle while
+    hot-key salting ships kilobytes. Cold keys keep salt 0 on both sides,
+    so results are identical. Single-key joins only (the common skew
+    case); multi-key hot sets need composite encoding by the caller.
     """
     normalized = how.lower().replace("_", "")
     if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
@@ -72,6 +111,32 @@ def salted_join(
             "salt-replicated side would duplicate unmatched rows per salt"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    if hot_keys is not None:
+        if len(keys) != 1:
+            raise ValueError(
+                "hot_keys targeting supports single-key joins; encode a "
+                "composite key into one column first"
+            )
+        hot = list(hot_keys)
+        if not hot:  # nothing skewed: plain join, no replication at all
+            return skewed.join(other, on=keys, how=how)
+        k = keys[0]
+        row_salt = F.pmod(
+            F.hash(F.monotonically_increasing_id()), F.lit(num_salts)
+        ).cast("int")
+        salted_l = skewed.withColumn(
+            "_salt", F.when(F.col(k).isin(hot), row_salt).otherwise(F.lit(0))
+        )
+        salted_r = other.withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col(k).isin(hot),
+                    F.sequence(F.lit(0), F.lit(num_salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        return salted_l.join(salted_r, on=keys + ["_salt"], how=how).drop("_salt")
     salted_l = skewed.withColumn(
         "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(num_salts)).cast("int")
     )

@@ -93,3 +93,80 @@ def test_incremental_dedup_bucketed_store(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     spark.sql("DROP TABLE IF EXISTS fp_store_test")
+
+
+def test_hot_key_salted_join_equals_plain_and_detects(spark):
+    """The production salting form: only DETECTED hot keys are salted, so
+    the replicated side grows by |hot| rows per salt, not its whole row
+    count. Results must equal the plain join for inner and left joins
+    (including unmatched-left rows), and detect_hot_keys must find
+    exactly the heavy key."""
+    from bookstore_aws_lakehouse_spark.operators.joins import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(300)]
+        + [("cold%d" % i, i) for i in range(30)]
+        + [("orphan", 1)],
+        ["k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H")] + [("cold%d" % i, "C%d" % i) for i in range(30)],
+        ["k", "tag"],
+    )
+    hot = detect_hot_keys(left, "k", threshold_frac=0.5)
+    assert hot == ["hot"]
+
+    plain_inner = {(r.k, r.v, r.tag) for r in left.join(right, "k").collect()}
+    salted_inner = {
+        (r.k, r.v, r.tag)
+        for r in salted_join(left, right, "k", num_salts=8, hot_keys=hot).collect()
+    }
+    assert salted_inner == plain_inner
+
+    plain_left = {(r.k, r.v, r.tag) for r in left.join(right, "k", "left").collect()}
+    salted_left = {
+        (r.k, r.v, r.tag)
+        for r in salted_join(
+            left, right, "k", num_salts=8, how="left", hot_keys=hot
+        ).collect()
+    }
+    assert salted_left == plain_left  # orphan appears exactly once
+
+    # empty hot set degrades to the plain join (no replication)
+    assert {
+        (r.k, r.v, r.tag)
+        for r in salted_join(left, right, "k", hot_keys=[]).collect()
+    } == plain_inner
+
+
+def test_hot_key_salting_replicates_only_hot_rows(spark):
+    """Cost contract: with hot_keys, the replicated side's row count is
+    |other| + (num_salts - 1) × |hot rows in other| — not num_salts ×
+    |other|."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([("hot", 1), ("c", 2)], ["k", "v"])
+    right = spark.createDataFrame(
+        [("hot", "H")] + [("c%d" % i, "x") for i in range(99)], ["k", "tag"]
+    )
+    # peek at the salted right side via the join's internal construction:
+    # replicate the expression here and count
+    num_salts = 16
+    salted_r = right.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col("k").isin(["hot"]),
+                F.sequence(F.lit(0), F.lit(num_salts - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    assert salted_r.count() == 100 + (num_salts - 1)  # one hot row fans out
+    # and the full blanket form would be 100 * num_salts
+    out = salted_join(left, right, "k", num_salts=num_salts, hot_keys=["hot"])
+    assert {(r.k, r.v, r.tag) for r in out.collect()} == {("hot", 1, "H")}

@@ -332,3 +332,46 @@ def test_ivfpq_residual_joins_are_keyed(spark, sf_smoke):
     plan = plan_of(GOLDEN["ann_ivfpq_residual_topk"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_hot_key_salted_join_spreads_hot_key(spark):
+    """Same task-level spread contract as blanket salting, via the
+    hot_keys-targeted form: the hot key's output fans out over the salt
+    space while the dim side replicates only the hot row (cost contract
+    tested in test_bucketing)."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 40_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        def max_partition_fraction(df):
+            counts = [
+                r["count"]
+                for r in df.select(F.spark_partition_id().alias("pid"))
+                .groupBy("pid")
+                .count()
+                .collect()
+            ]
+            return max(counts) / sum(counts)
+
+        plain = max_partition_fraction(fact.join(dim, "k"))
+        salted = max_partition_fraction(
+            salted_join(fact, dim, on="k", num_salts=16, hot_keys=[0])
+        )
+        assert plain >= 0.4, plain
+        assert salted <= plain / 3, (plain, salted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
