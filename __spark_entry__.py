@@ -131,6 +131,7 @@ _PROBE_EXCLUDE = frozenset(
         "ann_ivfpq_residual_multiprobe",
         "ann_recall_floor",  # runs the multiprobe pipeline on build
         "dataset_temperature_mix",
+        "join_salted_hot",  # detect_hot_keys runs its count job on build
     }
 )
 

@@ -240,8 +240,12 @@ def main() -> None:
         "snapshot_python_datasource",
         "stream_snapshot_source_tail",
         "snapshot_clone_divergence",
-        # r10 additions: the DataSource reading a schema-evolved table
+        # r10 additions: the DataSource reading a schema-evolved table,
+        # RESTORE + history audit, and the detected-hot-key salted join
         "snapshot_pyds_evolved_read",
+        "snapshot_restore_roundtrip",
+        "snapshot_history_audit",
+        "join_salted_hot",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
@@ -291,7 +295,7 @@ def main() -> None:
         query_ext_load[name] = meter.window()
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
-    skew = _skew_section(spark)
+    skew = _skew_section(spark, meter)
     growth = _growth_section(spark, sf_dir, GOLDEN, meter)
     load_end = {"loadavg": os.getloadavg(), "psi_cpu": _read_psi_cpu()}
 
@@ -304,7 +308,14 @@ def main() -> None:
     common_vs_prev = None
     try:
         with open(detail_path) as f:
-            prev_q = json.load(f).get("queries") or {}
+            prev = json.load(f)
+        # only comparable at the SAME scale factor: a smoke run at another
+        # sf would otherwise poison the ratio
+        prev_q = (
+            (prev.get("queries") or {})
+            if str(prev.get("sf")) == str(float(sf) if sf.replace(".", "").isdigit() else sf)
+            else {}
+        )
         shared = sorted(set(prev_q) & set(timings))
         prev_sum = sum(prev_q[q] for q in shared)
         if shared and prev_sum > 0:
@@ -554,7 +565,7 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _skew_section(spark) -> dict[str, float]:
+def _skew_section(spark, meter: "_LoadMeter") -> dict:
     """Skew-join evidence on synthesized zipfian data (the fixtures have
     no heavy key): a 4M-row fact where ONE key holds 40% of rows joins a
     200k-row dim too big to broadcast. Three strategies, one timed run
@@ -602,30 +613,38 @@ def _skew_section(spark) -> dict[str, float]:
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         )
     }
-    out: dict[str, float] = {}
+    out: dict = {}
+
+    def timed_p50(df) -> float:
+        # median-of-3: these are 1-2 s jobs on a co-tenanted host; a
+        # single cold/noisy run has repeatedly flipped the three rows'
+        # ordering and confused the round-over-round reading
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.monotonic() - t0)
+        return round(sorted(runs)[1], 3)
+
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        meter.window()
 
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        t0 = time.monotonic()
-        agg_of(fact.join(dim, "k")).write.format("noop").mode("overwrite").save()
-        out["plain_noaqe"] = round(time.monotonic() - t0, 3)
+        out["plain_noaqe"] = timed_p50(agg_of(fact.join(dim, "k")))
 
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
-        t0 = time.monotonic()
-        agg_of(fact.join(dim, "k")).write.format("noop").mode("overwrite").save()
-        out["aqe_skew"] = round(time.monotonic() - t0, 3)
+        out["aqe_skew"] = timed_p50(agg_of(fact.join(dim, "k")))
 
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        t0 = time.monotonic()
-        agg_of(
-            salted_join(fact, dim, on="k", num_salts=16, hot_keys=[0])
-        ).write.format("noop").mode("overwrite").save()
-        out["salted_hot"] = round(time.monotonic() - t0, 3)
+        out["salted_hot"] = timed_p50(
+            agg_of(salted_join(fact, dim, on="k", num_salts=16, hot_keys=[0]))
+        )
+        out["ext_busy"] = meter.window()
     finally:
         for c, v in saved.items():
             spark.conf.set(c, v)

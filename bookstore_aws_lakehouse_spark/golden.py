@@ -1821,3 +1821,55 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return top_k(out, [("numwait", True)], 20, tiebreak=["s_name"])
+
+
+@golden(
+    "join_salted_hot",
+    """
+    WITH fact AS (
+      SELECT CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE c_nationkey END AS nk,
+             c_acctbal
+      FROM customer
+    )
+    SELECT n_name,
+           count(*) AS customer_count,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM fact JOIN nation ON nk = n_nationkey
+    GROUP BY n_name
+    ORDER BY customer_count DESC, n_name
+    """,
+)
+def q_join_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-targeted skew salting as a DRIVER-CHECKED result (the
+    spread/cost contracts live in tests/test_plans.py and
+    test_bucketing.py; this row pins the VALUES): a synthesized skewed
+    key (every 3rd customer collapses onto nation 0 → one key holds ~36%
+    of the fact) goes through operators/joins.py::detect_hot_keys — one
+    bounded count job — then salted_join(hot_keys=...), which replicates
+    ONLY the detected keys' dim rows across the salt space. Results must
+    equal the plain relational join the oracle runs."""
+    from bookstore_aws_lakehouse_spark.operators.joins import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    fact = cust.select(
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(0))
+        .otherwise(F.col("c_nationkey"))
+        .cast("int")
+        .alias("nk"),
+        "c_acctbal",
+    )
+    hot = detect_hot_keys(fact, "nk", threshold_frac=0.2)
+    joined = salted_join(fact, nation, on="nk", num_salts=8, hot_keys=hot)
+    out = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("customer_count"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
+    return out.orderBy(F.col("customer_count").desc(), "n_name")

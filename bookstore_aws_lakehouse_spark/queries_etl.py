@@ -1930,3 +1930,140 @@ def q_snapshot_pyds_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_restore_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT 1 AS version,
+           count(*) AS n_rows,
+           CAST(sum(price) AS DOUBLE) AS total_price
+    FROM base
+    UNION ALL
+    SELECT 2, count(*), CAST(sum(price) AS DOUBLE)
+    FROM base WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 3, count(*), CAST(sum(price) AS DOUBLE)
+    FROM base
+    ORDER BY version
+    """,
+)
+def q_snapshot_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE t TO VERSION (sources/snapshots.py::snapshot_restore
+    — Delta's RESTORE): after an overwrite (v1) and a DELETE of the even
+    keys (v2), restoring to v1 commits the old content AS A NEW VERSION
+    v3 (no manifest rewritten, the bad version stays time-travelable).
+    The emitted per-version aggregates prove v3 ≡ v1 while v2 still
+    reads as the deleted state; the oracle replays all three states from
+    the raw table."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_restore,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snaprestore_")
+    try:
+        table = f"{root}/orders_restore"
+        snapshot_overwrite(base, table)
+        snapshot_delete_where(spark, table, "o_orderkey % 2 = 0")
+        snapshot_restore(spark, table, 1)
+
+        def agg(v: int):
+            return snapshot_read(spark, table, v).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("price").cast("double").alias("total_price"),
+            ).select(F.lit(v).alias("version"), "n_rows", "total_price")
+
+        out = agg(1).unionByName(agg(2)).unionByName(agg(3)).orderBy("version")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_history_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT 1 AS version, 'overwrite' AS operation,
+           (SELECT count(*) FROM base) AS n_rows
+    UNION ALL
+    SELECT 2, 'append',
+           (SELECT count(*) FROM base) + (SELECT count(*) FROM orders
+             WHERE o_orderkey BETWEEN 2000 AND 2999)
+    UNION ALL
+    SELECT 3, 'delete',
+           (SELECT count(*) FROM base WHERE o_orderkey % 2 = 1)
+             + (SELECT count(*) FROM orders
+                WHERE o_orderkey BETWEEN 2000 AND 2999 AND o_orderkey % 2 = 1)
+    UNION ALL
+    SELECT 4, 'restore',
+           (SELECT count(*) FROM base) + (SELECT count(*) FROM orders
+             WHERE o_orderkey BETWEEN 2000 AND 2999)
+    ORDER BY version
+    """,
+)
+def q_snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY analog: every snapshot commit records its
+    operation kind in the manifest, so auditing a table is one
+    O(versions) metadata read joined to per-version time-travel counts —
+    here overwrite → append → DELETE (even keys) → RESTORE to v2, with
+    each version's row count proving the content the log claims. The
+    oracle replays the four states relationally from the raw table."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        list_versions,
+        snapshot_append,
+        snapshot_delete_where,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_restore,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="blhs_snaphist_")
+    try:
+        table = f"{root}/orders_hist"
+        snapshot_overwrite(
+            orders.filter(F.col("o_orderkey") < 2000).select("o_orderkey"), table
+        )
+        snapshot_append(
+            orders.filter(F.col("o_orderkey").between(2000, 2999)).select(
+                "o_orderkey"
+            ),
+            table,
+        )
+        snapshot_delete_where(spark, table, "o_orderkey % 2 = 0")
+        snapshot_restore(spark, table, 2)
+        hist = spark.createDataFrame(
+            [
+                (v, _read_manifest(spark, table, v)["operation"])
+                for v in list_versions(spark, table)
+            ],
+            "version int, operation string",
+        )
+        counts = None
+        for v in list_versions(spark, table):
+            c = snapshot_read(spark, table, v).agg(
+                F.count(F.lit(1)).alias("n_rows")
+            ).select(F.lit(v).alias("version"), "n_rows")
+            counts = c if counts is None else counts.unionByName(c)
+        out = hist.join(counts, "version").orderBy("version")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
