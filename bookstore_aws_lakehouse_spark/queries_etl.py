@@ -2017,16 +2017,16 @@ def q_snapshot_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DESCRIBE HISTORY analog: every snapshot commit records its
-    operation kind in the manifest, so auditing a table is one
-    O(versions) metadata read joined to per-version time-travel counts —
-    here overwrite → append → DELETE (even keys) → RESTORE to v2, with
-    each version's row count proving the content the log claims. The
-    oracle replays the four states relationally from the raw table."""
+    """DESCRIBE HISTORY as a driver-checked surface (sources/
+    snapshots.py::history — checkpointed O(new manifests) commit-log
+    read): here overwrite → append → DELETE (even keys) → RESTORE to v2,
+    with each version's time-travel row count proving the content the
+    log claims. The oracle replays the four states relationally from the
+    raw table."""
     import shutil
 
     from bookstore_aws_lakehouse_spark.sources.snapshots import (
-        _read_manifest,
+        history,
         list_versions,
         snapshot_append,
         snapshot_delete_where,
@@ -2050,13 +2050,7 @@ def q_snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         snapshot_delete_where(spark, table, "o_orderkey % 2 = 0")
         snapshot_restore(spark, table, 2)
-        hist = spark.createDataFrame(
-            [
-                (v, _read_manifest(spark, table, v)["operation"])
-                for v in list_versions(spark, table)
-            ],
-            "version int, operation string",
-        )
+        hist = history(spark, table).select("version", "operation")
         counts = None
         for v in list_versions(spark, table):
             c = snapshot_read(spark, table, v).agg(

@@ -275,3 +275,33 @@ def test_file_may_match_all_null_column_with_null_probe(spark):
     assert not _file_may_match(empty, value_probe)
     # normal file with a null probe: conservative keep (range check TypeErrors)
     assert _file_may_match({"k": [1, 9, True]}, null_probe)
+
+
+def test_format_read_conforms_numeric_evolved_columns(spark, tmp_path):
+    """Evolution null-fill is type-safe beyond strings: historic files
+    missing bigint/double columns read back as typed NULLs (Arrow null
+    arrays conformed by Spark's ingestion), and aggregates over the
+    evolved columns see only the real values."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    snapshot_overwrite(spark.createDataFrame([(1,), (2,)], "k int"), table)
+    snapshot_append(
+        spark.createDataFrame([(3, 99, 1.5)], "k int, n bigint, x double"),
+        table,
+        merge_schema=True,
+    )
+    register_snapshot_datasource(spark)
+    df = spark.read.format("lakesnap").option("path", table).load()
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int",
+        "bigint",
+        "double",
+    ]
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (1, None, None),
+        (2, None, None),
+        (3, 99, 1.5),
+    ]
+    row = df.agg(F.sum("n").alias("sn"), F.avg("x").alias("ax")).collect()[0]
+    assert (row.sn, row.ax) == (99, 1.5)
