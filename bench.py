@@ -246,6 +246,7 @@ def main() -> None:
         "snapshot_restore_roundtrip",
         "snapshot_history_audit",
         "join_salted_hot",
+        "snapshot_merge_when_roundtrip",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

@@ -2061,3 +2061,96 @@ def q_snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_merge_when_roundtrip",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    s AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DECIMAL(18,2))
+               AS price
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+    ),
+    merged AS (
+      SELECT t.o_orderkey, t.o_orderstatus,
+             CASE WHEN t.o_orderstatus = 'F' THEN s.price ELSE t.price END
+               AS price
+      FROM t JOIN s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT t.o_orderkey % 10 = 0
+      UNION ALL
+      SELECT t.o_orderkey, t.o_orderstatus, t.price
+      FROM t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM s)
+        AND NOT t.o_orderkey % 7 = 0
+      UNION ALL
+      SELECT s.o_orderkey, s.o_orderstatus, s.price
+      FROM s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM t)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(price) AS DOUBLE) AS total_price
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_merge_when_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional three-clause MERGE INTO (sources/snapshots.py::
+    snapshot_merge_when — the Delta MERGE surface; `snapshot_merge` is
+    its unconditional special case): matched rows DELETE when the
+    source key is a multiple of 10, else UPDATE price from the source
+    gated on target status 'F'; source-only rows INSERT; target-only
+    rows not matched by source DELETE on multiples of 7 (the
+    sync-to-source clause). The oracle replays all four row fates
+    relationally; aggregates over the merged table must agree."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_when,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    s = orders.filter(F.col("o_orderkey").between(1000, 2999)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") + 10)
+        .cast("decimal(18,2)")
+        .alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_mergewhen_")
+    try:
+        table = f"{root}/orders_mw"
+        snapshot_overwrite(t, table)
+        snapshot_merge_when(
+            s,
+            table,
+            key_cols=["o_orderkey"],
+            when_matched_update={"price": "CAST(s.price AS DECIMAL(18,2))"},
+            when_matched_update_condition="t.o_orderstatus = 'F'",
+            when_matched_delete="s.o_orderkey % 10 = 0",
+            when_not_matched_insert=True,
+            when_not_matched_by_source_delete="t.o_orderkey % 7 = 0",
+        )
+        out = (
+            snapshot_read(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price").cast("double").alias("total_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -612,6 +612,134 @@ def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
     )
 
 
+def snapshot_merge_when(
+    source: DataFrame,
+    table: str,
+    key_cols: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_update_condition: str | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool = True,
+    when_not_matched_by_source_delete: str | None = None,
+) -> int:
+    """Conditional three-clause MERGE (the Delta/SQL:2003 ``MERGE INTO``
+    surface; ``snapshot_merge`` is the unconditional upsert special
+    case): target rows join the source null-safely on ``key_cols`` and
+
+    - MATCHED + ``when_matched_delete`` condition → row dropped;
+    - MATCHED (not deleted) + ``when_matched_update`` (optionally gated
+      by ``when_matched_update_condition``) → the listed columns
+      recompute from expressions over both sides (``t.col`` = target,
+      ``s.col`` = source); other matched rows carry unchanged;
+    - NOT MATCHED (source-only) + ``when_not_matched_insert`` → source
+      row inserted (source must carry the target's columns);
+    - NOT MATCHED BY SOURCE (target-only) +
+      ``when_not_matched_by_source_delete`` condition (over ``t.*``) →
+      row dropped — the "sync target to source" clause.
+
+    Delete is evaluated before update (a matched row satisfying both is
+    deleted). Conditions follow SQL semantics: NULL = clause does not
+    fire. Column types must survive (same contract as
+    ``snapshot_update``); CHECK constraints validate the result before
+    it replaces the tip. One full-outer join + one rewrite, committed
+    with the same optimistic-concurrency retry as ``snapshot_merge``.
+    Reference: Delta Lake's MERGE (public API semantics), rebuilt
+    relationally."""
+    import functools
+
+    spark = source.sparkSession
+    keys = list(key_cols)
+    upd = dict(when_matched_update or {})
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        tgt = snapshot_read(spark, table, version=versions[-1])
+        cols = tgt.columns
+        missing = [c for c in cols if c not in source.columns]
+        if when_not_matched_insert and missing:
+            raise ValueError(
+                f"WHEN NOT MATCHED INSERT needs the source to carry every "
+                f"target column; missing {missing}"
+            )
+        for c in upd:
+            if c not in cols:
+                raise ValueError(f"UPDATE SET of unknown column {c!r} ({cols})")
+        t = tgt.withColumn("_t_present", F.lit(True)).alias("t")
+        s = source.withColumn("_s_present", F.lit(True)).alias("s")
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+        )
+        j = t.join(s, on, "full_outer")
+        matched = F.coalesce(F.col("t._t_present"), F.lit(False)) & F.coalesce(
+            F.col("s._s_present"), F.lit(False)
+        )
+        t_only = F.coalesce(F.col("t._t_present"), F.lit(False)) & ~F.coalesce(
+            F.col("s._s_present"), F.lit(False)
+        )
+        s_only = ~F.coalesce(F.col("t._t_present"), F.lit(False))
+
+        def cond(expr_str: str | None):
+            if expr_str is None:
+                return F.lit(False)
+            return F.coalesce(F.expr(expr_str), F.lit(False))
+
+        keep = (
+            F.when(matched, ~cond(when_matched_delete))
+            .when(t_only, ~cond(when_not_matched_by_source_delete))
+            .otherwise(F.lit(when_not_matched_insert))
+        )
+        upd_fires = (
+            matched
+            & ~cond(when_matched_delete)
+            & (
+                F.lit(True)
+                if when_matched_update_condition is None
+                else cond(when_matched_update_condition)
+            )
+            if upd
+            else F.lit(False)
+        )
+        out_cols = []
+        for c in cols:
+            col = (
+                F.when(upd_fires, F.expr(upd[c])) if c in upd else F.when(F.lit(False), F.col(f"t.{c}"))
+            )
+            out_cols.append(
+                col.when(matched | t_only, F.col(f"t.{c}"))
+                .otherwise(F.col(f"s.{c}"))
+                .alias(c)
+            )
+        merged = j.filter(keep).select(*out_cols)
+        for f_old, f_new in zip(tgt.schema.fields, merged.schema.fields):
+            if f_old.dataType != f_new.dataType:
+                raise ValueError(
+                    f"MERGE UPDATE expression changes column {f_old.name!r} "
+                    f"from {f_old.dataType.simpleString()} to "
+                    f"{f_new.dataType.simpleString()} — add an explicit "
+                    f"CAST(... AS {f_old.dataType.simpleString()})"
+                )
+        _validate_constraints(merged, _tip_constraints(spark, table))
+        files = _write_data_files(merged, table)
+        try:
+            return _commit(
+                merged,
+                table,
+                "merge",
+                files,
+                expected_version=versions[-1] + 1,
+                schema=tgt.schema,
+            )
+        except SnapshotConflictError:
+            _delete_files(spark, files)
+            continue
+    raise SnapshotConflictError(
+        f"conditional merge into {table} lost 3 consecutive races — retry "
+        f"under lower write concurrency"
+    )
+
+
 #: racer operations a partitioned merge can rebase across: each leaves
 #: every untouched base file's CONTENT in place (append/merge/delete
 #: rewrite or add files elsewhere; optimize rewrites byte-identical data).

@@ -1450,3 +1450,77 @@ def test_rollup_handles_null_group_keys(spark, table, tmp_path):
     assert got[None] == (3, 121)
     # the dict above would mask a duplicated NULL row — pin the row count
     assert snapshot_read(spark, mart).count() == 2
+
+
+def test_merge_when_three_clause_semantics(spark, table):
+    """Conditional MERGE (snapshot_merge_when): matched-delete fires
+    before matched-update, update is condition-gated with NULL = no
+    fire, source-only rows insert, target-only rows optionally delete
+    (sync-to-source), and unmatched clauses leave rows untouched."""
+    import pytest as _pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_when,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+            "k int, g string, amt int",
+        ),
+        table,
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 5), (3, "x", 999), (5, "e", 50), (4, None, 1)],
+        "k int, g string, amt int",
+    )
+    snapshot_merge_when(
+        src,
+        table,
+        key_cols=["k"],
+        when_matched_update={"amt": "CAST(t.amt + s.amt AS int)"},
+        when_matched_update_condition="s.g = 'B'",
+        when_matched_delete="s.amt > 500",
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete="t.k = 1",
+    )
+    got = {r.k: (r.g, r.amt) for r in snapshot_read(spark, table).collect()}
+    assert got == {
+        2: ("b", 25),   # update fired (s.g='B'): amt += 5, g untouched
+        4: (None, 40),  # matched, update condition NULL -> no fire
+        5: ("e", 50),   # inserted
+    }  # k=3 deleted (s.amt>500); k=1 deleted (not matched by source)
+
+    # type preservation contract (same as UPDATE)
+    with _pytest.raises(ValueError, match="CAST"):
+        snapshot_merge_when(
+            src, table, ["k"], when_matched_update={"amt": "t.amt * 1.5"}
+        )
+
+
+def test_merge_when_null_safe_keys_and_defaults(spark, table):
+    """NULL key values match null-safely (one NULL group, not a dropped
+    row), and with no clauses given the merge is conservative: matched
+    rows carry unchanged, source-only rows insert, target-only rows
+    stay."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_when,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [("a", 1), (None, 2)], "g string, amt int"
+        ),
+        table,
+    )
+    src = spark.createDataFrame([(None, 99), ("z", 3)], "g string, amt int")
+    snapshot_merge_when(
+        src,
+        table,
+        key_cols=["g"],
+        when_matched_update={"amt": "s.amt"},
+    )
+    got = {r.g: r.amt for r in snapshot_read(spark, table).collect()}
+    # NULL key matched null-safely and updated; 'a' untouched; 'z' inserted
+    assert got == {"a": 1, None: 99, "z": 3}
+    assert snapshot_read(spark, table).count() == 3
