@@ -247,6 +247,9 @@ def main() -> None:
         "snapshot_history_audit",
         "join_salted_hot",
         "snapshot_merge_when_roundtrip",
+        "snapshot_metadata_count",
+        "snapshot_asof_timestamp",
+        "snapshot_vacuum_retention",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

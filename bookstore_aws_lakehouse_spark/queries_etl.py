@@ -2154,3 +2154,161 @@ def q_snapshot_merge_when_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_metadata_count",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_meta,
+           CAST(count(*) AS BIGINT) AS n_scan
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def q_snapshot_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (sources/snapshots.py::snapshot_count —
+    Delta's footer count): the answer comes from O(files) parquet-footer
+    reads with zero data I/O and no Spark job, here across an overwrite
+    plus an append, and must equal both the scanned count and the raw
+    relational count."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_count,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="blhs_metacount_")
+    try:
+        table = f"{root}/orders_meta"
+        snapshot_overwrite(
+            orders.filter(F.col("o_orderkey") < 3000).select("o_orderkey"), table
+        )
+        snapshot_append(
+            orders.filter(F.col("o_orderkey").between(3000, 3999)).select(
+                "o_orderkey"
+            ),
+            table,
+        )
+        n_meta = snapshot_count(spark, table)  # footers only, no job
+        out = snapshot_read(spark, table).agg(
+            F.count(F.lit(1)).alias("n_scan")
+        ).select(F.lit(n_meta).cast("bigint").alias("n_meta"), "n_scan")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_asof_timestamp",
+    """
+    WITH base AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT 'v1' AS state, count(*) AS n_rows FROM base
+    UNION ALL
+    SELECT 'v2', count(*) FROM orders WHERE o_orderkey < 2000
+    ORDER BY state
+    """,
+)
+def q_snapshot_asof_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (snapshots.py::snapshot_read_asof):
+    the commit log records each version's wall-clock time, so reading
+    'as of' v1's own committed_at resolves to v1 and 'as of' the tip's
+    time resolves to the tip — deterministic because the probe
+    timestamps COME FROM the history the query just wrote. The oracle
+    replays both states relationally."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        history,
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read_asof,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="blhs_asofts_")
+    try:
+        table = f"{root}/orders_asof"
+        snapshot_overwrite(
+            orders.filter(F.col("o_orderkey") < 1500).select("o_orderkey"), table
+        )
+        snapshot_append(
+            orders.filter(F.col("o_orderkey").between(1500, 1999)).select(
+                "o_orderkey"
+            ),
+            table,
+        )
+        ts = {
+            r.version: r.committed_at_unix
+            for r in history(spark, table).collect()
+        }
+
+        def agg(state: str, t: float):
+            return snapshot_read_asof(spark, table, t).agg(
+                F.count(F.lit(1)).alias("n_rows")
+            ).select(F.lit(state).alias("state"), "n_rows")
+
+        out = agg("v1", ts[1]).unionByName(agg("v2", ts[2])).orderBy("state")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_vacuum_retention",
+    """
+    SELECT CAST(1 AS BIGINT) AS versions_left,
+           (SELECT count(*) FROM orders WHERE o_orderkey < 1000
+              AND o_orderkey % 2 = 1) AS tip_rows,
+           CAST(1 AS BOOLEAN) AS expired_gone,
+           CAST(1 AS BOOLEAN) AS bytes_reclaimed
+    """,
+)
+def q_snapshot_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM (snapshots.py::vacuum): after an overwrite supersedes v1,
+    vacuum(keep_last=1) must drop v1's manifest, delete every data file
+    only v1 referenced (bytes actually reclaimed on disk), and leave the
+    tip fully readable. The contract booleans are computed Spark-side
+    against the literal oracle, sketch-pattern style; tip_rows pins the
+    surviving content relationally."""
+    import os
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        list_versions,
+        snapshot_overwrite,
+        snapshot_read,
+        vacuum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") < 1000).select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="blhs_vacuum_")
+    try:
+        table = f"{root}/orders_vac"
+        snapshot_overwrite(base, table)
+        v1_files = _read_manifest(spark, table, 1)["files"]
+        snapshot_overwrite(base.filter(F.col("o_orderkey") % 2 == 1), table)
+        n_deleted = vacuum(spark, table, keep_last=1)
+        versions_left = len(list_versions(spark, table))
+        expired_gone = versions_left == 1 and n_deleted == len(v1_files)
+        bytes_reclaimed = not any(
+            os.path.exists(f[5:] if f.startswith("file:") else f)
+            for f in v1_files
+        )
+        out = snapshot_read(spark, table).agg(
+            F.count(F.lit(1)).alias("tip_rows")
+        ).select(
+            F.lit(versions_left).cast("bigint").alias("versions_left"),
+            "tip_rows",
+            F.lit(expired_gone).alias("expired_gone"),
+            F.lit(bytes_reclaimed).alias("bytes_reclaimed"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

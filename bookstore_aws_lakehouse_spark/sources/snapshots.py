@@ -1291,6 +1291,37 @@ def snapshot_read_asof(
     return snapshot_read(spark, table, version_at_timestamp(spark, table, ts_unix))
 
 
+def snapshot_count(
+    spark: SparkSession, table: str, version: int | None = None
+) -> int:
+    """``COUNT(*)`` from parquet FOOTERS only — Delta's metadata-only
+    count: O(files) footer reads (kilobytes each), zero data I/O, no
+    Spark job. At 100 TB this answers the most common query against a
+    table without touching a single data page. Falls back to a real
+    distributed count when any file is non-local or unreadable (remote
+    object stores want a ranged footer fetch this sandbox can't do) —
+    callers always get the exact answer either way."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {table} (have {versions})")
+    files = _read_manifest(spark, table, v)["files"]
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for uri in files:
+            path = uri[5:] if uri.startswith("file:") else uri
+            if "://" in path:
+                raise OSError("non-local file")
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except (ImportError, OSError):
+        return snapshot_read(spark, table, v).count()
+
+
 def snapshot_changes(
     spark: SparkSession,
     table: str,

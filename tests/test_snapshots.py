@@ -1524,3 +1524,25 @@ def test_merge_when_null_safe_keys_and_defaults(spark, table):
     # NULL key matched null-safely and updated; 'a' untouched; 'z' inserted
     assert got == {"a": 1, None: 99, "z": 3}
     assert snapshot_read(spark, table).count() == 3
+
+
+def test_snapshot_count_matches_scan_per_version(spark, table):
+    """Metadata-only count: footer sums must equal the scanned count at
+    every version, including after deletes (rewritten file sets)."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_count,
+        snapshot_delete_where,
+    )
+
+    snapshot_overwrite(
+        spark.range(0, 1000).select(F.col("id").cast("int").alias("k")), table
+    )
+    snapshot_append(
+        spark.range(1000, 1300).select(F.col("id").cast("int").alias("k")), table
+    )
+    snapshot_delete_where(spark, table, "k % 3 = 0")
+    for v in (1, 2, 3):
+        assert snapshot_count(spark, table, v) == snapshot_read(
+            spark, table, v
+        ).count()
+    assert snapshot_count(spark, table) == snapshot_read(spark, table).count()
