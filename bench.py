@@ -250,6 +250,7 @@ def main() -> None:
         "snapshot_metadata_count",
         "snapshot_asof_timestamp",
         "snapshot_vacuum_retention",
+        "stream_snapshot_native_sink",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
@@ -217,6 +218,10 @@ class SnapshotDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
         return SnapshotWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        # defined below; resolved at call time
+        return SnapshotStreamWriter(dict(self.options), schema, overwrite)
 
 
 def register_snapshot_datasource(spark) -> None:
@@ -436,6 +441,8 @@ class SnapshotWriter(DataSourceArrowWriter):
                 "committed_at_unix": round(_time.time(), 3),
                 "version": v,
             }
+            if getattr(self, "_app", None):
+                manifest["app"] = self._app
             try:
                 with open(os.path.join(mdir, f"v{v}.json"), "x") as f:
                     json.dump(manifest, f, sort_keys=True)
@@ -448,3 +455,55 @@ class SnapshotWriter(DataSourceArrowWriter):
         for m in messages:
             if m is not None and m.path and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+# ---- streaming writer: df.writeStream.format("lakesnap") ------------------
+
+
+class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamArrowWriter):
+    """Streaming sink completing the format QUARTET (read / readStream /
+    write / writeStream): every micro-batch commits through the same
+    two-phase protocol as the batch writer, and each committed manifest
+    records the batch id it came from (``app.stream_sink.last_batch_id``
+    — the Delta transactional-sink pattern via this format's app
+    metadata). EXACTLY-ONCE across restarts falls out: when checkpoint
+    recovery REPLAYS a batch whose id is already recorded in the
+    manifest history, ``commit`` deletes the replay's files and returns
+    without a new version — rows are never appended twice.
+
+    Contract: one streaming query per table (batch ids are per-query;
+    Delta's multi-writer form keys them by txnAppId). ``outputMode``
+    append → each batch appends; complete → each batch replaces the
+    table (both replay-guarded)."""
+
+    def _last_committed_batch(self) -> int | None:
+        mdir = os.path.join(self._table, "_manifests")
+        if not os.path.isdir(mdir):
+            return None
+        last = None
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    b = (json.load(f).get("app") or {}).get("stream_sink", {}).get(
+                        "last_batch_id"
+                    )
+            except (OSError, ValueError):
+                continue
+            if b is not None and (last is None or b > last):
+                last = b
+        return last
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        last = self._last_committed_batch()
+        if last is not None and last >= batchId:
+            # checkpoint-recovery replay of an already-committed batch:
+            # drop the rewritten files, publish nothing (exactly-once)
+            SnapshotWriter.abort(self, messages)
+            return
+        self._app = {"stream_sink": {"last_batch_id": batchId}}
+        SnapshotWriter.commit(self, messages)
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        SnapshotWriter.abort(self, messages)

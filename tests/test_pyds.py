@@ -305,3 +305,85 @@ def test_format_read_conforms_numeric_evolved_columns(spark, tmp_path):
     ]
     row = df.agg(F.sum("n").alias("sn"), F.avg("x").alias("ax")).collect()[0]
     assert (row.sn, row.ax) == (99, 1.5)
+
+
+def test_stream_writer_appends_exactly_once(spark, tmp_path):
+    """writeStream.format('lakesnap'): each micro-batch commits through
+    the two-phase protocol with its batch id recorded in the manifest
+    (app.stream_sink); checkpoint resume appends only new batches, and a
+    direct replay of an already-committed batch publishes nothing."""
+    import json as _json
+    import os
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import SnapshotStreamWriter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    register_snapshot_datasource(spark)
+
+    def add_file(name: str, k: int, v: str) -> None:
+        # the file STREAM source lists plain files (it does not recurse
+        # into df.write.parquet directories) — write single files
+        pq.write_table(
+            pa.table({"k": pa.array([k], pa.int32()), "v": [v]}),
+            f"{src}/{name}",
+        )
+
+    add_file("f1.parquet", 1, "a")
+
+    def run():
+        q = (
+            spark.readStream.schema("k int, v string")
+            .parquet(src)
+            .writeStream.format("lakesnap")
+            .option("path", table)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted((r.k, r.v) for r in snapshot_read(spark, table).collect())
+
+    assert run() == [(1, "a")]
+    add_file("f2.parquet", 2, "b")
+    assert run() == [(1, "a"), (2, "b")]  # resume appends only the new file
+    assert run() == [(1, "a"), (2, "b")]  # nothing new: no duplicates
+
+    # the tip manifest records the batch id it came from
+    mdir = f"{table}/_manifests"
+    vs = sorted(int(f[1:-5]) for f in os.listdir(mdir))
+    with open(f"{mdir}/v{vs[-1]}.json") as f:
+        tip = _json.load(f)
+    last_bid = tip["app"]["stream_sink"]["last_batch_id"]
+    assert last_bid >= 1
+
+    # direct replay of an already-committed batch: files dropped, no
+    # version published (exactly-once across checkpoint recovery)
+    from pyspark.sql.types import StructType
+
+    w = SnapshotStreamWriter(
+        {"path": table}, StructType.fromDDL("k int, v string"), False
+    )
+    msg = w.write(iter(
+        spark.createDataFrame([(9, "z")], "k int, v string")
+        .toArrow()
+        .to_batches()
+    ))
+    w.commit([msg], last_bid)  # replayed id -> must be a no-op
+    assert sorted(int(f[1:-5]) for f in os.listdir(mdir)) == vs
+    assert not os.path.exists(msg.path)  # replay's file reclaimed
+    # and a NEW batch id still goes through
+    msg2 = w.write(iter(
+        spark.createDataFrame([(9, "z")], "k int, v string")
+        .toArrow()
+        .to_batches()
+    ))
+    w.commit([msg2], last_bid + 1)
+    got = sorted((r.k, r.v) for r in snapshot_read(spark, table).collect())
+    assert got == [(1, "a"), (2, "b"), (9, "z")]
