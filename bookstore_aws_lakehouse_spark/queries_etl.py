@@ -1227,7 +1227,7 @@ def q_snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_bloom_index(
             spark, table, "o_orderkey", num_bits=1 << 18, num_hashes=7
         )
-        kept, all_files, _ = _point_lookup_files(spark, table, "o_orderkey", 7, None)
+        kept, all_files, _, _m = _point_lookup_files(spark, table, "o_orderkey", 7, None)
         pruned = len(kept) < len(all_files)
         absent_empty = (
             snapshot_point_lookup(spark, table, "o_orderkey", 999_999_983).count()
@@ -2308,6 +2308,142 @@ def q_snapshot_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tip_rows",
             F.lit(expired_gone).alias("expired_gone"),
             F.lit(bytes_reclaimed).alias("bytes_reclaimed"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_dv_delete",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           CAST(1 AS BOOLEAN) AS files_unchanged,
+           CAST(1 AS BOOLEAN) AS meta_count_ok
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 2)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_snapshot_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (sources/snapshots.py::
+    snapshot_delete_dv — Delta DVs / Iceberg position deletes): the
+    commit writes dead (file, row-position) sidecars sized by the rows
+    DELETED and rewrites NOTHING — the 100 TB point-delete shape, where
+    copy-on-write would re-write every touched gigabyte. Contract columns
+    the oracle pins to TRUE: ``files_unchanged`` (the post-delete
+    manifest references byte-for-byte the same data files) and
+    ``meta_count_ok`` (metadata-only COUNT — footer rows minus recorded
+    cardinality — agrees with the scanned count). Content is the
+    complement aggregate, replayed by the oracle on the raw table."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_count,
+        snapshot_delete_dv,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapdv_")
+    try:
+        table = f"{root}/orders_snap"
+        snapshot_overwrite(base.repartition(4), table)
+        v1_files = _read_manifest(spark, table, 1)["files"]
+        v = snapshot_delete_dv(spark, table, "o_orderkey % 5 = 2")
+        m = _read_manifest(spark, table, v)
+        files_unchanged = sorted(m["files"]) == sorted(v1_files) and bool(
+            (m.get("dv") or {}).get("cardinality")
+        )
+        tip = snapshot_read(spark, table)
+        meta_count_ok = snapshot_count(spark, table) == tip.count()
+        out = tip.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        ).select(
+            "*",
+            F.lit(files_unchanged).alias("files_unchanged"),
+            F.lit(meta_count_ok).alias("meta_count_ok"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_dv_purge",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(1 AS BOOLEAN) AS deletes_composed,
+           CAST(1 AS BOOLEAN) AS dv_cleared,
+           CAST(1 AS BOOLEAN) AS clean_files_carried
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 2 OR o_orderkey % 10 = 7)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_snapshot_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV lifecycle close-out (sources/snapshots.py::snapshot_purge_dv —
+    the ``REORG TABLE ... APPLY (PURGE)`` analog): two OVERLAPPING
+    merge-on-read deletes compose without double-recording a position
+    (``deletes_composed``: the manifest's total cardinality equals the
+    distinct matching-row count measured on the pre-delete version),
+    then PURGE folds the vectors into rewrites of ONLY the dirty files —
+    ``clean_files_carried`` pins that every vector-free file survives by
+    identity, ``dv_cleared`` that the tip ends vector-free. Content is
+    the double-complement aggregate the oracle replays."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_delete_dv,
+        snapshot_overwrite,
+        snapshot_purge_dv,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="blhs_snapdvp_")
+    try:
+        table = f"{root}/orders_snap"
+        snapshot_overwrite(base.repartition(4), table)
+        snapshot_delete_dv(spark, table, "o_orderkey % 5 = 2")
+        v = snapshot_delete_dv(spark, table, "o_orderkey % 10 = 7")
+        m = _read_manifest(spark, table, v)
+        card_total = sum((m.get("dv") or {}).get("cardinality", {}).values())
+        expected_dead = (
+            snapshot_read(spark, table, 1)
+            .filter("o_orderkey % 5 = 2 OR o_orderkey % 10 = 7")
+            .count()
+        )
+        deletes_composed = card_total == expected_dead
+        dirty = set((m.get("dv") or {}).get("cardinality", {}))
+        clean = set(m["files"]) - dirty
+        pv = snapshot_purge_dv(spark, table)
+        mp = _read_manifest(spark, table, pv)
+        dv_cleared = "dv" not in mp
+        clean_files_carried = clean <= set(mp["files"]) and dirty.isdisjoint(
+            set(mp["files"])
+        )
+        out = snapshot_read(spark, table).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders")
+        ).select(
+            "*",
+            F.lit(deletes_composed).alias("deletes_composed"),
+            F.lit(dv_cleared).alias("dv_cleared"),
+            F.lit(clean_files_carried).alias("clean_files_carried"),
         )
         return out.localCheckpoint(eager=True)
     finally:

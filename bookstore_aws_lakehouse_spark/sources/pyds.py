@@ -175,8 +175,53 @@ class SnapshotReader(DataSourceReader):
         cols = self._schema.fieldNames()
         pf = pq.ParquetFile(partition.path)
         present = [c for c in cols if c in pf.schema_arrow.names]
+        dead = _dead_positions(self._manifest, partition.path)
+        offset = 0
         for batch in pf.iter_batches(columns=present):
-            yield from _conform(batch, cols)
+            n = batch.num_rows
+            masked = _mask_dead(batch, dead, offset)
+            offset += n
+            yield from _conform(masked, cols)
+
+
+def _dead_positions(manifest: dict, local_path: str):
+    """Deletion-vector positions for one data file, read from the
+    manifest's sidecars (pyarrow filter pushdown on the ``file`` column —
+    each sidecar read touches only matching row groups). Returns a
+    sorted pyarrow array, or None when the file is clean."""
+    dv = manifest.get("dv") or {}
+    card = dv.get("cardinality") or {}
+    if not any(_local(f) == local_path for f in card):
+        return None
+    import pyarrow.parquet as pq
+
+    chunks = []
+    for sc in dv.get("sidecars") or []:
+        t = pq.read_table(
+            _local(sc), columns=["pos"], filters=[("file", "=", local_path)]
+        )
+        chunks.append(t.column("pos"))
+    if not chunks:
+        return None
+    import pyarrow as pa
+
+    return pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]
+    )
+
+
+def _mask_dead(batch, dead, offset: int):
+    """Drop a batch's rows whose file-relative position (``offset`` +
+    batch row index, matching Spark's ``_metadata.row_index``) is in the
+    deletion vector. Vectorized: one ``is_in`` over an index array."""
+    if dead is None or len(dead) == 0:
+        return batch
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx = pa.array(range(offset, offset + batch.num_rows), type=pa.int64())
+    keep = pc.invert(pc.is_in(idx, value_set=dead.cast(pa.int64())))
+    return batch.filter(keep)
 
 
 def _conform(batch, cols):

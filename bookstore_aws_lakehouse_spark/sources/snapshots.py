@@ -60,6 +60,8 @@ from pyspark.sql.types import StructField, StructType
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+#: deletion-vector sidecars: (file, pos) parquet under <table>/_dv/tx-*/
+_DV_DIR = "_dv"
 #: bounded optimistic-concurrency retries: losing this many consecutive
 #: version races means a pathologically hot commit loop, not bad luck
 _MAX_COMMIT_RETRIES = 50
@@ -187,13 +189,13 @@ def _delete_files(spark: SparkSession, files: list[str]) -> None:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
 
 
-def _write_data_files(df: DataFrame, table: str) -> list[str]:
+def _write_data_files(df: DataFrame, table: str, subdir: str = _DATA_DIR) -> list[str]:
     """Write ``df`` as an immutable commit directory; returns its files.
     Zero-row part files (empty shuffle buckets under an explicit
     repartition) are deleted and excluded — they carry no data but would
     otherwise ride every future manifest as permanently-carried files."""
     spark = df.sparkSession
-    tx_dir = f"{table.rstrip('/')}/{_DATA_DIR}/tx-{uuid.uuid4().hex[:12]}"
+    tx_dir = f"{table.rstrip('/')}/{subdir}/tx-{uuid.uuid4().hex[:12]}"
     df.write.mode("error").parquet(tx_dir)
     files = _list_parquet_files(spark, tx_dir)
     try:
@@ -262,8 +264,9 @@ def _commit(
     file_blooms: dict | None = None,
     constraints: dict | None = None,
     app: dict | None = None,
+    dv: dict | None = None,
 ) -> int:
-    if constraints is None or file_blooms is None:
+    if constraints is None or file_blooms is None or dv is None:
         # one tip read serves both inheritances: constraints are
         # table-level facts every commit carries forward unchanged unless
         # explicitly replacing them (snapshot_add/drop_constraint), and
@@ -288,6 +291,19 @@ def _commit(
             inherited = {f: prev[f] for f in files if f in prev}
             if inherited:
                 file_blooms = inherited
+        if dv is None:
+            # deletion vectors are per-file facts like blooms: entries
+            # survive exactly as long as their data file stays referenced
+            # (a rewriting op drops the file, and with it the dead rows),
+            # and the sidecar list rides along while any entry survives
+            prev_dv = tip_m.get("dv") or {}
+            prev_card = prev_dv.get("cardinality") or {}
+            inherited_card = {f: prev_card[f] for f in files if f in prev_card}
+            if inherited_card:
+                dv = {
+                    "sidecars": prev_dv.get("sidecars") or [],
+                    "cardinality": inherited_card,
+                }
     manifest = {
         "operation": operation,
         "files": files,
@@ -300,6 +316,8 @@ def _commit(
         manifest["file_blooms"] = file_blooms
     if constraints:
         manifest["constraints"] = constraints
+    if dv and dv.get("cardinality"):
+        manifest["dv"] = dv
     if app:
         # application metadata rides the commit ATOMICALLY (Delta's
         # txn/commitInfo analog): e.g. the materialized-view watermark
@@ -497,6 +515,82 @@ def snapshot_append(df: DataFrame, table: str, merge_schema: bool = False) -> in
     )
 
 
+# ---- deletion vectors: merge-on-read row-level deletes --------------------
+#
+# A copy-on-write DELETE rewrites every touched file — at 100 TB, deleting
+# ten rows from a 1 GB file costs a 1 GB write. Deletion vectors (Delta's
+# DVs / Iceberg's position deletes) invert the cost: the data files stay
+# IMMUTABLE and the commit records which (file, row-position) pairs are
+# dead, in parquet sidecars whose size is proportional to the rows
+# deleted, not the rows kept. Readers subtract the dead positions with
+# one anti-join against the (tiny) sidecar set; OPTIMIZE-style
+# ``snapshot_purge_dv`` folds the vectors back into rewritten files when
+# a file accumulates enough dead rows to be worth the I/O.
+#
+# Manifest shape: ``"dv": {"sidecars": [uri...],
+# "cardinality": {data_file_uri: n_dead}}``. Cardinality is per data
+# file, so metadata-only COUNT stays metadata-only (footer rows minus
+# dead rows) and rewriting commits drop a file's entry the moment the
+# file leaves the manifest (``_commit`` inheritance). Sidecar rows whose
+# data file is no longer referenced are inert — the anti-join can't
+# match them — and vacuum reclaims sidecar bytes by the same
+# refcounting as data files.
+
+
+def _dv_norm_path_expr(col):
+    """file:///x, file:/x and /x all name the same local path — the Spark
+    expression twin of :func:`_norm_uri`, applied to
+    ``_metadata.file_path`` so scan-reported paths join against the
+    normalized paths the sidecars store."""
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _dv_union_df(spark: SparkSession, manifest: dict) -> DataFrame | None:
+    """All dead (file, pos) pairs of a manifest, or None when the
+    snapshot carries no deletion vectors."""
+    dv = manifest.get("dv") or {}
+    sidecars = dv.get("sidecars") or []
+    if not sidecars or not dv.get("cardinality"):
+        return None
+    return spark.read.schema("file string, pos bigint").parquet(*sidecars)
+
+
+def _read_data_files(
+    spark: SparkSession,
+    schema: StructType,
+    files: list[str],
+    manifest: dict,
+) -> DataFrame:
+    """The one read path every snapshot consumer shares: a pinned-schema
+    multi-path parquet scan with the manifest's deletion vectors
+    subtracted. DV-free tables get the plain scan (no ``_metadata``
+    column, no join — Catalyst sees an ordinary FileSourceScan).
+
+    The subtraction is a left_anti join on (normalized file path,
+    ``_metadata.row_index``). The sidecar side is sized by deleted rows
+    — explicitly broadcast here; on a cluster where one commit deletes
+    beyond the broadcast threshold, drop the hint and let AQE pick the
+    strategy (the join stays keyed either way)."""
+    if not files:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*files)
+    card = (manifest.get("dv") or {}).get("cardinality") or {}
+    if not any(f in card for f in files):
+        return df
+    dv = _dv_union_df(spark, manifest)
+    if dv is None:
+        return df
+    tagged = df.select(
+        "*",
+        _dv_norm_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    cond = (tagged["__dv_file"] == dv["file"]) & (tagged["__dv_pos"] == dv["pos"])
+    return tagged.join(F.broadcast(dv), cond, "left_anti").drop(
+        "__dv_file", "__dv_pos"
+    )
+
+
 def snapshot_read(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
@@ -512,11 +606,10 @@ def snapshot_read(
         raise ValueError(f"version {v} not in {table} (have {versions})")
     manifest = _read_manifest(spark, table, v)
     schema = StructType.fromJson(manifest["schema"])
-    if not manifest["files"]:
-        return spark.createDataFrame([], schema)
     # pin the schema from the manifest: mixed historic widths across
-    # commits must resolve to the COMMITTED schema, not scan-order luck
-    return spark.read.schema(schema).parquet(*manifest["files"])
+    # commits must resolve to the COMMITTED schema, not scan-order luck;
+    # deletion vectors (if any) are subtracted inside the shared helper
+    return _read_data_files(spark, schema, manifest["files"], manifest)
 
 
 def snapshot_scan(
@@ -563,9 +656,7 @@ def snapshot_scan(
     files = [f for f in manifest["files"] if may_intersect(f)]
     schema = StructType.fromJson(manifest["schema"])
     pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
-    if not files:
-        return spark.createDataFrame([], schema).filter(pred)
-    return spark.read.schema(schema).parquet(*files).filter(pred)
+    return _read_data_files(spark, schema, files, manifest).filter(pred)
 
 
 def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
@@ -912,7 +1003,7 @@ def snapshot_merge_partitioned(
                 touched.append(f)
         schema = StructType.fromJson(manifest["schema"])
         if touched:
-            existing = spark.read.schema(schema).parquet(*touched)
+            existing = _read_data_files(spark, schema, touched, manifest)
             keep = _anti_join_null_safe(existing, df.select(*keys), keys)
             merged = keep.unionByName(df.select(keep.columns))
         else:
@@ -1032,10 +1123,10 @@ def snapshot_delete(
         new_files: list[str] = []
         new_stats = None
         if touched:
-            survivors = (
-                spark.read.schema(schema)
-                .parquet(*touched)
-                .filter(~F.coalesce(pred, F.lit(False)))
+            # the shared read path applies any deletion vectors on the
+            # touched files, so the rewrite can't resurrect dead rows
+            survivors = _read_data_files(spark, schema, touched, manifest).filter(
+                ~F.coalesce(pred, F.lit(False))
             )
             new_files = _write_data_files(survivors, table)
             stats_cols = _prev_stats_cols(prev_stats)
@@ -1103,7 +1194,10 @@ def snapshot_optimize(
         if len(small) < 2:
             return versions[-1]
         schema = StructType.fromJson(manifest["schema"])
-        packed = spark.read.schema(schema).parquet(*small)
+        # DV-aware read: packing a file folds its deletion vector into
+        # the rewrite, and _commit inheritance drops the entry with the
+        # file — OPTIMIZE doubles as incremental DV purge for small files
+        packed = _read_data_files(spark, schema, small, manifest)
         n_out = max(1, -(-small_bytes // target_file_bytes))
         if cluster_col is not None:
             from pyspark.sql import functions as F
@@ -1259,9 +1353,11 @@ def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
     }
     if m.get("file_stats"):
         manifest["file_stats"] = m["file_stats"]
-    if m.get("file_blooms"):
-        # per-file facts travel with the restored file list
-        manifest["file_blooms"] = m["file_blooms"]
+    for key in ("file_blooms", "dv", "constraints"):
+        # per-file facts (blooms, deletion vectors) travel with the
+        # restored file list; constraints are part of the restored state
+        if m.get(key):
+            manifest[key] = m[key]
     return _try_commit(spark, table, manifest, expected_version=None)
 
 
@@ -1307,7 +1403,11 @@ def snapshot_count(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {table} (have {versions})")
-    files = _read_manifest(spark, table, v)["files"]
+    m = _read_manifest(spark, table, v)
+    files = m["files"]
+    # merge-on-read deletes stay metadata-only too: the manifest records
+    # the dead-row count per file, so COUNT = footer rows - cardinality
+    dead = (m.get("dv") or {}).get("cardinality") or {}
     try:
         import pyarrow.parquet as pq
 
@@ -1317,7 +1417,7 @@ def snapshot_count(
             if "://" in path:
                 raise OSError("non-local file")
             total += pq.ParquetFile(path).metadata.num_rows
-        return total
+        return total - sum(dead.get(f, 0) for f in files)
     except (ImportError, OSError):
         return snapshot_read(spark, table, v).count()
 
@@ -1380,10 +1480,16 @@ def vacuum(
     kept, dropped = versions[-n_keep:], versions[:-n_keep]
     referenced = set()
     for v in kept:
-        referenced.update(_read_manifest(spark, table, v)["files"])
+        m = _read_manifest(spark, table, v)
+        referenced.update(m["files"])
+        referenced.update((m.get("dv") or {}).get("sidecars") or [])
     doomed = set()
     for v in dropped:
-        doomed.update(_read_manifest(spark, table, v)["files"])
+        m = _read_manifest(spark, table, v)
+        doomed.update(m["files"])
+        # DV sidecars refcount exactly like data files: reclaimed when no
+        # surviving version lists them
+        doomed.update((m.get("dv") or {}).get("sidecars") or [])
     doomed -= referenced
     # OWNERSHIP guard: a table only ever deletes data under its own root.
     # A shallow clone (snapshot_clone) references the SOURCE table's
@@ -1525,9 +1631,9 @@ def _bloom_may_contain(entry: dict, positions_by_cfg: dict) -> bool:
 
 def _point_lookup_files(
     spark: SparkSession, table: str, column: str, values, version: int | None
-) -> tuple[list[str], list[str], StructType]:
+) -> tuple[list[str], list[str], StructType, dict]:
     """Scan planning for a point/IN lookup (``values``: one value or a
-    list): (files to read, all tip files, pinned schema). Pruning
+    list): (files to read, all tip files, pinned schema, manifest). Pruning
     composes BOTH metadata layers — min/max stats (range check) and the
     bloom index (membership check, a file survives if ANY value may be
     present); a file must survive both to be read, and files missing
@@ -1585,7 +1691,12 @@ def _point_lookup_files(
             return False
         return True
 
-    return [f for f in manifest["files"] if keep(f)], manifest["files"], schema
+    return (
+        [f for f in manifest["files"] if keep(f)],
+        manifest["files"],
+        schema,
+        manifest,
+    )
 
 
 def snapshot_point_lookup(
@@ -1605,11 +1716,11 @@ def snapshot_point_lookup(
     if value is None:
         raise ValueError("point lookup value must be non-null (use stats' "
                          "has_null via snapshot_scan for IS NULL probes)")
-    files, _all, schema = _point_lookup_files(spark, table, column, value, version)
+    files, _all, schema, manifest = _point_lookup_files(
+        spark, table, column, value, version
+    )
     pred = F.col(column) == F.lit(value).cast(schema[column].dataType)
-    if not files:
-        return spark.createDataFrame([], schema).filter(pred)
-    return spark.read.schema(schema).parquet(*files).filter(pred)
+    return _read_data_files(spark, schema, files, manifest).filter(pred)
 
 
 def snapshot_in_lookup(
@@ -1628,12 +1739,11 @@ def snapshot_in_lookup(
     vals = [v for v in values]
     if not vals or any(v is None for v in vals):
         raise ValueError("IN lookup needs a non-empty list of non-null values")
-    files, _all, schema = _point_lookup_files(spark, table, column, vals, version)
-    dtype = schema[column].dataType
+    files, _all, schema, manifest = _point_lookup_files(
+        spark, table, column, vals, version
+    )
     pred = F.col(column).isin([v for v in vals])
-    if not files:
-        return spark.createDataFrame([], schema).filter(pred)
-    return spark.read.schema(schema).parquet(*files).filter(pred)
+    return _read_data_files(spark, schema, files, manifest).filter(pred)
 
 
 # ---- table constraints (CHECK / NOT NULL analog) --------------------------
@@ -1777,6 +1887,148 @@ def snapshot_update(
     return _commit(updated, table, "update", files, schema=df.schema)
 
 
+def snapshot_delete_dv(
+    spark: SparkSession, table: str, predicate: str
+) -> int:
+    """``DELETE FROM t WHERE predicate`` as a MERGE-ON-READ commit
+    (Delta's deletion vectors / Iceberg's position deletes): no data file
+    is rewritten — the commit writes parquet sidecars of dead
+    (file, row-position) pairs plus one manifest, so the write cost is
+    proportional to the rows DELETED, not the rows kept. At 100 TB this
+    is the difference between a kilobyte commit and re-writing every
+    touched gigabyte; the copy-on-write forms (:func:`snapshot_delete`,
+    :func:`snapshot_delete_where`) stay the right tool when a delete
+    guts whole files. SQL semantics: a NULL predicate never matches.
+
+    Readers subtract the vectors in the shared read path
+    (``_read_data_files``); ``snapshot_count`` stays metadata-only
+    (footer rows minus recorded cardinality); ``snapshot_purge_dv`` /
+    ``snapshot_optimize`` fold vectors back into rewritten files.
+    Repeated MoR deletes compose: matching runs on the DV-applied view,
+    so a position is recorded at most once and cardinalities add.
+    Returns the committed version (the current tip when nothing
+    matched — no empty commit)."""
+    pred = F.expr(predicate)
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        manifest = _read_manifest(spark, table, versions[-1])
+        schema = StructType.fromJson(manifest["schema"])
+        files = manifest["files"]
+        if not files:
+            return versions[-1]
+        # scan WITH row positions, existing vectors already subtracted —
+        # a row deleted twice must not be recorded twice
+        tagged = spark.read.schema(schema).parquet(*files).select(
+            "*",
+            _dv_norm_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        prior = _dv_union_df(spark, manifest)
+        if prior is not None:
+            cond = (tagged["__dv_file"] == prior["file"]) & (
+                tagged["__dv_pos"] == prior["pos"]
+            )
+            tagged = tagged.join(F.broadcast(prior), cond, "left_anti")
+        matched = tagged.filter(F.coalesce(pred, F.lit(False))).select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        new_sidecars = _write_data_files(matched, table, subdir=_DV_DIR)
+        if not new_sidecars:  # nothing matched: no commit
+            return versions[-1]
+        # per-file dead counts: bounded by the file count, safe to collect
+        new_card = {
+            r["file"]: r["n"]
+            for r in matched.groupBy("file").agg(F.count("*").alias("n")).collect()
+        }
+        prev_dv = manifest.get("dv") or {}
+        prev_card = prev_dv.get("cardinality") or {}
+        # sidecar "file" values are normalized paths; manifest files may
+        # carry a scheme — key cardinality by the MANIFEST spelling so
+        # _commit inheritance (keyed on manifest file names) works
+        norm_to_manifest = {_norm_uri(f): f for f in files}
+        card = dict(prev_card)
+        for nf, n in new_card.items():
+            mf = norm_to_manifest.get(nf, nf)
+            card[mf] = card.get(mf, 0) + n
+        dv = {
+            "sidecars": (prev_dv.get("sidecars") or []) + new_sidecars,
+            "cardinality": card,
+        }
+        placeholder = spark.createDataFrame([], schema)
+        try:
+            return _commit(
+                placeholder,
+                table,
+                "delete_dv",
+                files,
+                manifest.get("file_stats"),
+                expected_version=versions[-1] + 1,
+                dv=dv,
+            )
+        except SnapshotConflictError:
+            _delete_files(spark, new_sidecars)
+            continue
+    raise SnapshotConflictError(
+        f"delete_dv on {table} lost 3 consecutive races — retry under lower "
+        f"write concurrency"
+    )
+
+
+def snapshot_purge_dv(spark: SparkSession, table: str) -> int:
+    """``REORG TABLE ... APPLY (PURGE)`` — rewrite ONLY the files that
+    carry deletion vectors, folding the dead positions in, and carry
+    every clean file by identity. After the commit (op ``purge_dv``) the
+    tip has no vectors; older versions keep theirs until ``vacuum``
+    reclaims the sidecars. The read-amplification reset knob: run it
+    when a file's dead fraction makes the read-side anti-join more
+    expensive than one rewrite. No-op (current version) on a clean
+    table."""
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        manifest = _read_manifest(spark, table, versions[-1])
+        card = (manifest.get("dv") or {}).get("cardinality") or {}
+        dirty = [f for f in manifest["files"] if f in card]
+        if not dirty:
+            return versions[-1]
+        carried = [f for f in manifest["files"] if f not in card]
+        schema = StructType.fromJson(manifest["schema"])
+        compacted = _read_data_files(spark, schema, dirty, manifest)
+        new_files = _write_data_files(compacted, table)
+        prev_stats = manifest.get("file_stats") or {}
+        stats_cols = _prev_stats_cols(prev_stats)
+        new_stats = (
+            _collect_file_stats(new_files, stats_cols) if stats_cols else None
+        )
+        file_stats = None
+        if prev_stats:
+            file_stats = {
+                **{f: prev_stats[f] for f in carried if f in prev_stats},
+                **(new_stats or {}),
+            }
+        placeholder = spark.createDataFrame([], schema)
+        try:
+            return _commit(
+                placeholder,
+                table,
+                "purge_dv",
+                carried + new_files,
+                file_stats,
+                expected_version=versions[-1] + 1,
+                dv={"sidecars": [], "cardinality": {}},
+            )
+        except SnapshotConflictError:
+            _delete_files(spark, new_files)
+            continue
+    raise SnapshotConflictError(
+        f"purge_dv on {table} lost 3 consecutive races — retry under lower "
+        f"write concurrency"
+    )
+
+
 def snapshot_clone(
     spark: SparkSession,
     source_table: str,
@@ -1814,7 +2066,7 @@ def snapshot_clone(
         "schema": m["schema"],
         "committed_at_unix": round(time.time(), 3),
     }
-    for key in ("file_stats", "file_blooms", "constraints"):
+    for key in ("file_stats", "file_blooms", "constraints", "dv"):
         if m.get(key):
             manifest[key] = m[key]
     return _try_commit(spark, target_table, manifest, expected_version=1)

@@ -387,3 +387,62 @@ def test_stream_writer_appends_exactly_once(spark, tmp_path):
     w.commit([msg2], last_bid + 1)
     got = sorted((r.k, r.v) for r in snapshot_read(spark, table).collect())
     assert got == [(1, "a"), (2, "b"), (9, "z")]
+
+
+def test_pyds_reads_subtract_deletion_vectors(spark, tmp_path):
+    """The lakesnap DataSource applies deletion vectors at the Arrow
+    layer: batch read equals the engine's snapshot_read, per version."""
+    from bookstore_aws_lakehouse_spark.sources.pyds import (
+        register_snapshot_datasource,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_dv,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    register_snapshot_datasource(spark)
+    table = str(tmp_path / "t")
+    snapshot_overwrite(
+        spark.range(0, 300)
+        .selectExpr("id as k", "cast(id as double) as v")
+        .repartition(4),
+        table,
+    )
+    snapshot_delete_dv(spark, table, "k % 3 = 1")
+    ds = spark.read.format("lakesnap").option("path", table).load()
+    assert ds.count() == 200
+    assert {r.k for r in ds.filter("k < 10").collect()} == {0, 2, 3, 5, 6, 8, 9}
+    # pinned old version through the DS still sees everything
+    ds1 = (
+        spark.read.format("lakesnap")
+        .option("path", table)
+        .option("version", "1")
+        .load()
+    )
+    assert ds1.count() == 300
+    # value-level parity with the engine read path
+    eng = sorted((r.k, r.v) for r in snapshot_read(spark, table).collect())
+    got = sorted((r.k, r.v) for r in ds.collect())
+    assert got == eng
+
+
+def test_stream_reader_refuses_dv_delete_history(spark, tmp_path):
+    """delete_dv is a row-removing op: the append-only streaming contract
+    must refuse a window containing one, exactly like CoW deletes."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import SnapshotStreamReader
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_dv,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(2):
+        snapshot_append(
+            spark.createDataFrame([(i, i)], "k int, v bigint"), table
+        )
+    snapshot_delete_dv(spark, table, "k = 0")  # v3
+    rdr = SnapshotStreamReader({"path": table})
+    with pytest.raises(ValueError, match="append-only"):
+        rdr.partitions({"version": 1}, {"version": 3})

@@ -860,7 +860,7 @@ def test_bloom_index_prunes_point_lookup(spark, table):
     assert m["operation"] == "index"
     assert set(m["file_blooms"]) == set(m["files"])
 
-    kept, all_files, _ = _point_lookup_files(spark, table, "k", 123, None)
+    kept, all_files, _, _m = _point_lookup_files(spark, table, "k", 123, None)
     assert len(all_files) == 4
     assert len(kept) < len(all_files)  # bloom skipped provably-absent files
     got = snapshot_point_lookup(spark, table, "k", 123).collect()
@@ -893,7 +893,7 @@ def test_bloom_index_carried_by_append_new_files_conservative(spark, table):
 
     # value only in the UNindexed appended file: old files bloom-pruned,
     # new file conservatively read
-    kept, all_files, _ = _point_lookup_files(spark, table, "k", 1000, None)
+    kept, all_files, _, _m = _point_lookup_files(spark, table, "k", 1000, None)
     assert len(kept) < len(all_files)
     assert {r.v for r in snapshot_point_lookup(spark, table, "k", 1000).collect()} == {"new"}
     # old value still found (its file's bloom hits; append didn't break it)
@@ -919,10 +919,10 @@ def test_bloom_and_stats_pruning_compose(spark, table):
     )
     snapshot_overwrite(df, table, stats_cols=["k"])
     snapshot_bloom_index(spark, table, "v")
-    kept_v, all_files, _ = _point_lookup_files(spark, table, "v", 37, None)
+    kept_v, all_files, _, _m = _point_lookup_files(spark, table, "v", 37, None)
     assert len(kept_v) < len(all_files)
     # and a k-lookup prunes via the min/max stats with no bloom for k
-    kept_k, _, _ = _point_lookup_files(spark, table, "k", 5, None)
+    kept_k, _, _, _m2 = _point_lookup_files(spark, table, "k", 5, None)
     assert len(kept_k) == 1
 
 
@@ -1033,7 +1033,7 @@ def test_in_lookup_prunes_union_of_files(spark, table):
     snapshot_overwrite(df, table)
     snapshot_bloom_index(spark, table, "k")
     # two needles in different files: plan must keep ~2 files, not 8
-    kept, all_files, _ = _point_lookup_files(spark, table, "k", [10, 390], None)
+    kept, all_files, _, _m = _point_lookup_files(spark, table, "k", [10, 390], None)
     assert len(all_files) == 8
     assert 2 <= len(kept) < len(all_files)
     got = sorted(r.k for r in snapshot_in_lookup(spark, table, "k", [10, 390]).collect())
@@ -1546,3 +1546,169 @@ def test_snapshot_count_matches_scan_per_version(spark, table):
             spark, table, v
         ).count()
     assert snapshot_count(spark, table) == snapshot_read(spark, table).count()
+
+
+# ---- deletion vectors (merge-on-read deletes) -----------------------------
+
+
+def _dv_table(spark, table, n=200, parts=4):
+    snapshot_overwrite(
+        spark.range(0, n)
+        .selectExpr("id as k", "id % 7 as g", "cast(id * 1.5 as double) as v")
+        .repartition(parts),
+        table,
+    )
+
+
+def test_dv_delete_is_merge_on_read(spark, table):
+    """A DV delete removes rows from every read path WITHOUT touching a
+    single data file; time travel to the pre-delete version still sees
+    them; metadata-only COUNT subtracts the recorded cardinality."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_count,
+        snapshot_delete_dv,
+        snapshot_scan,
+    )
+
+    _dv_table(spark, table)
+    before = _read_manifest(spark, table, 1)
+    v = snapshot_delete_dv(spark, table, "k % 10 = 3")
+    m = _read_manifest(spark, table, v)
+    assert sorted(m["files"]) == sorted(before["files"])  # no rewrite
+    assert sum(m["dv"]["cardinality"].values()) == 20
+    assert snapshot_read(spark, table).count() == 180
+    assert snapshot_count(spark, table) == 180
+    assert snapshot_read(spark, table, 1).count() == 200  # time travel
+    got = {r.k for r in snapshot_scan(spark, table, "k", 0, 20).collect()}
+    assert got == set(range(21)) - {3, 13}
+
+
+def test_dv_deletes_compose_without_double_count(spark, table):
+    """Overlapping MoR deletes record each dead position once: the second
+    delete matches against the DV-applied view, so cardinalities add to
+    exactly the distinct dead-row count."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_count,
+        snapshot_delete_dv,
+    )
+
+    _dv_table(spark, table)
+    snapshot_delete_dv(spark, table, "k % 10 = 3")  # 20 rows
+    v = snapshot_delete_dv(spark, table, "k % 5 = 3")  # k%10 in {3,8}: +20
+    m = _read_manifest(spark, table, v)
+    assert sum(m["dv"]["cardinality"].values()) == 40
+    assert snapshot_read(spark, table).count() == 160
+    assert snapshot_count(spark, table) == 160
+
+
+def test_dv_nothing_matched_is_no_commit(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_dv,
+    )
+
+    _dv_table(spark, table)
+    assert snapshot_delete_dv(spark, table, "k > 1000000") == 1
+    # NULL predicate rows never match (SQL DELETE semantics)
+    assert snapshot_delete_dv(spark, table, "cast(null as boolean)") == 1
+
+
+def test_dv_purge_rewrites_only_dirty_files(spark, table):
+    """REORG APPLY (PURGE): clean files are carried by identity, dirty
+    files are rewritten with the vectors folded in, and the tip ends
+    vector-free with identical content."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_count,
+        snapshot_delete_dv,
+        snapshot_purge_dv,
+    )
+
+    _dv_table(spark, table)
+    # delete only low keys so some files stay clean under the range
+    # clustering of repartition? repartition hashes — instead target a
+    # value subset and verify per-file: dirty = files with an entry
+    v = snapshot_delete_dv(spark, table, "k < 25")
+    m = _read_manifest(spark, table, v)
+    dirty = set(m["dv"]["cardinality"])
+    clean = set(m["files"]) - dirty
+    pv = snapshot_purge_dv(spark, table)
+    mp = _read_manifest(spark, table, pv)
+    assert "dv" not in mp
+    assert clean <= set(mp["files"])  # carried by identity
+    assert dirty.isdisjoint(set(mp["files"]))  # rewritten
+    assert snapshot_read(spark, table).count() == 175
+    assert snapshot_count(spark, table) == 175
+    # idempotent no-op on a clean table
+    assert snapshot_purge_dv(spark, table) == pv
+
+
+def test_dv_rewriting_ops_do_not_resurrect(spark, table):
+    """Copy-on-write ops over a DV'd table read through the shared
+    DV-aware path: a CoW range delete, an UPDATE and an OPTIMIZE each
+    preserve the MoR-dead rows' absence, and rewritten files shed their
+    cardinality entries via commit inheritance."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_delete,
+        snapshot_delete_dv,
+        snapshot_optimize,
+        snapshot_update,
+    )
+
+    _dv_table(spark, table)
+    snapshot_delete_dv(spark, table, "k < 10")
+    snapshot_delete(spark, table, "k", 190, 199)  # CoW rewrite
+    assert snapshot_read(spark, table).count() == 180
+    snapshot_update(spark, table, {"v": "v + 0.5"}, where="k = 50")
+    assert snapshot_read(spark, table).count() == 180
+    assert snapshot_read(spark, table).filter("k < 10").count() == 0
+    ov = snapshot_optimize(spark, table, target_file_bytes=1 << 30)
+    mo = _read_manifest(spark, table, ov)
+    assert "dv" not in mo  # update rewrote all files, entries dropped
+    assert snapshot_read(spark, table).count() == 180
+
+
+def test_dv_restore_and_clone_carry_vectors(spark, table, tmp_path):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_clone,
+        snapshot_count,
+        snapshot_delete_dv,
+        snapshot_restore,
+    )
+
+    _dv_table(spark, table)
+    dv_v = snapshot_delete_dv(spark, table, "k % 4 = 0")  # 50 dead
+    snapshot_overwrite(spark.range(3).selectExpr("id as k"), table)
+    rv = snapshot_restore(spark, table, dv_v)
+    assert "dv" in _read_manifest(spark, table, rv)
+    assert snapshot_count(spark, table) == 150
+    clone = str(tmp_path / "dv_clone")
+    snapshot_clone(spark, table, clone)
+    assert snapshot_read(spark, clone).count() == 150
+
+
+def test_dv_vacuum_refcounts_sidecars(spark, table):
+    """Sidecars refcount like data files: referenced by any surviving
+    version → kept; after purge + vacuum to the tip, the bytes are
+    reclaimed on disk."""
+    import glob
+    import os
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_dv,
+        snapshot_purge_dv,
+        vacuum,
+    )
+
+    _dv_table(spark, table)
+    snapshot_delete_dv(spark, table, "k % 2 = 0")
+    vacuum(spark, table, keep_last=1)  # tip still references the sidecars
+    assert glob.glob(os.path.join(table, "_dv", "*", "*.parquet"))
+    assert snapshot_read(spark, table).count() == 100
+    snapshot_purge_dv(spark, table)
+    vacuum(spark, table, keep_last=1)
+    assert not glob.glob(os.path.join(table, "_dv", "*", "*.parquet"))
+    assert snapshot_read(spark, table).count() == 100

@@ -204,7 +204,7 @@ def test_snapshot_sink_maintenance_rebuilds_bloom_index(spark, tmp_path):
     for i in (6, 7):
         sink(batch([(i * ns_day, 1, 0.5, i)]), i)
     key = 6 * ns_day
-    kept, all_files, _ = _point_lookup_files(
+    kept, all_files, _, _m = _point_lookup_files(
         spark, table, "window_start_ns", key, None
     )
     assert len(kept) < len(all_files), (len(kept), len(all_files))
