@@ -2448,3 +2448,89 @@ def q_snapshot_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_column_mapping",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey % 7 AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(1 AS BOOLEAN) AS rename_metadata_only,
+           CAST(1 AS BOOLEAN) AS drop_metadata_only,
+           CAST(1 AS BOOLEAN) AS old_name_travels
+    FROM t
+    GROUP BY bucket
+    """,
+)
+def q_snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema surgery (sources/snapshots.py::
+    snapshot_rename_column / snapshot_drop_column — Delta column
+    mapping, name mode): RENAME and DROP each commit ONE manifest while
+    the data files keep their frozen physical column names; a post-
+    rename append binds by the new LOGICAL name and lands in the same
+    table. Contract booleans the oracle pins TRUE:
+    ``rename_metadata_only`` / ``drop_metadata_only`` (identical file
+    lists across each op — zero data I/O at any scale) and
+    ``old_name_travels`` (time travel to v1 still reads the original
+    column name). Content: the oracle replays base ∪ appended under the
+    renamed column."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_drop_column,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_rename_column,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount"),
+        "o_orderstatus",
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapcm_")
+    try:
+        table = f"{root}/orders_snap"
+        snapshot_overwrite(base.repartition(4), table)
+        v1_files = _read_manifest(spark, table, 1)["files"]
+        rv = snapshot_rename_column(spark, table, "amount", "price")
+        rename_metadata_only = (
+            _read_manifest(spark, table, rv)["files"] == v1_files
+        )
+        dv = snapshot_drop_column(spark, table, "o_orderstatus")
+        drop_metadata_only = _read_manifest(spark, table, dv)["files"] == v1_files
+        snapshot_append(
+            base.filter(F.col("o_orderkey") % 100 == 0).select(
+                "o_orderkey", F.col("amount").alias("price")
+            ),
+            table,
+        )
+        old_name_travels = snapshot_read(spark, table, 1).columns == [
+            "o_orderkey",
+            "amount",
+            "o_orderstatus",
+        ] and snapshot_read(spark, table).columns == ["o_orderkey", "price"]
+        out = snapshot_read(spark, table).groupBy(
+            (F.col("o_orderkey") % 7).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("sum_price"),
+        ).select(
+            "*",
+            F.lit(rename_metadata_only).alias("rename_metadata_only"),
+            F.lit(drop_metadata_only).alias("drop_metadata_only"),
+            F.lit(old_name_travels).alias("old_name_travels"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

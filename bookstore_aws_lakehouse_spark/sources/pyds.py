@@ -81,6 +81,9 @@ def _read_manifest_local(table: str, version: int | None) -> dict:
 @dataclass
 class _FilePartition(InputPartition):
     path: str
+    #: logical column names + logical→physical map (None = raw passthrough)
+    cols: tuple | None = None
+    phys_of: dict | None = None
 
 
 def _bounds_for(filters: Sequence[Filter]) -> dict[str, dict]:
@@ -151,6 +154,12 @@ class SnapshotReader(DataSourceReader):
         self._manifest = _read_manifest_local(
             options["path"], int(version) if version is not None else None
         )
+        # column mapping: files carry physical names; read by physical,
+        # emit logical (stats/bounds stay logical-keyed — no translation)
+        self._phys_of = {
+            c: (self._manifest.get("column_mapping") or {}).get(c, c)
+            for c in schema.fieldNames()
+        }
         self._bounds: dict[str, dict] = {}
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -174,14 +183,18 @@ class SnapshotReader(DataSourceReader):
 
         cols = self._schema.fieldNames()
         pf = pq.ParquetFile(partition.path)
-        present = [c for c in cols if c in pf.schema_arrow.names]
+        present = [
+            self._phys_of[c]
+            for c in cols
+            if self._phys_of[c] in pf.schema_arrow.names
+        ]
         dead = _dead_positions(self._manifest, partition.path)
         offset = 0
         for batch in pf.iter_batches(columns=present):
             n = batch.num_rows
             masked = _mask_dead(batch, dead, offset)
             offset += n
-            yield from _conform(masked, cols)
+            yield from _conform(masked, cols, self._phys_of)
 
 
 def _dead_positions(manifest: dict, local_path: str):
@@ -224,17 +237,21 @@ def _mask_dead(batch, dead, offset: int):
     return batch.filter(keep)
 
 
-def _conform(batch, cols):
+def _conform(batch, cols, phys_of=None):
     """Schema evolution at the Arrow layer: historic files may lack
     columns added later — fill them with nulls and order to the table
-    schema, exactly like ``snapshot_read``'s pinned-schema read."""
+    schema, exactly like ``snapshot_read``'s pinned-schema read. With a
+    column mapping, ``phys_of`` names the physical column each LOGICAL
+    output column reads from (identical for unmapped tables)."""
     import pyarrow as pa
 
-    if batch.schema.names == list(cols):
+    phys_of = phys_of or {}
+    src = [phys_of.get(c, c) for c in cols]
+    if batch.schema.names == list(cols) and src == list(cols):
         yield batch
         return
     arrays = []
-    for c in cols:
+    for c in src:
         if c in batch.schema.names:
             arrays.append(batch.column(batch.schema.names.index(c)))
         else:
@@ -366,13 +383,31 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     f"version {v} is {op!r} — stream from a later "
                     f"startingVersion or keep the table append-only"
                 )
-        end_files = _read_manifest_local(self._table, v1)["files"]
-        return [_FilePartition(_local(f)) for f in end_files if f not in base_files]
+        end_m = _read_manifest_local(self._table, v1)
+        end_schema = StructType.fromJson(end_m["schema"])
+        cols = tuple(end_schema.fieldNames())
+        mapping = end_m.get("column_mapping") or {}
+        phys_of = {c: mapping.get(c, c) for c in cols}
+        return [
+            _FilePartition(_local(f), cols=cols, phys_of=phys_of)
+            for f in end_m["files"]
+            if f not in base_files
+        ]
 
     def read(self, partition: _FilePartition):
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.path).iter_batches()
+        pf = pq.ParquetFile(partition.path)
+        if partition.cols is None:
+            yield from pf.iter_batches()
+            return
+        present = [
+            partition.phys_of[c]
+            for c in partition.cols
+            if partition.phys_of[c] in pf.schema_arrow.names
+        ]
+        for batch in pf.iter_batches(columns=present):
+            yield from _conform(batch, list(partition.cols), partition.phys_of)
 
     def commit(self, end: dict) -> None:
         pass
@@ -405,6 +440,26 @@ class SnapshotWriter(DataSourceArrowWriter):
         self._schema = schema
         self._overwrite = overwrite
         self._tx = f"{self._table.rstrip('/')}/data/tx-{_uuid.uuid4().hex[:12]}"
+        try:
+            tip = _read_manifest_local(self._table, None)
+        except (FileNotFoundError, OSError, ValueError):
+            tip = {}
+        mapping = tip.get("column_mapping") or {}
+        retired = set(tip.get("retired_physical") or [])
+        clash = [
+            c for c in schema.fieldNames() if c not in mapping and c in retired
+        ]
+        if clash:
+            raise ValueError(
+                f"column name(s) {clash} are retired physical names of "
+                f"dropped columns in {self._table}; pick different names"
+            )
+        # files store PHYSICAL names (frozen at column birth)
+        self._physical_renames = {
+            l: p
+            for l, p in mapping.items()
+            if l != p and l in schema.fieldNames()
+        }
 
     def write(self, iterator):
         import uuid as _uuid
@@ -417,6 +472,13 @@ class SnapshotWriter(DataSourceArrowWriter):
         writer = None
         n = 0
         for batch in iterator:
+            if self._physical_renames:
+                batch = batch.rename_columns(
+                    [
+                        self._physical_renames.get(c, c)
+                        for c in batch.schema.names
+                    ]
+                )
             if writer is None:
                 writer = pq.ParquetWriter(path, batch.schema)
             writer.write_table(pa.Table.from_batches([batch]))
@@ -486,6 +548,20 @@ class SnapshotWriter(DataSourceArrowWriter):
                 "committed_at_unix": round(_time.time(), 3),
                 "version": v,
             }
+            if versions:
+                # logical-namespace facts persist across any commit;
+                # per-file facts (stats/blooms/deletion vectors) ride with
+                # the files this commit still references — on append that
+                # is every previous file, on overwrite none
+                for key in ("column_mapping", "retired_physical"):
+                    if tip.get(key):
+                        manifest[key] = tip[key]
+                if not self._overwrite:
+                    for key in ("file_stats", "file_blooms"):
+                        if tip.get(key):
+                            manifest[key] = tip[key]
+                    if tip.get("dv"):
+                        manifest["dv"] = tip["dv"]
             if getattr(self, "_app", None):
                 manifest["app"] = self._app
             try:

@@ -195,6 +195,25 @@ def _write_data_files(df: DataFrame, table: str, subdir: str = _DATA_DIR) -> lis
     repartition) are deleted and excluded — they carry no data but would
     otherwise ride every future manifest as permanently-carried files."""
     spark = df.sparkSession
+    if subdir == _DATA_DIR:
+        # column mapping: files store physical names (frozen at column
+        # birth); a never-renamed column's physical IS its logical name
+        mapping, retired = _tip_column_mapping(spark, table)
+        clash = [
+            c for c in df.columns if c not in mapping and c in set(retired)
+        ]
+        if clash:
+            raise ValueError(
+                f"column name(s) {clash} were DROPPED from {table} and their "
+                f"physical names are retired — reusing the name would "
+                f"resurrect deleted data in historic files; pick a different "
+                f"logical name"
+            )
+        renames = {
+            l: p for l, p in mapping.items() if l != p and l in df.columns
+        }
+        if renames:
+            df = df.withColumnsRenamed(renames)
     tx_dir = f"{table.rstrip('/')}/{subdir}/tx-{uuid.uuid4().hex[:12]}"
     df.write.mode("error").parquet(tx_dir)
     files = _list_parquet_files(spark, tx_dir)
@@ -266,6 +285,9 @@ def _commit(
     app: dict | None = None,
     dv: dict | None = None,
 ) -> int:
+    committed_schema = schema or df.schema
+    column_mapping: dict | None = None
+    retired_physical: list | None = None
     if constraints is None or file_blooms is None or dv is None:
         # one tip read serves both inheritances: constraints are
         # table-level facts every commit carries forward unchanged unless
@@ -304,12 +326,29 @@ def _commit(
                     "sidecars": prev_dv.get("sidecars") or [],
                     "cardinality": inherited_card,
                 }
+        # column mapping rides every commit: entries for logical names
+        # still in the committed schema persist; a name that vanished
+        # (overwrite with a narrower schema) retires its physical so a
+        # later same-named column can't resurrect historic bytes
+        prev_map = tip_m.get("column_mapping") or {}
+        if prev_map or tip_m.get("retired_physical"):
+            names = set(committed_schema.names)
+            column_mapping = {
+                l: p for l, p in prev_map.items() if l in names
+            }
+            retired_physical = list(tip_m.get("retired_physical") or []) + [
+                p for l, p in prev_map.items() if l not in names
+            ]
     manifest = {
         "operation": operation,
         "files": files,
-        "schema": json.loads((schema or df.schema).json()),
+        "schema": json.loads(committed_schema.json()),
         "committed_at_unix": round(time.time(), 3),
     }
+    if column_mapping:
+        manifest["column_mapping"] = column_mapping
+    if retired_physical:
+        manifest["retired_physical"] = retired_physical
     if file_stats:
         manifest["file_stats"] = file_stats
     if file_blooms:
@@ -327,14 +366,18 @@ def _commit(
     return _try_commit(df.sparkSession, table, manifest, expected_version)
 
 
-def _collect_file_stats(files: list[str], columns: list[str]) -> dict | None:
+def _collect_file_stats(
+    files: list[str], columns: list[str], mapping: dict | None = None
+) -> dict | None:
     """Iceberg-style per-file column stats from parquet footers:
     ``{file: {col: [min, max, has_null]}}``, aggregated across row groups
     via pyarrow (metadata-only reads — no data I/O). A column without
     usable stats in some file is simply absent from that file's entry —
     readers treat absence conservatively (file may match anything).
     Returns None when any file is non-local (can't stat cheaply);
-    callers then skip stats entirely."""
+    callers then skip stats entirely. ``columns`` and the returned keys
+    are LOGICAL names; ``mapping`` translates to the physical names the
+    footers carry (column-mapped tables)."""
     try:
         import pyarrow.parquet as pq
     except ImportError:
@@ -350,7 +393,8 @@ def _collect_file_stats(files: list[str], columns: list[str]) -> dict | None:
             return None
         idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
         per_col: dict = {}
-        for column in columns:
+        for logical in columns:
+            column = (mapping or {}).get(logical, logical)
             if column not in idx:
                 continue
             lo = hi = None
@@ -368,7 +412,7 @@ def _collect_file_stats(files: list[str], columns: list[str]) -> dict | None:
                 continue
             if lo is not None and not isinstance(lo, (str, int, float, bool)):
                 continue  # not JSON-portable (dates/binary): skip this col
-            per_col[column] = [lo, hi, has_null]
+            per_col[logical] = [lo, hi, has_null]
         out[uri] = per_col
     return out
 
@@ -391,6 +435,52 @@ def _file_may_contain(stats_row, values: list, want_null: bool) -> bool:
     return False
 
 
+# ---- column mapping: metadata-only RENAME / DROP COLUMN -------------------
+#
+# Delta's column-mapping (name mode) rebuilt on the manifest: every data
+# file stores PHYSICAL column names, the manifest schema stores LOGICAL
+# names, and ``column_mapping`` ({logical: physical}) bridges them. A
+# table starts unmapped (physical == logical, no key); the first RENAME
+# seeds the mapping with identity entries and then renames ONLY the
+# logical side — the physical name is frozen at column birth, so a
+# rename touches one JSON manifest however many exabytes the files hold.
+# DROP removes the logical field and retires its physical name
+# (``retired_physical``) so a later column with the same logical name
+# can never resurrect the old bytes. All other manifest metadata
+# (file_stats, file_blooms, constraints) stays in the LOGICAL namespace
+# — the rename op rewrites those keys in its one manifest write — so
+# every pruning/lookup path reads it unchanged; only the file I/O
+# boundary translates: ``_write_data_files`` renames logical→physical
+# before the write, ``_read_data_files`` reads the physical schema and
+# renames back.
+
+
+def _tip_column_mapping(spark: SparkSession, table: str) -> tuple[dict, list]:
+    """(column_mapping, retired_physical) at the tip; ({}, []) for a new
+    or never-renamed table."""
+    try:
+        versions = list_versions(spark, table)
+        if not versions:
+            return {}, []
+        m = _read_manifest(spark, table, versions[-1])
+    except Exception:
+        return {}, []
+    return m.get("column_mapping") or {}, m.get("retired_physical") or []
+
+
+def _physical_schema(schema: StructType, mapping: dict) -> StructType:
+    if not mapping:
+        return schema
+    return StructType(
+        [
+            StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 def snapshot_overwrite(
     df: DataFrame,
     table: str,
@@ -408,8 +498,11 @@ def snapshot_overwrite(
     e.g. ``df.repartitionByRange(n, col).sortWithinPartitions(col)``) so
     the recorded ranges are actually tight."""
     _validate_constraints(df, _tip_constraints(df.sparkSession, table))
+    mapping, _retired = _tip_column_mapping(df.sparkSession, table)
     files = _write_data_files(df, table)
-    stats = _collect_file_stats(files, stats_cols) if stats_cols else None
+    stats = (
+        _collect_file_stats(files, stats_cols, mapping) if stats_cols else None
+    )
     return _commit(df, table, "overwrite", files, stats, app=app)
 
 
@@ -495,7 +588,9 @@ def snapshot_append(df: DataFrame, table: str, merge_schema: bool = False) -> in
         if stats_cols:
             if stats_cols not in new_stats_cache:
                 new_stats_cache[stats_cols] = _collect_file_stats(
-                    new_files, list(stats_cols)
+                    new_files,
+                    list(stats_cols),
+                    prev_manifest.get("column_mapping") or {},
                 )
             file_stats = {**prev_stats, **(new_stats_cache[stats_cols] or {})}
         nxt = (versions[-1] + 1) if versions else 1
@@ -573,21 +668,29 @@ def _read_data_files(
     strategy (the join stays keyed either way)."""
     if not files:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*files)
+    mapping = manifest.get("column_mapping") or {}
+    df = spark.read.schema(_physical_schema(schema, mapping)).parquet(*files)
     card = (manifest.get("dv") or {}).get("cardinality") or {}
+    back = {p: l for l, p in mapping.items() if p != l}
+
+    def _logical(frame: DataFrame) -> DataFrame:
+        return frame.withColumnsRenamed(back) if back else frame
+
     if not any(f in card for f in files):
-        return df
+        return _logical(df)
     dv = _dv_union_df(spark, manifest)
     if dv is None:
-        return df
+        return _logical(df)
     tagged = df.select(
         "*",
         _dv_norm_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
     cond = (tagged["__dv_file"] == dv["file"]) & (tagged["__dv_pos"] == dv["pos"])
-    return tagged.join(F.broadcast(dv), cond, "left_anti").drop(
-        "__dv_file", "__dv_pos"
+    return _logical(
+        tagged.join(F.broadcast(dv), cond, "left_anti").drop(
+            "__dv_file", "__dv_pos"
+        )
     )
 
 
@@ -985,7 +1088,7 @@ def snapshot_merge_partitioned(
                     table,
                     "merge",
                     files,
-                    _collect_file_stats(files, all_stats_cols),
+                    _collect_file_stats(files, all_stats_cols),  # new table: unmapped
                     expected_version=1,
                 )
             except SnapshotConflictError:
@@ -1009,7 +1112,9 @@ def snapshot_merge_partitioned(
         else:
             merged = df
         new_files = _write_data_files(clustered(merged), table)
-        new_stats = _collect_file_stats(new_files, all_stats_cols)
+        new_stats = _collect_file_stats(
+            new_files, all_stats_cols, manifest.get("column_mapping") or {}
+        )
         file_stats = None
         if new_stats is not None:
             # carried files keep their stats; absent entries stay conservative
@@ -1131,7 +1236,9 @@ def snapshot_delete(
             new_files = _write_data_files(survivors, table)
             stats_cols = _prev_stats_cols(prev_stats)
             if stats_cols:
-                new_stats = _collect_file_stats(new_files, stats_cols)
+                new_stats = _collect_file_stats(
+                    new_files, stats_cols, manifest.get("column_mapping") or {}
+                )
         file_stats = None
         if prev_stats:
             file_stats = {
@@ -1210,7 +1317,11 @@ def snapshot_optimize(
         new_files = _write_data_files(packed, table)
         stats_cols = _prev_stats_cols(prev_stats)
         new_stats = (
-            _collect_file_stats(new_files, stats_cols) if stats_cols else None
+            _collect_file_stats(
+                new_files, stats_cols, manifest.get("column_mapping") or {}
+            )
+            if stats_cols
+            else None
         )
         file_stats = None
         if prev_stats:
@@ -1353,7 +1464,8 @@ def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
     }
     if m.get("file_stats"):
         manifest["file_stats"] = m["file_stats"]
-    for key in ("file_blooms", "dv", "constraints"):
+    for key in ("file_blooms", "dv", "constraints", "column_mapping",
+                "retired_physical"):
         # per-file facts (blooms, deletion vectors) travel with the
         # restored file list; constraints are part of the restored state
         if m.get(key):
@@ -1577,11 +1689,15 @@ def snapshot_bloom_index(
         raise ValueError(f"column {column!r} not in table schema {schema.names}")
     files = manifest["files"]
     blooms = dict(manifest.get("file_blooms") or {})
+    mapping = manifest.get("column_mapping") or {}
     if files:
         scan = (
-            spark.read.schema(schema)
+            spark.read.schema(_physical_schema(schema, mapping))
             .parquet(*files)
-            .select(F.input_file_name().alias("_f"), F.col(column).alias("_v"))
+            .select(
+                F.input_file_name().alias("_f"),
+                F.col(mapping.get(column, column)).alias("_v"),
+            )
             .where(F.col("_v").isNotNull())
         )
         per_file = (
@@ -1805,13 +1921,171 @@ def snapshot_drop_constraint(spark: SparkSession, table: str, name: str) -> int:
         "schema": manifest["schema"],
         "committed_at_unix": round(time.time(), 3),
     }
-    if manifest.get("file_stats"):
-        manifest2["file_stats"] = manifest["file_stats"]
-    if manifest.get("file_blooms"):
-        manifest2["file_blooms"] = manifest["file_blooms"]
+    for key in ("file_stats", "file_blooms", "dv", "column_mapping",
+                "retired_physical"):
+        if manifest.get(key):
+            manifest2[key] = manifest[key]
     if active:
         manifest2["constraints"] = active
     return _try_commit(spark, table, manifest2, expected_version=tip + 1)
+
+
+def _constraints_referencing(constraints: dict, col: str) -> list[str]:
+    import re as _re
+
+    pat = _re.compile(rf"(?<![A-Za-z0-9_]){_re.escape(col)}(?![A-Za-z0-9_])",
+                      _re.IGNORECASE)
+    return sorted(n for n, expr in (constraints or {}).items() if pat.search(expr))
+
+
+def snapshot_rename_column(
+    spark: SparkSession, table: str, old: str, new: str
+) -> int:
+    """``ALTER TABLE t RENAME COLUMN old TO new`` as a METADATA-ONLY
+    commit (Delta column mapping, name mode): data files keep the column
+    under its physical name — frozen at column birth — and only the
+    manifest's logical schema and ``column_mapping`` change, so the op
+    is one JSON write at any table size. Writers translate
+    logical→physical before writing; readers translate back; stats and
+    bloom keys are rewritten to the new logical name in the same commit
+    (the manifest metadata namespace is logical). Renaming a column a
+    CHECK constraint references is refused — the stored expression would
+    silently stop binding (drop the constraint first, re-add against the
+    new name)."""
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        tip = versions[-1]
+        manifest = _read_manifest(spark, table, tip)
+        schema = StructType.fromJson(manifest["schema"])
+        if old not in schema.names:
+            raise ValueError(f"no column {old!r} in {table} ({schema.names})")
+        if new in schema.names:
+            raise ValueError(f"column {new!r} already exists in {table}")
+        mapping = dict(manifest.get("column_mapping") or {})
+        retired = list(manifest.get("retired_physical") or [])
+        phys_in_use = {mapping.get(f.name, f.name) for f in schema.fields}
+        if new in (phys_in_use - {mapping.get(old, old)}) or new in retired:
+            raise ValueError(
+                f"logical name {new!r} collides with a physical column name "
+                f"in {table}'s data files — pick a different name"
+            )
+        refs = _constraints_referencing(manifest.get("constraints"), old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) {refs} "
+                f"— drop them before renaming, then re-add against {new!r}"
+            )
+        # first rename seeds identity entries so every column's physical
+        # name is explicit from here on
+        if not mapping:
+            mapping = {f.name: f.name for f in schema.fields}
+        mapping[new] = mapping.pop(old, old)
+        fields = [
+            StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+        manifest2 = {
+            "operation": "rename_column",
+            "renamed": {"from": old, "to": new},
+            "files": manifest["files"],
+            "schema": json.loads(StructType(fields).json()),
+            "committed_at_unix": round(time.time(), 3),
+            "column_mapping": mapping,
+        }
+        if retired:
+            manifest2["retired_physical"] = retired
+        # manifest metadata is logical-keyed: move old → new in place
+        stats = manifest.get("file_stats")
+        if stats:
+            manifest2["file_stats"] = {
+                f: {(new if c == old else c): v for c, v in per.items()}
+                for f, per in stats.items()
+            }
+        blooms = manifest.get("file_blooms")
+        if blooms:
+            manifest2["file_blooms"] = {
+                f: {(new if c == old else c): v for c, v in per.items()}
+                for f, per in blooms.items()
+            }
+        for key in ("constraints", "dv"):
+            if manifest.get(key):
+                manifest2[key] = manifest[key]
+        try:
+            return _try_commit(spark, table, manifest2, expected_version=tip + 1)
+        except SnapshotConflictError:
+            continue
+    raise SnapshotConflictError(
+        f"rename_column on {table} lost 3 consecutive races"
+    )
+
+
+def snapshot_drop_column(spark: SparkSession, table: str, col: str) -> int:
+    """``ALTER TABLE t DROP COLUMN col`` as a METADATA-ONLY commit: the
+    logical field leaves the schema and its physical name is RETIRED —
+    the bytes stay in the files (parquet column pruning means they are
+    never read again; a rewrite op like OPTIMIZE sheds them physically),
+    and a future column may reuse the logical name only if it never
+    served as a physical name (`retired_physical` guard in the write
+    path), so historic data can't resurrect under a re-added column.
+    Refused while a CHECK constraint references the column."""
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        tip = versions[-1]
+        manifest = _read_manifest(spark, table, tip)
+        schema = StructType.fromJson(manifest["schema"])
+        if col not in schema.names:
+            raise ValueError(f"no column {col!r} in {table} ({schema.names})")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop a table's only column")
+        refs = _constraints_referencing(manifest.get("constraints"), col)
+        if refs:
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint(s) {refs} "
+                f"— drop them first"
+            )
+        mapping = dict(manifest.get("column_mapping") or {})
+        if not mapping:
+            mapping = {f.name: f.name for f in schema.fields}
+        phys = mapping.pop(col, col)
+        retired = list(manifest.get("retired_physical") or []) + [phys]
+        fields = [f for f in schema.fields if f.name != col]
+        manifest2 = {
+            "operation": "drop_column",
+            "dropped": col,
+            "files": manifest["files"],
+            "schema": json.loads(StructType(fields).json()),
+            "committed_at_unix": round(time.time(), 3),
+            "column_mapping": mapping,
+            "retired_physical": retired,
+        }
+        stats = manifest.get("file_stats")
+        if stats:
+            manifest2["file_stats"] = {
+                f: {c: v for c, v in per.items() if c != col}
+                for f, per in stats.items()
+            }
+        blooms = manifest.get("file_blooms")
+        if blooms:
+            manifest2["file_blooms"] = {
+                f: {c: v for c, v in per.items() if c != col}
+                for f, per in blooms.items()
+            }
+        for key in ("constraints", "dv"):
+            if manifest.get(key):
+                manifest2[key] = manifest[key]
+        try:
+            return _try_commit(spark, table, manifest2, expected_version=tip + 1)
+        except SnapshotConflictError:
+            continue
+    raise SnapshotConflictError(
+        f"drop_column on {table} lost 3 consecutive races"
+    )
 
 
 def snapshot_delete_where(
@@ -1919,12 +2193,24 @@ def snapshot_delete_dv(
         if not files:
             return versions[-1]
         # scan WITH row positions, existing vectors already subtracted —
-        # a row deleted twice must not be recorded twice
-        tagged = spark.read.schema(schema).parquet(*files).select(
-            "*",
-            _dv_norm_path_expr(F.col("_metadata.file_path")).alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_pos"),
+        # a row deleted twice must not be recorded twice. Column-mapped
+        # tables read by PHYSICAL name and rename back so the user's
+        # predicate binds to logical columns.
+        mapping = manifest.get("column_mapping") or {}
+        back = {p: l for l, p in mapping.items() if p != l}
+        tagged = (
+            spark.read.schema(_physical_schema(schema, mapping))
+            .parquet(*files)
+            .select(
+                "*",
+                _dv_norm_path_expr(F.col("_metadata.file_path")).alias(
+                    "__dv_file"
+                ),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
         )
+        if back:
+            tagged = tagged.withColumnsRenamed(back)
         prior = _dv_union_df(spark, manifest)
         if prior is not None:
             cond = (tagged["__dv_file"] == prior["file"]) & (
@@ -2001,7 +2287,11 @@ def snapshot_purge_dv(spark: SparkSession, table: str) -> int:
         prev_stats = manifest.get("file_stats") or {}
         stats_cols = _prev_stats_cols(prev_stats)
         new_stats = (
-            _collect_file_stats(new_files, stats_cols) if stats_cols else None
+            _collect_file_stats(
+                new_files, stats_cols, manifest.get("column_mapping") or {}
+            )
+            if stats_cols
+            else None
         )
         file_stats = None
         if prev_stats:
@@ -2066,7 +2356,8 @@ def snapshot_clone(
         "schema": m["schema"],
         "committed_at_unix": round(time.time(), 3),
     }
-    for key in ("file_stats", "file_blooms", "constraints", "dv"):
+    for key in ("file_stats", "file_blooms", "constraints", "dv",
+                "column_mapping", "retired_physical"):
         if m.get(key):
             manifest[key] = m[key]
     return _try_commit(spark, target_table, manifest, expected_version=1)

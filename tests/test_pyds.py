@@ -446,3 +446,47 @@ def test_stream_reader_refuses_dv_delete_history(spark, tmp_path):
     rdr = SnapshotStreamReader({"path": table})
     with pytest.raises(ValueError, match="append-only"):
         rdr.partitions({"version": 1}, {"version": 3})
+
+
+def test_pyds_roundtrips_column_mapping_and_facts(spark, tmp_path):
+    """Mapped tables through the DataSource: reads translate
+    physical→logical at the Arrow layer; a DS append writes physical
+    names and carries the tip's per-file facts (stats/dv) and the
+    mapping forward instead of silently dropping them."""
+    from bookstore_aws_lakehouse_spark.sources.pyds import (
+        register_snapshot_datasource,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        list_versions,
+        snapshot_delete_dv,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_rename_column,
+    )
+
+    register_snapshot_datasource(spark)
+    table = str(tmp_path / "t")
+    snapshot_overwrite(
+        spark.range(0, 100).selectExpr("id as k", "cast(id as double) as amount"),
+        table,
+        stats_cols=["k"],
+    )
+    snapshot_rename_column(spark, table, "amount", "price")
+    snapshot_delete_dv(spark, table, "price < 10")
+    ds = spark.read.format("lakesnap").option("path", table).load()
+    assert ds.columns == ["k", "price"]
+    assert ds.count() == 90 and ds.filter("price < 10").count() == 0
+    (
+        spark.range(100, 110)
+        .selectExpr("id as k", "cast(id as double) as price")
+        .write.format("lakesnap")
+        .mode("append")
+        .option("path", table)
+        .save()
+    )
+    m = _read_manifest(spark, table, list_versions(spark, table)[-1])
+    assert m["column_mapping"]["price"] == "amount"
+    assert m.get("dv") and m.get("file_stats")
+    got = snapshot_read(spark, table)
+    assert got.count() == 100 and got.filter("price < 10").count() == 0

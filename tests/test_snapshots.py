@@ -1712,3 +1712,168 @@ def test_dv_vacuum_refcounts_sidecars(spark, table):
     vacuum(spark, table, keep_last=1)
     assert not glob.glob(os.path.join(table, "_dv", "*", "*.parquet"))
     assert snapshot_read(spark, table).count() == 100
+
+
+# ---- column mapping: metadata-only RENAME / DROP COLUMN -------------------
+
+
+def test_rename_column_is_metadata_only(spark, table):
+    """RENAME touches one manifest: identical file list, logical reads
+    under the new name, time travel keeps the old name, and stats keys
+    follow the rename so pruning still works."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_rename_column,
+        snapshot_scan,
+    )
+
+    snapshot_overwrite(
+        spark.range(0, 100)
+        .selectExpr("id as k", "cast(id as double) as amount")
+        .repartition(2),
+        table,
+        stats_cols=["k", "amount"],
+    )
+    v1_files = _read_manifest(spark, table, 1)["files"]
+    v = snapshot_rename_column(spark, table, "amount", "price")
+    m = _read_manifest(spark, table, v)
+    assert m["files"] == v1_files  # not a single byte of data moved
+    assert m["column_mapping"]["price"] == "amount"
+    got = snapshot_read(spark, table)
+    assert got.columns == ["k", "price"]
+    assert got.agg(F.sum("price")).head()[0] == 4950.0
+    assert snapshot_read(spark, table, 1).columns == ["k", "amount"]
+    # stats keys moved to the logical namespace's new name
+    assert all("price" in per for per in m["file_stats"].values())
+    rows = {r.k for r in snapshot_scan(spark, table, "price", 0.0, 4.0).collect()}
+    assert rows == {0, 1, 2, 3, 4}
+
+
+def test_rename_column_roundtrips_writes(spark, table):
+    """Writes after a rename use the logical name; the files carry the
+    frozen physical name; merge + update + append all bind logically."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge,
+        snapshot_rename_column,
+        snapshot_update,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, amount double"),
+        table,
+    )
+    snapshot_rename_column(spark, table, "amount", "price")
+    snapshot_append(
+        spark.createDataFrame([(3, 30.0)], "k int, price double"), table
+    )
+    snapshot_merge(
+        spark.createDataFrame([(2, 99.0), (4, 40.0)], "k int, price double"),
+        table,
+        key_cols=["k"],
+    )
+    snapshot_update(spark, table, {"price": "price + 1.0"}, where="k = 1")
+    got = {r.k: r.price for r in snapshot_read(spark, table).collect()}
+    assert got == {1: 11.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    # physical layer: every data file stores the birth name 'amount'
+    import pyarrow.parquet as pq
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import _read_manifest
+
+    vs = sorted(
+        int(p.split("v")[-1].split(".")[0])
+        for p in __import__("os").listdir(f"{table}/_manifests")
+    )
+    for f in _read_manifest(spark, table, vs[-1])["files"]:
+        path = f[5:] if f.startswith("file:") else f
+        assert "amount" in pq.ParquetFile(path).schema_arrow.names
+
+
+def test_rename_refuses_constrained_and_colliding_names(spark, table):
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_add_constraint,
+        snapshot_rename_column,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0)], "k int, amount double"), table
+    )
+    snapshot_add_constraint(spark, table, "pos", "amount >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        snapshot_rename_column(spark, table, "amount", "price")
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_drop_constraint,
+    )
+
+    snapshot_drop_constraint(spark, table, "pos")
+    snapshot_rename_column(spark, table, "amount", "price")
+    # renaming k to the RETIRED-or-physical name of another column refused
+    with pytest.raises(ValueError, match="collides"):
+        snapshot_rename_column(spark, table, "k", "amount")
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_rename_column(spark, table, "k", "price")
+
+
+def test_drop_column_retires_physical_name(spark, table):
+    """DROP is metadata-only; re-adding the same logical name is refused
+    (it would resurrect historic bytes) in BOTH write paths."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import (
+        register_snapshot_datasource,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_drop_column,
+    )
+
+    register_snapshot_datasource(spark)
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0, "x")], "k int, amount double, tag string"),
+        table,
+    )
+    v1_files = _read_manifest(spark, table, 1)["files"]
+    v = snapshot_drop_column(spark, table, "tag")
+    m = _read_manifest(spark, table, v)
+    assert m["files"] == v1_files
+    assert "tag" in m["retired_physical"]
+    assert snapshot_read(spark, table).columns == ["k", "amount"]
+    with pytest.raises(ValueError, match="retired|DROPPED"):
+        snapshot_append(
+            spark.createDataFrame([(2, 1.0, "y")], "k int, amount double, tag string"),
+            table,
+            merge_schema=True,
+        )
+    with pytest.raises(Exception, match="retired"):
+        (
+            spark.createDataFrame([(2, 1.0, "y")], "k int, amount double, tag string")
+            .write.format("lakesnap")
+            .mode("append")
+            .option("path", table)
+            .save()
+        )
+
+
+def test_drop_constraint_preserves_dv_and_mapping(spark, table):
+    """Regression: the hand-built set_constraint manifest must carry the
+    dv/mapping keys — dropping a constraint must not resurrect
+    MoR-deleted rows or forget renames."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_add_constraint,
+        snapshot_delete_dv,
+        snapshot_drop_constraint,
+        snapshot_rename_column,
+    )
+
+    snapshot_overwrite(
+        spark.range(0, 50).selectExpr("id as k", "cast(id as double) as amount"),
+        table,
+    )
+    snapshot_rename_column(spark, table, "amount", "price")
+    snapshot_delete_dv(spark, table, "k < 5")
+    snapshot_add_constraint(spark, table, "pos", "k >= 0")
+    snapshot_drop_constraint(spark, table, "pos")
+    got = snapshot_read(spark, table)
+    assert got.columns == ["k", "price"]
+    assert got.count() == 45
