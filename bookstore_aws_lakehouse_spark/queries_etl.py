@@ -2534,3 +2534,64 @@ def q_snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_convert_in_place",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(1 AS BOOLEAN) AS zero_copy,
+           CAST(1 AS BOOLEAN) AS acid_after_convert
+    FROM orders
+    WHERE NOT (o_orderkey % 4 = 1)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_snapshot_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO the snapshot format in place (sources/snapshots.py::
+    snapshot_convert — the ``CONVERT TO DELTA`` analog): a plain parquet
+    directory becomes an ACID table whose v1 references the existing
+    files where they sit — the 100 TB migration costs O(files) metadata,
+    zero data bytes. ``zero_copy`` pins that the directory's parquet
+    files are untouched after conversion AND after a follow-up
+    merge-on-read delete (DVs never rewrite); ``acid_after_convert``
+    pins that time travel to v1 still sees every original row. Content:
+    the post-delete complement, replayed by the oracle."""
+    import os as _os
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_convert,
+        snapshot_delete_dv,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="blhs_snapconv_")
+    try:
+        plain = f"{root}/orders_plain"
+        base.repartition(4).write.parquet(plain)
+        listing = sorted(
+            p for p in _os.listdir(plain) if p.endswith(".parquet")
+        )
+        n_total = base.count()
+        snapshot_convert(spark, plain)
+        snapshot_delete_dv(spark, plain, "o_orderkey % 4 = 1")
+        zero_copy = listing == sorted(
+            p for p in _os.listdir(plain) if p.endswith(".parquet")
+        )
+        acid_after_convert = (
+            snapshot_read(spark, plain, 1).count() == n_total
+        )
+        out = snapshot_read(spark, plain).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders")
+        ).select(
+            "*",
+            F.lit(zero_copy).alias("zero_copy"),
+            F.lit(acid_after_convert).alias("acid_after_convert"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

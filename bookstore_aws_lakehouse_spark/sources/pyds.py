@@ -320,6 +320,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # DS options arrive case-insensitively (lowercased keys)
         start = options.get("startingversion", options.get("startingVersion"))
         self._start = int(start) if start is not None else 0
+        # maxVersionsPerTrigger: steady-state back-pressure (Delta's
+        # maxFilesPerTrigger shape, in commit units). The cap anchors to
+        # the first observed tip rather than the checkpointed offset —
+        # latestOffset() receives no start in this API, and capping
+        # below an unknown committed offset could make the engine record
+        # a REGRESSED offset and re-emit data — so the first trigger
+        # after (re)start is uncapped and every later trigger admits at
+        # most N new versions. Monotonic by construction: never unsafe.
+        cap = options.get("maxversionspertrigger")
+        self._max_versions = int(cap) if cap is not None else None
+        self._last_end: int | None = None
 
     def _versions(self) -> list[int]:
         mdir = os.path.join(_local(self._table), "_manifests")
@@ -334,7 +345,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         vs = self._versions()
-        return {"version": vs[-1] if vs else self._start}
+        tip = vs[-1] if vs else self._start
+        if self._max_versions is not None and self._last_end is not None:
+            tip = min(tip, self._last_end + self._max_versions)
+        self._last_end = max(tip, self._last_end or self._start)
+        return {"version": tip}
 
     def partitions(self, start: dict, end: dict):
         v0, v1 = start["version"], end["version"]
@@ -410,7 +425,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
             yield from _conform(batch, list(partition.cols), partition.phys_of)
 
     def commit(self, end: dict) -> None:
-        pass
+        v = end.get("version")
+        if v is not None:
+            self._last_end = max(v, self._last_end or v)
 
 
 # ---- batch writer: df.write.format("lakesnap") ----------------------------

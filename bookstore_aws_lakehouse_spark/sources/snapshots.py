@@ -481,6 +481,38 @@ def _physical_schema(schema: StructType, mapping: dict) -> StructType:
     )
 
 
+def snapshot_convert(
+    spark: SparkSession,
+    directory: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """``CONVERT TO DELTA`` analog: turn an EXISTING parquet directory
+    into a snapshot table IN PLACE — v1's manifest references the
+    directory's current files where they already sit; not one data byte
+    is read or copied (stats, if requested, are footer-only reads). The
+    100 TB migration path: a plain parquet lake becomes ACID/time-
+    travel/DV-capable in O(files) metadata work. After conversion the
+    directory IS the table root: subsequent commits write under
+    ``data/tx-*`` beside the original files, and vacuum's ownership
+    guard covers both (everything lives under the root). The schema is
+    taken from the files (one Spark schema inference over the file
+    list); refuses a directory already holding a commit log."""
+    files = _list_parquet_files(spark, directory)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {directory}")
+    try:
+        if list_versions(spark, directory):
+            raise ValueError(
+                f"{directory} is already a snapshot table — CONVERT is for "
+                f"plain parquet directories"
+            )
+    except FileNotFoundError:
+        pass
+    df = spark.read.parquet(*files)
+    stats = _collect_file_stats(files, stats_cols) if stats_cols else None
+    return _commit(df, directory, "convert", files, stats, expected_version=1)
+
+
 def snapshot_overwrite(
     df: DataFrame,
     table: str,

@@ -490,3 +490,74 @@ def test_pyds_roundtrips_column_mapping_and_facts(spark, tmp_path):
     assert m.get("dv") and m.get("file_stats")
     got = snapshot_read(spark, table)
     assert got.count() == 100 and got.filter("price < 10").count() == 0
+
+
+def test_stream_reader_max_versions_per_trigger(spark, tmp_path):
+    """Back-pressure contract: the first trigger is uncapped (anchoring —
+    the API exposes no committed start, so capping below it could
+    regress offsets), then each trigger admits at most N new versions."""
+    from bookstore_aws_lakehouse_spark.sources.pyds import SnapshotStreamReader
+
+    table = str(tmp_path / "t")
+    for i in range(6):  # v1..v6
+        snapshot_append(
+            spark.createDataFrame([(i, i)], "k int, v bigint"), table
+        )
+    rdr = SnapshotStreamReader(
+        {"path": table, "maxversionspertrigger": "2"}
+    )
+    assert rdr.initialOffset() == {"version": 0}
+    assert rdr.latestOffset() == {"version": 6}  # first: uncapped anchor
+    for i in range(6, 9):  # v7..v9 arrive while the stream runs
+        snapshot_append(
+            spark.createDataFrame([(i, i)], "k int, v bigint"), table
+        )
+    assert rdr.latestOffset() == {"version": 8}  # 6 + 2
+    assert rdr.latestOffset() == {"version": 9}  # clamped to the tip
+    rdr.commit({"version": 9})
+    assert rdr.latestOffset() == {"version": 9}  # idle: no phantom offsets
+    # uncapped reader unaffected
+    rdr2 = SnapshotStreamReader({"path": table})
+    assert rdr2.latestOffset() == {"version": 9}
+
+
+def test_snapshot_convert_in_place(spark, tmp_path):
+    """CONVERT TO: a plain parquet directory becomes a snapshot table
+    referencing its existing files in place — zero data copied; later
+    commits coexist under the same root; refuses double conversion."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_convert,
+        snapshot_delete_dv,
+        snapshot_read,
+    )
+
+    plain = str(tmp_path / "plain")
+    spark.range(0, 100).selectExpr("id as k", "cast(id as double) as v").coalesce(
+        2
+    ).write.parquet(plain)
+    before = sorted(
+        p for p in __import__("os").listdir(plain) if p.endswith(".parquet")
+    )
+    v = snapshot_convert(spark, plain, stats_cols=["k"])
+    assert v == 1
+    after = sorted(
+        p for p in __import__("os").listdir(plain) if p.endswith(".parquet")
+    )
+    assert before == after  # nothing copied or moved
+    assert snapshot_read(spark, plain).count() == 100
+    assert _read_manifest(spark, plain, 1)["operation"] == "convert"
+    assert all("k" in per for per in _read_manifest(spark, plain, 1)[
+        "file_stats"
+    ].values())
+    with pytest.raises(ValueError, match="already"):
+        snapshot_convert(spark, plain)
+    # the converted table is a full citizen: MoR delete works on the
+    # original in-place files
+    snapshot_delete_dv(spark, plain, "k < 10")
+    assert snapshot_read(spark, plain).count() == 90
+    assert before == sorted(
+        p for p in __import__("os").listdir(plain) if p.endswith(".parquet")
+    )
