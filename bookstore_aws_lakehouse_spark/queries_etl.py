@@ -2595,3 +2595,76 @@ def q_snapshot_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_idempotent_append",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderkey % 5 AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(1 AS BOOLEAN) AS replay_noop,
+           CAST(1 AS BOOLEAN) AS watermark_survives_vacuum
+    FROM t
+    GROUP BY bucket
+    """,
+)
+def q_snapshot_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent writer protocol (sources/snapshots.py::snapshot_append
+    txn_app_id/txn_version — Delta's txnAppId/txnVersion): a retried or
+    replayed (app, version) append applies AT MOST ONCE. The delta is
+    appended, then REPLAYED twice (same and lower version) —
+    ``replay_noop`` pins that neither replay changed the table; then
+    VACUUM drops all history and a third replay still no-ops
+    (``watermark_survives_vacuum``: the watermark rides the tip
+    manifest, so retention can't forget it — the failure mode of
+    log-scan dedup). Content: base ∪ one delta, replayed by the
+    oracle."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+        vacuum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    delta = base.filter(F.col("o_orderkey") % 50 == 0)
+    root = tempfile.mkdtemp(prefix="blhs_snaptxn_")
+    try:
+        table = f"{root}/orders_snap"
+        snapshot_overwrite(base.repartition(4), table)
+        n_expected = base.count() + delta.count()
+        snapshot_append(delta, table, txn_app_id="loader", txn_version=1)
+        snapshot_append(delta, table, txn_app_id="loader", txn_version=1)
+        snapshot_append(delta, table, txn_app_id="loader", txn_version=0)
+        replay_noop = snapshot_read(spark, table).count() == n_expected
+        vacuum(spark, table, keep_last=1)
+        snapshot_append(delta, table, txn_app_id="loader", txn_version=1)
+        watermark_survives_vacuum = (
+            snapshot_read(spark, table).count() == n_expected
+        )
+        out = snapshot_read(spark, table).groupBy(
+            (F.col("o_orderkey") % 5).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("sum_price"),
+        ).select(
+            "*",
+            F.lit(replay_noop).alias("replay_noop"),
+            F.lit(watermark_survives_vacuum).alias("watermark_survives_vacuum"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -284,8 +284,10 @@ def _commit(
     constraints: dict | None = None,
     app: dict | None = None,
     dv: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     committed_schema = schema or df.schema
+    txn_map: dict = {}
     column_mapping: dict | None = None
     retired_physical: list | None = None
     if constraints is None or file_blooms is None or dv is None:
@@ -330,6 +332,10 @@ def _commit(
         # still in the committed schema persist; a name that vanished
         # (overwrite with a narrower schema) retires its physical so a
         # later same-named column can't resurrect historic bytes
+        # idempotent-writer watermarks ride the TIP (not the whole log):
+        # one manifest read answers "was (app, version) already applied",
+        # and vacuum dropping old manifests can't forget a watermark
+        txn_map = dict(tip_m.get("txn") or {})
         prev_map = tip_m.get("column_mapping") or {}
         if prev_map or tip_m.get("retired_physical"):
             names = set(committed_schema.names)
@@ -345,6 +351,11 @@ def _commit(
         "schema": json.loads(committed_schema.json()),
         "committed_at_unix": round(time.time(), 3),
     }
+    if txn is not None:
+        app_id, v = txn
+        txn_map[app_id] = max(int(v), int(txn_map.get(app_id, v)))
+    if txn_map:
+        manifest["txn"] = txn_map
     if column_mapping:
         manifest["column_mapping"] = column_mapping
     if retired_physical:
@@ -573,7 +584,13 @@ def _merged_append_schema(
     return StructType(fields)
 
 
-def snapshot_append(df: DataFrame, table: str, merge_schema: bool = False) -> int:
+def snapshot_append(
+    df: DataFrame,
+    table: str,
+    merge_schema: bool = False,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> int:
     """Append: new version = previous version's files ∪ this commit's.
     No read or rewrite of existing data — O(delta) like Delta's append.
     Conflict-safe: the data files are written once; if a racing writer
@@ -586,8 +603,28 @@ def snapshot_append(df: DataFrame, table: str, merge_schema: bool = False) -> in
     ``snapshot_read`` pins the manifest schema, so historic files read
     back NULL for them with no rewrite), and type changes always raise.
     Active CHECK constraints validate against the delta before any file
-    is written."""
+    is written.
+
+    Idempotent writes (Delta's ``txnAppId``/``txnVersion``): with
+    ``txn_app_id`` + ``txn_version``, the append is applied AT MOST ONCE
+    per (app, version) — a retry after an ambiguous failure, or a
+    restarted job re-running a completed step, sees the watermark and
+    no-ops (returns the current version, writes nothing). Watermarks
+    live in the TIP manifest and are carried forward by every commit
+    (``_commit``), so one metadata read answers the check and VACUUM
+    can never forget a watermark. Versions must be monotonically
+    increasing per app id."""
     spark = df.sparkSession
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
+    if txn_app_id is not None:
+        versions0 = list_versions(spark, table)
+        if versions0:
+            seen = (
+                _read_manifest(spark, table, versions0[-1]).get("txn") or {}
+            )
+            if int(seen.get(txn_app_id, -1)) >= int(txn_version):
+                return versions0[-1]  # already applied: exactly-once no-op
     _validate_constraints(df, _tip_constraints(spark, table))
     new_files = _write_data_files(df, table)
     new_stats_cache: dict[tuple[str, ...], dict | None] = {}
@@ -625,6 +662,13 @@ def snapshot_append(df: DataFrame, table: str, merge_schema: bool = False) -> in
                     prev_manifest.get("column_mapping") or {},
                 )
             file_stats = {**prev_stats, **(new_stats_cache[stats_cols] or {})}
+        if txn_app_id is not None:
+            seen = prev_manifest.get("txn") or {}
+            if int(seen.get(txn_app_id, -1)) >= int(txn_version):
+                # a racer (same app) applied this version while we wrote:
+                # reclaim our files and report the tip — still at-most-once
+                _delete_files(spark, new_files)
+                return versions[-1]
         nxt = (versions[-1] + 1) if versions else 1
         try:
             return _commit(
@@ -634,6 +678,9 @@ def snapshot_append(df: DataFrame, table: str, merge_schema: bool = False) -> in
                 # bloom entry (snapshot_bloom_index) stays valid verbatim;
                 # this commit's files simply have none yet (conservative)
                 file_blooms=prev_manifest.get("file_blooms"),
+                txn=(txn_app_id, int(txn_version))
+                if txn_app_id is not None
+                else None,
             )
         except SnapshotConflictError:
             continue
@@ -1497,7 +1544,7 @@ def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
     if m.get("file_stats"):
         manifest["file_stats"] = m["file_stats"]
     for key in ("file_blooms", "dv", "constraints", "column_mapping",
-                "retired_physical"):
+                "retired_physical", "txn"):
         # per-file facts (blooms, deletion vectors) travel with the
         # restored file list; constraints are part of the restored state
         if m.get(key):
@@ -1954,7 +2001,7 @@ def snapshot_drop_constraint(spark: SparkSession, table: str, name: str) -> int:
         "committed_at_unix": round(time.time(), 3),
     }
     for key in ("file_stats", "file_blooms", "dv", "column_mapping",
-                "retired_physical"):
+                "retired_physical", "txn"):
         if manifest.get(key):
             manifest2[key] = manifest[key]
     if active:
@@ -2043,7 +2090,7 @@ def snapshot_rename_column(
                 f: {(new if c == old else c): v for c, v in per.items()}
                 for f, per in blooms.items()
             }
-        for key in ("constraints", "dv"):
+        for key in ("constraints", "dv", "txn"):
             if manifest.get(key):
                 manifest2[key] = manifest[key]
         try:
@@ -2108,7 +2155,7 @@ def snapshot_drop_column(spark: SparkSession, table: str, col: str) -> int:
                 f: {c: v for c, v in per.items() if c != col}
                 for f, per in blooms.items()
             }
-        for key in ("constraints", "dv"):
+        for key in ("constraints", "dv", "txn"):
             if manifest.get(key):
                 manifest2[key] = manifest[key]
         try:

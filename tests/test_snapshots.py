@@ -1877,3 +1877,50 @@ def test_drop_constraint_preserves_dv_and_mapping(spark, table):
     got = snapshot_read(spark, table)
     assert got.columns == ["k", "price"]
     assert got.count() == 45
+
+
+# ---- idempotent writes (txnAppId / txnVersion) ----------------------------
+
+
+def test_txn_append_is_exactly_once(spark, table):
+    """Delta's txnAppId/txnVersion: re-running an already-applied
+    (app, version) no-ops — files unchanged, no new commit — and the
+    watermark survives unrelated commits, metadata-only commits and
+    VACUUM (it rides the TIP manifest, not the dropped history)."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_add_constraint,
+        snapshot_drop_constraint,
+        vacuum,
+    )
+
+    d = spark.createDataFrame([(1, "a")], "k int, v string")
+    snapshot_overwrite(d, table)
+    v = snapshot_append(d, table, txn_app_id="etl", txn_version=7)
+    assert snapshot_read(spark, table).count() == 2
+    # replay: at-most-once
+    assert snapshot_append(d, table, txn_app_id="etl", txn_version=7) == v
+    assert snapshot_append(d, table, txn_app_id="etl", txn_version=6) == v
+    assert snapshot_read(spark, table).count() == 2
+    # a DIFFERENT app id is independent; a HIGHER version applies
+    snapshot_append(d, table, txn_app_id="other", txn_version=1)
+    snapshot_append(d, table, txn_app_id="etl", txn_version=8)
+    assert snapshot_read(spark, table).count() == 4
+    # watermarks survive metadata-only commits and vacuum
+    snapshot_add_constraint(spark, table, "pos", "k >= 0")
+    snapshot_drop_constraint(spark, table, "pos")
+    vacuum(spark, table, keep_last=1)
+    tipv = snapshot_append(d, table, txn_app_id="etl", txn_version=8)
+    assert snapshot_read(spark, table).count() == 4  # still a no-op
+    m = _read_manifest(spark, table, tipv)
+    assert m["txn"] == {"etl": 8, "other": 1}
+
+
+def test_txn_requires_both_parameters(spark, table):
+    import pytest
+
+    snapshot_overwrite(spark.createDataFrame([(1,)], "k int"), table)
+    with pytest.raises(ValueError, match="together"):
+        snapshot_append(
+            spark.createDataFrame([(2,)], "k int"), table, txn_app_id="x"
+        )
