@@ -2668,3 +2668,87 @@ def q_snapshot_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_replace_where",
+    """
+    WITH replaced AS (
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+                 AS price
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
+      UNION ALL
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') NOT BETWEEN '1995-01' AND '1995-12'
+    )
+    SELECT o_month,
+           count(*) AS n_orders,
+           CAST(sum(price) AS DOUBLE) AS total_price,
+           CAST(1 AS BOOLEAN) AS disjoint_carried
+    FROM replaced
+    GROUP BY o_month
+    """,
+)
+def q_snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic partition reload (sources/snapshots.py::
+    snapshot_replace_where — Delta's ``replaceWhere``): ONE commit swaps
+    exactly the rows of one month-range for a recomputed version
+    (doubled prices here), the idempotent nightly-reload primitive.
+    Stats-disjoint files are carried by identity — ``disjoint_carried``
+    pins that every file whose month range provably misses 1995 appears
+    verbatim in the new manifest (zero I/O for untouched partitions, the
+    100 TB property). The oracle replays complement ∪ recomputed."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_merge_partitioned,
+        snapshot_read,
+        snapshot_replace_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snaprw_")
+    try:
+        table = f"{root}/orders_snap"
+        snapshot_merge_partitioned(
+            base, table, key_cols=["o_orderkey"], partition_col="o_month"
+        )
+        m0 = _read_manifest(spark, table, 1)
+        stats = m0.get("file_stats") or {}
+        disjoint = [
+            f
+            for f in m0["files"]
+            if stats.get(f, {}).get("o_month")
+            and stats[f]["o_month"][0] is not None
+            and (
+                stats[f]["o_month"][1] < "1995-01"
+                or stats[f]["o_month"][0] > "1995-12"
+            )
+        ]
+        recomputed = base.filter(
+            F.col("o_month").between("1995-01", "1995-12")
+        ).withColumn("price", (F.col("price") * 2).cast("decimal(18,2)"))
+        v = snapshot_replace_where(
+            recomputed, table, "o_month", "1995-01", "1995-12"
+        )
+        m = _read_manifest(spark, table, v)
+        disjoint_carried = set(disjoint) <= set(m["files"])
+        out = snapshot_read(spark, table).groupBy("o_month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        ).select("*", F.lit(disjoint_carried).alias("disjoint_carried"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1343,6 +1343,97 @@ def snapshot_delete(
     )
 
 
+def snapshot_replace_where(
+    df: DataFrame,
+    table: str,
+    column: str,
+    lo,
+    hi,
+) -> int:
+    """Delta's ``replaceWhere``: atomically replace exactly the rows with
+    ``column BETWEEN lo AND hi`` by ``df``'s rows, in ONE commit (op
+    ``replace_where``) — the idempotent partition-reload primitive (a
+    nightly job recomputes one day/month and swaps it in; rerunning the
+    job converges to the same state). ``df`` is VALIDATED to lie inside
+    the range (NULLs fail) — rows outside it would silently corrupt
+    untouched partitions, so they refuse instead (Delta's check).
+
+    Scale shape, same as :func:`snapshot_delete`: files whose manifest
+    stats prove ``column`` disjoint from the range are CARRIED by
+    identity (zero I/O); only boundary files that straddle the range are
+    read (DV-aware) and rewritten without their in-range rows. With a
+    range-clustered layout the replaced partition's files are dropped
+    wholesale and the rewrite set is empty or tiny."""
+    spark = df.sparkSession
+    pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    if df.filter(~F.coalesce(pred, F.lit(False))).limit(1).count():
+        raise ValueError(
+            f"replaceWhere data contains rows outside {column} BETWEEN "
+            f"{lo!r} AND {hi!r} (or with NULL {column}) — the replacement "
+            f"must lie entirely inside the replaced range"
+        )
+    _validate_constraints(df, _tip_constraints(spark, table))
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        manifest = _read_manifest(spark, table, versions[-1])
+        prev_stats = manifest.get("file_stats") or {}
+        touched, carried = [], []
+        for f in manifest["files"]:
+            row = prev_stats.get(f, {}).get(column)
+            if row is not None and row[0] is not None:
+                fmin, fmax, _null = row
+                try:
+                    disjoint = not (fmin <= hi and lo <= fmax)
+                except TypeError:
+                    disjoint = False
+                (carried if disjoint else touched).append(f)
+            elif row is not None:  # stats say the file is empty
+                carried.append(f)
+            else:
+                touched.append(f)
+        schema = StructType.fromJson(manifest["schema"])
+        replacement = df.select(*schema.names)
+        if touched:
+            survivors = _read_data_files(spark, schema, touched, manifest).filter(
+                ~F.coalesce(pred, F.lit(False))
+            )
+            replacement = survivors.unionByName(replacement)
+        new_files = _write_data_files(replacement, table)
+        stats_cols = _prev_stats_cols(prev_stats)
+        new_stats = (
+            _collect_file_stats(
+                new_files, stats_cols, manifest.get("column_mapping") or {}
+            )
+            if stats_cols
+            else None
+        )
+        file_stats = None
+        if prev_stats:
+            file_stats = {
+                **{f: prev_stats[f] for f in carried if f in prev_stats},
+                **(new_stats or {}),
+            }
+        placeholder = spark.createDataFrame([], schema)
+        try:
+            return _commit(
+                placeholder,
+                table,
+                "replace_where",
+                carried + new_files,
+                file_stats,
+                expected_version=versions[-1] + 1,
+            )
+        except SnapshotConflictError:
+            _delete_files(spark, new_files)
+            continue
+    raise SnapshotConflictError(
+        f"replace_where on {table} lost 3 consecutive races — retry under "
+        f"lower write concurrency"
+    )
+
+
 def snapshot_optimize(
     spark: SparkSession,
     table: str,

@@ -1924,3 +1924,54 @@ def test_txn_requires_both_parameters(spark, table):
         snapshot_append(
             spark.createDataFrame([(2,)], "k int"), table, txn_app_id="x"
         )
+
+
+def test_replace_where_swaps_exactly_the_range(spark, table):
+    """replaceWhere: one commit replaces exactly the in-range rows;
+    stats-disjoint files are carried by identity; out-of-range
+    replacement rows refuse; MoR-dead rows stay dead."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_delete_dv,
+        snapshot_merge_partitioned,
+        snapshot_replace_where,
+    )
+
+    base = spark.createDataFrame(
+        [(k, k // 10, float(k)) for k in range(100)], "k int, p bigint, v double"
+    )
+    snapshot_merge_partitioned(base, table, key_cols=["k"], partition_col="p")
+    snapshot_delete_dv(spark, table, "k = 55")  # MoR-dead inside the range
+    m0 = _read_manifest(spark, table, 2)
+    stats = m0.get("file_stats") or {}
+    disjoint = [
+        f
+        for f in m0["files"]
+        if stats.get(f, {}).get("p")
+        and stats[f]["p"][0] is not None
+        and (stats[f]["p"][1] < 5 or stats[f]["p"][0] > 6)
+    ]
+    repl = spark.createDataFrame(
+        [(k, k // 10, -1.0) for k in range(50, 70)], "k int, p bigint, v double"
+    )
+    v = snapshot_replace_where(repl, table, "p", 5, 6)
+    m = _read_manifest(spark, table, v)
+    assert set(disjoint) <= set(m["files"])  # carried by identity
+    got = snapshot_read(spark, table)
+    assert got.count() == 100  # 20 replaced (55 was dead, repl re-adds it)
+    assert got.filter("p BETWEEN 5 AND 6").agg(F.sum("v")).head()[0] == -20.0
+    assert got.filter("p NOT BETWEEN 5 AND 6").filter("v < 0").count() == 0
+    # rerunning converges (idempotent reload)
+    snapshot_replace_where(repl, table, "p", 5, 6)
+    assert snapshot_read(spark, table).count() == 100
+    # out-of-range replacement rows refuse
+    with pytest.raises(ValueError, match="outside"):
+        snapshot_replace_where(
+            spark.createDataFrame([(99, 9, 0.0)], "k int, p bigint, v double"),
+            table,
+            "p",
+            5,
+            6,
+        )
