@@ -375,3 +375,28 @@ def test_hot_key_salted_join_spreads_hot_key(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_dv_free_snapshot_read_plans_plain_scan(spark, tmp_path):
+    """The DV-aware read path must cost NOTHING on clean tables: no join,
+    no _metadata projection — one FileSourceScan, same as before DVs
+    existed. With vectors present, the plan is scan + broadcast
+    left_anti against the (deleted-rows-sized) sidecar — never a
+    shuffle of the data side."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_dv,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "t")
+    snapshot_overwrite(
+        spark.range(0, 1000).selectExpr("id as k", "cast(id as double) as v"),
+        table,
+    )
+    clean = snapshot_read(spark, table)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in clean and "_metadata" not in clean, clean
+    snapshot_delete_dv(spark, table, "k < 5")
+    dirty = snapshot_read(spark, table)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in dirty and "LeftAnti" in dirty, dirty
+    assert "SortMergeJoin" not in dirty and "Exchange hashpartitioning" not in dirty, dirty
