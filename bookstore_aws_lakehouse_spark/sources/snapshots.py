@@ -492,6 +492,49 @@ def _physical_schema(schema: StructType, mapping: dict) -> StructType:
     )
 
 
+def snapshot_detail(spark: SparkSession, table: str) -> DataFrame:
+    """``DESCRIBE DETAIL`` — one row of table facts from metadata alone
+    (no data I/O, no Spark job for the file stats): version, operation,
+    file count and total bytes, dead-row count and sidecar count
+    (deletion vectors), active constraint / bloom-index / column-mapping
+    presence, and the commit timestamp. The at-a-glance health check an
+    operator runs before deciding on OPTIMIZE / purge / vacuum."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    m = _read_manifest(spark, table, versions[-1])
+    fs, _, jvm = _fs(spark, table)
+    size = 0
+    for f in m["files"]:
+        try:
+            size += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+        except Exception:
+            size = -1
+            break
+    dv = m.get("dv") or {}
+    row = {
+        "version": versions[-1],
+        "num_versions": len(versions),
+        "operation": m.get("operation"),
+        "num_files": len(m["files"]),
+        "size_bytes": size,
+        "num_deleted_rows": sum((dv.get("cardinality") or {}).values()),
+        "num_dv_sidecars": len(dv.get("sidecars") or []),
+        "num_constraints": len(m.get("constraints") or {}),
+        "num_stats_files": len(m.get("file_stats") or {}),
+        "num_bloom_files": len(m.get("file_blooms") or {}),
+        "column_mapped": bool(m.get("column_mapping")),
+        "committed_at_unix": float(m.get("committed_at_unix") or 0.0),
+    }
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        ", ".join(
+            f"{k} {'string' if k == 'operation' else 'boolean' if k == 'column_mapped' else 'double' if k == 'committed_at_unix' else 'bigint'}"
+            for k in row
+        ),
+    )
+
+
 def snapshot_convert(
     spark: SparkSession,
     directory: str,

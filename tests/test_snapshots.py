@@ -1975,3 +1975,26 @@ def test_replace_where_swaps_exactly_the_range(spark, table):
             5,
             6,
         )
+
+
+def test_snapshot_detail_reports_table_facts(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_dv,
+        snapshot_detail,
+        snapshot_rename_column,
+    )
+
+    snapshot_overwrite(
+        spark.range(0, 100).selectExpr("id as k", "cast(id as double) as v"),
+        table,
+        stats_cols=["k"],
+    )
+    snapshot_delete_dv(spark, table, "k < 7")
+    snapshot_rename_column(spark, table, "v", "value")
+    d = snapshot_detail(spark, table).head().asDict()
+    assert d["version"] == 3 and d["num_versions"] == 3
+    assert d["operation"] == "rename_column"
+    assert d["num_deleted_rows"] == 7 and d["num_dv_sidecars"] >= 1
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["column_mapped"] is True
+    assert d["num_stats_files"] == d["num_files"]
