@@ -248,6 +248,11 @@ def main() -> None:
         "join_salted_hot",
         "snapshot_merge_when_roundtrip",
         "snapshot_metadata_count",
+        # r11 additions: merge-on-read DELETE (benched beside the CoW
+        # snapshot_delete_roundtrip so the cost inversion is measured,
+        # not asserted) and the stats-pruned atomic partition reload
+        "snapshot_dv_delete",
+        "snapshot_replace_where",
         "snapshot_asof_timestamp",
         "snapshot_vacuum_retention",
         "stream_snapshot_native_sink",
