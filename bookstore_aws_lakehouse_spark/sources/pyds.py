@@ -84,6 +84,9 @@ class _FilePartition(InputPartition):
     #: logical column names + logical→physical map (None = raw passthrough)
     cols: tuple | None = None
     phys_of: dict | None = None
+    #: DV sidecar paths holding dead positions for THIS file (streaming;
+    #: the batch reader resolves them from its manifest instead)
+    dv_sidecars: tuple | None = None
 
 
 def _bounds_for(filters: Sequence[Filter]) -> dict[str, dict]:
@@ -198,20 +201,27 @@ class SnapshotReader(DataSourceReader):
 
 
 def _dead_positions(manifest: dict, local_path: str):
-    """Deletion-vector positions for one data file, read from the
-    manifest's sidecars (pyarrow filter pushdown on the ``file`` column —
-    each sidecar read touches only matching row groups). Returns a
-    sorted pyarrow array, or None when the file is clean."""
+    """Deletion-vector positions for one data file from a manifest, or
+    None when the file is clean."""
     dv = manifest.get("dv") or {}
     card = dv.get("cardinality") or {}
     if not any(_local(f) == local_path for f in card):
         return None
+    return _load_positions(
+        [_local(sc) for sc in dv.get("sidecars") or []], local_path
+    )
+
+
+def _load_positions(sidecars, local_path: str):
+    """Dead positions for one data file from DV sidecar files (pyarrow
+    filter pushdown on the ``file`` column — each sidecar read touches
+    only matching row groups). Returns a pyarrow array or None."""
     import pyarrow.parquet as pq
 
     chunks = []
-    for sc in dv.get("sidecars") or []:
+    for sc in sidecars:
         t = pq.read_table(
-            _local(sc), columns=["pos"], filters=[("file", "=", local_path)]
+            sc, columns=["pos"], filters=[("file", "=", local_path)]
         )
         chunks.append(t.column("pos"))
     if not chunks:
@@ -403,8 +413,22 @@ class SnapshotStreamReader(DataSourceStreamReader):
         cols = tuple(end_schema.fieldNames())
         mapping = end_m.get("column_mapping") or {}
         phys_of = {c: mapping.get(c, c) for c in cols}
+        # deletion vectors: constant across any legal window (delete_dv
+        # is refused by the append-only check), but the INITIAL snapshot
+        # may carry them — a cloned table's floor, or vacuumed history
+        # whose surviving manifest recorded a DV. Emitted rows must
+        # subtract them, exactly like every batch read path.
+        dv = end_m.get("dv") or {}
+        card = dv.get("cardinality") or {}
+        sidecars = tuple(_local(sc) for sc in dv.get("sidecars") or [])
+        dirty = {_local(f) for f in card}
         return [
-            _FilePartition(_local(f), cols=cols, phys_of=phys_of)
+            _FilePartition(
+                _local(f),
+                cols=cols,
+                phys_of=phys_of,
+                dv_sidecars=sidecars if _local(f) in dirty else None,
+            )
             for f in end_m["files"]
             if f not in base_files
         ]
@@ -421,8 +445,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
             for c in partition.cols
             if partition.phys_of[c] in pf.schema_arrow.names
         ]
+        dead = None
+        if partition.dv_sidecars:
+            dead = _load_positions(partition.dv_sidecars, partition.path)
+        offset = 0
         for batch in pf.iter_batches(columns=present):
-            yield from _conform(batch, list(partition.cols), partition.phys_of)
+            n = batch.num_rows
+            masked = _mask_dead(batch, dead, offset)
+            offset += n
+            yield from _conform(masked, list(partition.cols), partition.phys_of)
 
     def commit(self, end: dict) -> None:
         v = end.get("version")
@@ -463,13 +494,21 @@ class SnapshotWriter(DataSourceArrowWriter):
             tip = {}
         mapping = tip.get("column_mapping") or {}
         retired = set(tip.get("retired_physical") or [])
+        # overwrite replaces schema + files: renamed-frozen physical
+        # names may be re-used as logical names (see _write_data_files)
+        other_phys = (
+            set() if overwrite else {p for l, p in mapping.items() if l != p}
+        )
         clash = [
-            c for c in schema.fieldNames() if c not in mapping and c in retired
+            c
+            for c in schema.fieldNames()
+            if c not in mapping and (c in retired or c in other_phys)
         ]
         if clash:
             raise ValueError(
-                f"column name(s) {clash} are retired physical names of "
-                f"dropped columns in {self._table}; pick different names"
+                f"column name(s) {clash} collide with physical column names "
+                f"in {self._table}'s data files (retired or renamed-frozen); "
+                f"pick different names"
             )
         # files store PHYSICAL names (frozen at column birth)
         self._physical_renames = {
@@ -570,7 +609,10 @@ class SnapshotWriter(DataSourceArrowWriter):
                 # per-file facts (stats/blooms/deletion vectors) ride with
                 # the files this commit still references — on append that
                 # is every previous file, on overwrite none
-                for key in ("column_mapping", "retired_physical"):
+                for key in ("column_mapping", "retired_physical", "txn"):
+                    # table-level facts persist across ANY commit — txn
+                    # watermarks especially: dropping them would let an
+                    # idempotent append re-apply after a DS write
                     if tip.get(key):
                         manifest[key] = tip[key]
                 if not self._overwrite:

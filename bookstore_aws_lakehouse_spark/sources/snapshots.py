@@ -189,7 +189,13 @@ def _delete_files(spark: SparkSession, files: list[str]) -> None:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
 
 
-def _write_data_files(df: DataFrame, table: str, subdir: str = _DATA_DIR) -> list[str]:
+def _write_data_files(
+    df: DataFrame,
+    table: str,
+    subdir: str = _DATA_DIR,
+    schema_replacing: bool = False,
+    tip_manifest: dict | None = None,
+) -> list[str]:
     """Write ``df`` as an immutable commit directory; returns its files.
     Zero-row part files (empty shuffle buckets under an explicit
     repartition) are deleted and excluded — they carry no data but would
@@ -197,17 +203,41 @@ def _write_data_files(df: DataFrame, table: str, subdir: str = _DATA_DIR) -> lis
     spark = df.sparkSession
     if subdir == _DATA_DIR:
         # column mapping: files store physical names (frozen at column
-        # birth); a never-renamed column's physical IS its logical name
-        mapping, retired = _tip_column_mapping(spark, table)
+        # birth); a never-renamed column's physical IS its logical name.
+        # Callers that already hold the tip manifest pass it and save a
+        # metadata read per commit.
+        if tip_manifest is not None:
+            mapping = tip_manifest.get("column_mapping") or {}
+            retired = tip_manifest.get("retired_physical") or []
+        else:
+            mapping, retired = _tip_column_mapping(spark, table)
+        # a NEW column (absent from the mapping) must not collide with a
+        # retired physical name (would resurrect dropped data) NOR with
+        # the in-use physical name of a RENAMED column (its physical
+        # schema would gain a duplicate field and the table tip would
+        # become unreadable)
+        # an OVERWRITE replaces the whole schema and every file, so a
+        # column re-using a renamed column's physical name is fine (the
+        # mapped column is gone from the committed schema) — only the
+        # retired-name guard stays (keeps the inherited retired list
+        # consistent). Appends/merges carry old files and must refuse
+        # both collisions.
+        other_phys = (
+            set()
+            if schema_replacing
+            else {p for l, p in mapping.items() if l != p}
+        )
         clash = [
-            c for c in df.columns if c not in mapping and c in set(retired)
+            c
+            for c in df.columns
+            if c not in mapping and (c in set(retired) or c in other_phys)
         ]
         if clash:
             raise ValueError(
-                f"column name(s) {clash} were DROPPED from {table} and their "
-                f"physical names are retired — reusing the name would "
-                f"resurrect deleted data in historic files; pick a different "
-                f"logical name"
+                f"column name(s) {clash} collide with physical column names "
+                f"of {table}'s data files (a dropped column's retired name, "
+                f"or a renamed column's frozen physical name) — pick a "
+                f"different logical name"
             )
         renames = {
             l: p for l, p in mapping.items() if l != p and l in df.columns
@@ -272,6 +302,21 @@ def _validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
             )
 
 
+# MANIFEST FACT KEYS — the carry checklist. Any new key added to a
+# manifest must be threaded through EVERY commit path or it is silently
+# lost on the next commit of that path:
+#   via _commit inheritance (all data ops): file_stats (explicit arg),
+#     file_blooms, constraints, dv, txn, column_mapping, retired_physical
+#   hand-built manifests (explicit copy lists — grep these when adding a
+#     key): snapshot_drop_constraint, snapshot_rename_column,
+#     snapshot_drop_column, snapshot_restore (txn merges by max; clone
+#     deliberately omits txn — a fork is a new writer identity), and the
+#     DataSource writer pyds.SnapshotWriter.commit (append carries
+#     per-file facts + table facts; overwrite carries table facts only).
+# The review that added this list found three keys dropped exactly this
+# way (dv in drop_constraint, txn in the DS writer and restore).
+
+
 def _commit(
     df: DataFrame,
     table: str,
@@ -328,23 +373,25 @@ def _commit(
                     "sidecars": prev_dv.get("sidecars") or [],
                     "cardinality": inherited_card,
                 }
-        # column mapping rides every commit: entries for logical names
-        # still in the committed schema persist; a name that vanished
-        # (overwrite with a narrower schema) retires its physical so a
-        # later same-named column can't resurrect historic bytes
         # idempotent-writer watermarks ride the TIP (not the whole log):
         # one manifest read answers "was (app, version) already applied",
         # and vacuum dropping old manifests can't forget a watermark
         txn_map = dict(tip_m.get("txn") or {})
+        # column mapping rides every commit: entries for logical names
+        # still in the committed schema persist; a vanished logical
+        # (overwrite with a redefined schema) just drops its entry — the
+        # only schema-redefining path through here is overwrite, which
+        # replaces every file, so nothing can resurrect and NO retirement
+        # is added (retiring here once bricked the revert-a-rename case:
+        # the vanished logical's physical equalled a committed column).
+        # Genuine retirement happens in snapshot_drop_column only.
         prev_map = tip_m.get("column_mapping") or {}
         if prev_map or tip_m.get("retired_physical"):
             names = set(committed_schema.names)
             column_mapping = {
                 l: p for l, p in prev_map.items() if l in names
             }
-            retired_physical = list(tip_m.get("retired_physical") or []) + [
-                p for l, p in prev_map.items() if l not in names
-            ]
+            retired_physical = list(tip_m.get("retired_physical") or [])
     manifest = {
         "operation": operation,
         "files": files,
@@ -585,7 +632,7 @@ def snapshot_overwrite(
     the recorded ranges are actually tight."""
     _validate_constraints(df, _tip_constraints(df.sparkSession, table))
     mapping, _retired = _tip_column_mapping(df.sparkSession, table)
-    files = _write_data_files(df, table)
+    files = _write_data_files(df, table, schema_replacing=True)
     stats = (
         _collect_file_stats(files, stats_cols, mapping) if stats_cols else None
     )
@@ -1355,7 +1402,7 @@ def snapshot_delete(
             survivors = _read_data_files(spark, schema, touched, manifest).filter(
                 ~F.coalesce(pred, F.lit(False))
             )
-            new_files = _write_data_files(survivors, table)
+            new_files = _write_data_files(survivors, table, tip_manifest=manifest)
             stats_cols = _prev_stats_cols(prev_stats)
             if stats_cols:
                 new_stats = _collect_file_stats(
@@ -1443,7 +1490,7 @@ def snapshot_replace_where(
                 ~F.coalesce(pred, F.lit(False))
             )
             replacement = survivors.unionByName(replacement)
-        new_files = _write_data_files(replacement, table)
+        new_files = _write_data_files(replacement, table, tip_manifest=manifest)
         stats_cols = _prev_stats_cols(prev_stats)
         new_stats = (
             _collect_file_stats(
@@ -1518,6 +1565,7 @@ def snapshot_optimize(
         # the rewrite, and _commit inheritance drops the entry with the
         # file — OPTIMIZE doubles as incremental DV purge for small files
         packed = _read_data_files(spark, schema, small, manifest)
+        _tipm = manifest
         n_out = max(1, -(-small_bytes // target_file_bytes))
         if cluster_col is not None:
             from pyspark.sql import functions as F
@@ -1527,7 +1575,7 @@ def snapshot_optimize(
             ).sortWithinPartitions(cluster_col)
         else:
             packed = packed.coalesce(n_out)
-        new_files = _write_data_files(packed, table)
+        new_files = _write_data_files(packed, table, tip_manifest=_tipm)
         stats_cols = _prev_stats_cols(prev_stats)
         new_stats = (
             _collect_file_stats(
@@ -1668,6 +1716,7 @@ def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
             f"version {version} not in {table} (have {versions})"
         )
     m = _read_manifest(spark, table, version)
+    tip_txn = _read_manifest(spark, table, versions[-1]).get("txn") or {}
     manifest = {
         "operation": "restore",
         "restored_from": version,
@@ -1678,11 +1727,21 @@ def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
     if m.get("file_stats"):
         manifest["file_stats"] = m["file_stats"]
     for key in ("file_blooms", "dv", "constraints", "column_mapping",
-                "retired_physical", "txn"):
+                "retired_physical"):
         # per-file facts (blooms, deletion vectors) travel with the
         # restored file list; constraints are part of the restored state
         if m.get(key):
             manifest[key] = m[key]
+    # idempotent-writer watermarks are HIGH-WATER marks, not state: a
+    # restore rolls data back but must never let an already-applied
+    # (app, version) re-apply — take the element-wise max of both maps
+    restored_txn = m.get("txn") or {}
+    merged_txn = {
+        a: max(int(restored_txn.get(a, -1)), int(tip_txn.get(a, -1)))
+        for a in set(restored_txn) | set(tip_txn)
+    }
+    if merged_txn:
+        manifest["txn"] = merged_txn
     return _try_commit(spark, table, manifest, expected_version=None)
 
 
@@ -2436,10 +2495,16 @@ def snapshot_delete_dv(
         new_sidecars = _write_data_files(matched, table, subdir=_DV_DIR)
         if not new_sidecars:  # nothing matched: no commit
             return versions[-1]
-        # per-file dead counts: bounded by the file count, safe to collect
+        # per-file dead counts come from the just-written sidecars — a
+        # deleted-rows-sized read — NOT a second evaluation of the
+        # matched plan (which would re-run the full table scan + anti-join)
         new_card = {
             r["file"]: r["n"]
-            for r in matched.groupBy("file").agg(F.count("*").alias("n")).collect()
+            for r in spark.read.schema("file string, pos bigint")
+            .parquet(*new_sidecars)
+            .groupBy("file")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
         prev_dv = manifest.get("dv") or {}
         prev_card = prev_dv.get("cardinality") or {}
@@ -2496,7 +2561,7 @@ def snapshot_purge_dv(spark: SparkSession, table: str) -> int:
         carried = [f for f in manifest["files"] if f not in card]
         schema = StructType.fromJson(manifest["schema"])
         compacted = _read_data_files(spark, schema, dirty, manifest)
-        new_files = _write_data_files(compacted, table)
+        new_files = _write_data_files(compacted, table, tip_manifest=manifest)
         prev_stats = manifest.get("file_stats") or {}
         stats_cols = _prev_stats_cols(prev_stats)
         new_stats = (

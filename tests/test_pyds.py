@@ -561,3 +561,56 @@ def test_snapshot_convert_in_place(spark, tmp_path):
     assert before == sorted(
         p for p in __import__("os").listdir(plain) if p.endswith(".parquet")
     )
+
+
+def test_stream_initial_snapshot_subtracts_deletion_vectors(spark, tmp_path):
+    """A stream's INITIAL snapshot may carry deletion vectors (a cloned
+    floor, or vacuumed history whose surviving manifest recorded a DV) —
+    emitted rows must subtract them exactly like every batch read."""
+    import pyarrow as pa
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import SnapshotStreamReader
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        list_versions,
+        snapshot_delete_dv,
+        snapshot_overwrite,
+        vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    snapshot_overwrite(
+        spark.range(0, 50).selectExpr("id as k", "cast(id as double) as v"),
+        table,
+    )
+    snapshot_delete_dv(spark, table, "k < 10")
+    vacuum(spark, table, keep_last=1)  # the DV-carrying manifest IS the floor
+    rdr = SnapshotStreamReader({"path": table})
+    tip = list_versions(spark, table)[-1]
+    parts = rdr.partitions({"version": 0}, {"version": tip})
+    rows = []
+    for p in parts:
+        for batch in rdr.read(p):
+            rows.extend(pa.Table.from_batches([batch]).column("k").to_pylist())
+    assert sorted(rows) == list(range(10, 50))
+
+
+def test_ds_writer_carries_txn_watermarks(spark, tmp_path):
+    """A DataSource append between idempotent engine appends must not
+    drop the txn watermark map — the replay still no-ops after it."""
+    from bookstore_aws_lakehouse_spark.sources.pyds import (
+        register_snapshot_datasource,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    register_snapshot_datasource(spark)
+    table = str(tmp_path / "t")
+    d = spark.createDataFrame([(1, "a")], "k int, v string")
+    snapshot_overwrite(d, table)
+    snapshot_append(d, table, txn_app_id="loader", txn_version=3)
+    d.write.format("lakesnap").mode("append").option("path", table).save()
+    assert snapshot_read(spark, table).count() == 3
+    snapshot_append(d, table, txn_app_id="loader", txn_version=3)  # replay
+    assert snapshot_read(spark, table).count() == 3  # still at-most-once

@@ -1998,3 +1998,78 @@ def test_snapshot_detail_reports_table_facts(spark, table):
     assert d["num_files"] >= 1 and d["size_bytes"] > 0
     assert d["column_mapped"] is True
     assert d["num_stats_files"] == d["num_files"]
+
+
+# ---- review-pass regressions (r11 code review findings) -------------------
+
+
+def test_merge_schema_append_refuses_inuse_physical_name(spark, table):
+    """A renamed column's FROZEN physical name is in use in every data
+    file — a new logical column with that name would give the physical
+    schema a duplicate field. Refused in the engine write path."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_rename_column,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0)], "k int, amount double"), table
+    )
+    snapshot_rename_column(spark, table, "amount", "price")
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_append(
+            spark.createDataFrame(
+                [(2, 20.0, 9.9)], "k int, price double, amount double"
+            ),
+            table,
+            merge_schema=True,
+        )
+    # the table stays healthy
+    assert snapshot_read(spark, table).columns == ["k", "price"]
+
+
+def test_overwrite_reverting_a_rename_does_not_brick_the_table(spark, table):
+    """Overwriting a mapped table with the ORIGINAL column name must not
+    retire that (now re-used) physical name — the table keeps accepting
+    writes with its own current schema."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        list_versions,
+        snapshot_rename_column,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0)], "k int, amount double"), table
+    )
+    snapshot_rename_column(spark, table, "amount", "price")
+    snapshot_overwrite(
+        spark.createDataFrame([(2, 20.0)], "k int, amount double"), table
+    )
+    snapshot_append(
+        spark.createDataFrame([(3, 30.0)], "k int, amount double"), table
+    )
+    got = {r.k: r.amount for r in snapshot_read(spark, table).collect()}
+    assert got == {2: 20.0, 3: 30.0}
+    m = _read_manifest(spark, table, list_versions(spark, table)[-1])
+    assert "amount" not in (m.get("retired_physical") or [])
+
+
+def test_restore_keeps_max_txn_watermark(spark, table):
+    """RESTORE rolls data back but never lets an already-applied (app,
+    version) re-apply: the committed map is the element-wise max of the
+    tip's and the restored version's."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_restore,
+    )
+
+    d = spark.createDataFrame([(1, "a")], "k int, v string")
+    snapshot_overwrite(d, table)  # v1
+    snapshot_append(d, table, txn_app_id="loader", txn_version=5)  # v2
+    snapshot_restore(spark, table, 1)  # v3: data rolled back
+    assert snapshot_read(spark, table).count() == 1
+    # the replay of an applied version must STILL no-op after restore
+    snapshot_append(d, table, txn_app_id="loader", txn_version=5)
+    assert snapshot_read(spark, table).count() == 1
+    snapshot_append(d, table, txn_app_id="loader", txn_version=6)
+    assert snapshot_read(spark, table).count() == 2
