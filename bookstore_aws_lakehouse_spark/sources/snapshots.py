@@ -2434,7 +2434,14 @@ def snapshot_update(
 
 
 def snapshot_delete_dv(
-    spark: SparkSession, table: str, predicate: str
+    spark: SparkSession,
+    table: str,
+    predicate: str | None = None,
+    *,
+    column: str | None = None,
+    lo=None,
+    hi=None,
+    extra_condition: str | None = None,
 ) -> int:
     """``DELETE FROM t WHERE predicate`` as a MERGE-ON-READ commit
     (Delta's deletion vectors / Iceberg's position deletes): no data file
@@ -2453,8 +2460,25 @@ def snapshot_delete_dv(
     Repeated MoR deletes compose: matching runs on the DV-applied view,
     so a position is recorded at most once and cardinalities add.
     Returns the committed version (the current tip when nothing
-    matched — no empty commit)."""
-    pred = F.expr(predicate)
+    matched — no empty commit).
+
+    Two predicate forms, matching :func:`snapshot_delete`: an arbitrary
+    ``predicate`` string scans every file (row-group pruning still
+    applies via pushdown — Delta's DV delete has the same shape), or
+    the RANGED form ``column``/``lo``/``hi`` [+ ``extra_condition``]
+    where files whose manifest stats prove the range can't match are
+    never opened at all — sound by construction, because pruning uses
+    exactly the range that is ANDed into the match predicate."""
+    if (predicate is None) == (column is None):
+        raise ValueError(
+            "pass exactly one of: predicate=<sql>, or column/lo/hi"
+        )
+    if column is not None:
+        pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+        if extra_condition is not None:
+            pred = pred & F.expr(extra_condition)
+    else:
+        pred = F.expr(predicate)
     for _ in range(3):
         versions = list_versions(spark, table)
         if not versions:
@@ -2462,7 +2486,27 @@ def snapshot_delete_dv(
         manifest = _read_manifest(spark, table, versions[-1])
         schema = StructType.fromJson(manifest["schema"])
         files = manifest["files"]
-        if not files:
+        # scan_files is what we OPEN to find matches; the commit always
+        # references the FULL file list — pruning must never leak into
+        # the manifest
+        scan_files = files
+        if column is not None:
+            # whole-file skipping: a file whose [min, max] for `column`
+            # cannot intersect [lo, hi] cannot hold a matching row
+            stats = manifest.get("file_stats") or {}
+
+            def may_match(f: str) -> bool:
+                row = stats.get(f, {}).get(column)
+                if row is None:
+                    return True
+                if row[0] is None:  # stats say the file is empty
+                    return False
+                try:
+                    return row[0] <= hi and lo <= row[1]
+                except TypeError:
+                    return True
+            scan_files = [f for f in files if may_match(f)]
+        if not scan_files:
             return versions[-1]
         # scan WITH row positions, existing vectors already subtracted —
         # a row deleted twice must not be recorded twice. Column-mapped
@@ -2472,7 +2516,7 @@ def snapshot_delete_dv(
         back = {p: l for l, p in mapping.items() if p != l}
         tagged = (
             spark.read.schema(_physical_schema(schema, mapping))
-            .parquet(*files)
+            .parquet(*scan_files)
             .select(
                 "*",
                 _dv_norm_path_expr(F.col("_metadata.file_path")).alias(

@@ -2073,3 +2073,35 @@ def test_restore_keeps_max_txn_watermark(spark, table):
     assert snapshot_read(spark, table).count() == 1
     snapshot_append(d, table, txn_app_id="loader", txn_version=6)
     assert snapshot_read(spark, table).count() == 2
+
+
+def test_dv_delete_ranged_form_prunes_files(spark, table):
+    """The ranged MoR delete opens only files whose stats may intersect
+    the range — and matches the arbitrary-predicate form's result."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_delete_dv,
+        snapshot_merge_partitioned,
+    )
+
+    base = spark.createDataFrame(
+        [(k, k // 25, float(k)) for k in range(100)], "k int, p bigint, v double"
+    )
+    snapshot_merge_partitioned(base, table, key_cols=["k"], partition_col="p")
+    v = snapshot_delete_dv(spark, table, column="p", lo=1, hi=1,
+                           extra_condition="k % 2 = 0")
+    m = _read_manifest(spark, table, v)
+    # only files that may hold p=1 carry new vectors
+    stats = m.get("file_stats") or {}
+    for f in m["dv"]["cardinality"]:
+        row = stats.get(f, {}).get("p")
+        assert row is None or (row[0] <= 1 <= row[1])
+    got = snapshot_read(spark, table)
+    assert got.count() == 88  # 12 even k in 26..48 deleted
+    assert got.filter("p = 1 AND k % 2 = 0").count() == 0
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_delete_dv(spark, table, "k = 1", column="p", lo=0, hi=0)
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_delete_dv(spark, table)
