@@ -56,8 +56,9 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     next_key = 1000
     history = {snap.list_versions(spark, table)[-1]: model.copy()}
 
-    ops = ["append", "delete_dv", "delete_cow", "optimize", "purge_dv",
-           "rename", "rename_back", "replace_where", "restore", "update"]
+    ops = ["append", "delete_dv", "delete_dv_ranged", "delete_cow",
+           "optimize", "purge_dv", "rename", "rename_back",
+           "replace_where", "restore", "update"]
     for step in range(14):
         op = rng.choice(ops)
         if op == "append":
@@ -74,6 +75,10 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             gval = rng.randint(0, 9)
             snap.snapshot_delete_dv(spark, table, f"g = {gval}")
             model = model[model["g"] != gval]
+        elif op == "delete_dv_ranged":
+            lo = rng.randint(0, 40)
+            snap.snapshot_delete_dv(spark, table, column="k", lo=lo, hi=lo + 8)
+            model = model[~model["k"].between(lo, lo + 8)]
         elif op == "delete_cow":
             lo = rng.randint(0, 30)
             snap.snapshot_delete(spark, table, "k", lo, lo + 10)
