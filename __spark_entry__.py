@@ -174,6 +174,25 @@ _FORCE_REVERIFY: dict[str, int] = {
     # the all-NULL-column case — reader paths differ from the r7 greens
     "stream_snapshot_source_tail": 8,
     "snapshot_python_datasource": 8,
+    # r8 (review-pass fixes, builder round 11): merge commits now pin the
+    # TABLE schema and refuse type-drifted deltas; delete_where/update
+    # gained optimistic-concurrency version claims; merge_when gained the
+    # multiple-source-rows guard and keys-only sources; restore merges
+    # txn watermarks; the native streaming sink records its batch id in
+    # the tip-inherited txn map; _commit re-inherits facts on a lost
+    # overwrite race. Same results on a quiet table (verified by three
+    # full local parity sweeps), but the executed paths differ from the
+    # rows' recorded greens.
+    "snapshot_merge_roundtrip": 8,
+    "snapshot_merge_partitioned_roundtrip": 8,
+    "snapshot_merge_when_roundtrip": 8,
+    "snapshot_scan_pruned": 8,
+    "snapshot_changes_feed": 8,
+    "snapshot_clone_divergence": 8,
+    "snapshot_constraint_enforcement": 8,
+    "snapshot_restore_roundtrip": 8,
+    "snapshot_history_audit": 8,
+    "stream_snapshot_native_sink": 8,
 }
 
 

@@ -137,7 +137,7 @@ def apply_rollup_delta(
 # exactly [as_of, tip], a no-change refresh being a true no-op.
 
 
-def _read_mv_state(spark: SparkSession, mart_table: str) -> dict:
+def _read_mv_state(spark: SparkSession, mart_table: str) -> tuple[dict, int]:
     from bookstore_aws_lakehouse_spark.sources.snapshots import (
         _read_manifest,
         list_versions,
@@ -156,7 +156,7 @@ def _read_mv_state(spark: SparkSession, mart_table: str) -> dict:
             f"{mart_table} carries no materialized-view state in its tip "
             f"manifest — run materialized_rollup_build first"
         )
-    return state
+    return state, versions[-1]
 
 
 def materialized_rollup_build(
@@ -215,7 +215,7 @@ def materialized_rollup_refresh(
         snapshot_read,
     )
 
-    st = _read_mv_state(spark, mart_table)
+    st, mart_v = _read_mv_state(spark, mart_table)
     v_from = st["as_of_version"]
     tip = list_versions(spark, source_table)[-1]
     if tip == v_from:
@@ -224,7 +224,11 @@ def materialized_rollup_refresh(
         spark, source_table, st["key_cols"], v_from, tip
     )
     delta = rollup_delta(old_rows, new_rows, st["group_cols"], st["sum_cols"])
-    mart = snapshot_read(spark, mart_table)
+    # pin the mart to the VERSION the state was read from: a concurrent
+    # refresh committing in between must not have its content re-used as
+    # the base for the same CDC window (that would apply the window
+    # twice). Pinned, racing refreshes converge to identical content.
+    mart = snapshot_read(spark, mart_table, mart_v)
     refreshed = apply_rollup_delta(
         mart,
         delta,

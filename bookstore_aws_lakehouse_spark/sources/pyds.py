@@ -572,7 +572,7 @@ class SnapshotWriter(DataSourceArrowWriter):
                 # enforcement (use snapshot_append/merge on constrained
                 # tables)
                 if tip.get("constraints"):
-                    self.abort(messages)
+                    SnapshotWriter.abort(self, messages)
                     raise ValueError(
                         f"table has CHECK constraints "
                         f"{sorted(tip['constraints'])}; the lakesnap format "
@@ -589,7 +589,7 @@ class SnapshotWriter(DataSourceArrowWriter):
                         for fl in json.loads(self._schema.json())["fields"]
                     }
                     if tip_fields != new_fields:
-                        self.abort(messages)
+                        SnapshotWriter.abort(self, messages)
                         raise ValueError(
                             "append schema differs from the table schema; "
                             "the format writer does not evolve schemas — "
@@ -621,6 +621,13 @@ class SnapshotWriter(DataSourceArrowWriter):
                             manifest[key] = tip[key]
                     if tip.get("dv"):
                         manifest["dv"] = tip["dv"]
+            if getattr(self, "_txn", None):
+                # the streaming sink's batch id rides the tip-inherited
+                # txn map (vacuum-proof exactly-once)
+                app_id, tv = self._txn
+                merged = dict(manifest.get("txn") or {})
+                merged[app_id] = max(int(tv), int(merged.get(app_id, tv)))
+                manifest["txn"] = merged
             if getattr(self, "_app", None):
                 manifest["app"] = self._app
             try:
@@ -656,10 +663,25 @@ class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamArrowWriter):
     append → each batch appends; complete → each batch replaces the
     table (both replay-guarded)."""
 
+    _TXN_APP_ID = "lakesnap.stream_sink"
+
     def _last_committed_batch(self) -> int | None:
+        """Highest batch id ever committed, from the TIP manifest's
+        tip-inherited ``txn`` map — one read, immune to vacuum dropping
+        old manifests (the app-metadata scan it replaces was O(versions)
+        per batch AND forgot ids once their manifest was vacuumed).
+        Falls back to the legacy full scan for pre-upgrade tables whose
+        tip predates the txn recording."""
         mdir = os.path.join(self._table, "_manifests")
         if not os.path.isdir(mdir):
             return None
+        try:
+            tip = _read_manifest_local(self._table, None)
+        except (FileNotFoundError, OSError, ValueError):
+            return None
+        b = (tip.get("txn") or {}).get(self._TXN_APP_ID)
+        if b is not None:
+            return int(b)
         last = None
         for name in os.listdir(mdir):
             if not (name.startswith("v") and name.endswith(".json")):
@@ -683,6 +705,7 @@ class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamArrowWriter):
             SnapshotWriter.abort(self, messages)
             return
         self._app = {"stream_sink": {"last_batch_id": batchId}}
+        self._txn = (self._TXN_APP_ID, batchId)
         SnapshotWriter.commit(self, messages)
 
     def abort(self, messages, batchId: int) -> None:  # type: ignore[override]

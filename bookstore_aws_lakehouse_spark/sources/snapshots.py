@@ -134,7 +134,17 @@ def _claim_version(spark: SparkSession, table: str, manifest: dict, v: int) -> b
     try:
         out = fs.create(target, False)  # overwrite=False: exclusive
     except Exception:
-        return False
+        # ONLY a lost version race returns False — and the proof of a
+        # race is that the target manifest now EXISTS (Hadoop's local FS
+        # raises FileAlreadyExistsException for unrelated causes too,
+        # e.g. a parent that is not a directory). A permissions/disk/
+        # path error must surface, not masquerade as 50 lost races.
+        try:
+            if fs.exists(target):
+                return False
+        except Exception:
+            pass
+        raise
     try:
         out.write(bytearray(payload))
     finally:
@@ -332,10 +342,14 @@ def _commit(
     txn: tuple[str, int] | None = None,
 ) -> int:
     committed_schema = schema or df.schema
-    txn_map: dict = {}
-    column_mapping: dict | None = None
-    retired_physical: list | None = None
-    if constraints is None or file_blooms is None or dv is None:
+    arg_constraints, arg_blooms, arg_dv = constraints, file_blooms, dv
+    attempts = 1 if expected_version is not None else _MAX_COMMIT_RETRIES
+    for _attempt in range(attempts):
+        constraints, file_blooms, dv = arg_constraints, arg_blooms, arg_dv
+        txn_map = {}
+        column_mapping = None
+        retired_physical = None
+        versions = list_versions(df.sparkSession, table)
         # one tip read serves both inheritances: constraints are
         # table-level facts every commit carries forward unchanged unless
         # explicitly replacing them (snapshot_add/drop_constraint), and
@@ -345,7 +359,6 @@ def _commit(
         # bloom entries can't survive; new/rewritten files are simply
         # unindexed (conservative). Best-effort: absence is safe.
         try:
-            versions = list_versions(df.sparkSession, table)
             tip_m = (
                 _read_manifest(df.sparkSession, table, versions[-1])
                 if versions
@@ -392,36 +405,54 @@ def _commit(
                 l: p for l, p in prev_map.items() if l in names
             }
             retired_physical = list(tip_m.get("retired_physical") or [])
-    manifest = {
-        "operation": operation,
-        "files": files,
-        "schema": json.loads(committed_schema.json()),
-        "committed_at_unix": round(time.time(), 3),
-    }
-    if txn is not None:
-        app_id, v = txn
-        txn_map[app_id] = max(int(v), int(txn_map.get(app_id, v)))
-    if txn_map:
-        manifest["txn"] = txn_map
-    if column_mapping:
-        manifest["column_mapping"] = column_mapping
-    if retired_physical:
-        manifest["retired_physical"] = retired_physical
-    if file_stats:
-        manifest["file_stats"] = file_stats
-    if file_blooms:
-        manifest["file_blooms"] = file_blooms
-    if constraints:
-        manifest["constraints"] = constraints
-    if dv and dv.get("cardinality"):
-        manifest["dv"] = dv
-    if app:
-        # application metadata rides the commit ATOMICALLY (Delta's
-        # txn/commitInfo analog): e.g. the materialized-view watermark
-        # advances in the same manifest write that publishes the mart
-        # content, so no crash window can separate the two
-        manifest["app"] = app
-    return _try_commit(df.sparkSession, table, manifest, expected_version)
+        manifest = {
+            "operation": operation,
+            "files": files,
+            "schema": json.loads(committed_schema.json()),
+            "committed_at_unix": round(time.time(), 3),
+        }
+        if txn is not None:
+            app_id, v = txn
+            txn_map[app_id] = max(int(v), int(txn_map.get(app_id, v)))
+        if txn_map:
+            manifest["txn"] = txn_map
+        if column_mapping:
+            manifest["column_mapping"] = column_mapping
+        if retired_physical:
+            manifest["retired_physical"] = retired_physical
+        if file_stats:
+            manifest["file_stats"] = file_stats
+        if file_blooms:
+            manifest["file_blooms"] = file_blooms
+        if constraints:
+            manifest["constraints"] = constraints
+        if dv and dv.get("cardinality"):
+            manifest["dv"] = dv
+        if app:
+            # application metadata rides the commit ATOMICALLY (Delta's
+            # txn/commitInfo analog): e.g. the materialized-view watermark
+            # advances in the same manifest write that publishes the mart
+            # content, so no crash window can separate the two
+            manifest["app"] = app
+        if expected_version is not None:
+            # state-DEPENDENT: claim exactly the caller's version; a race
+            # raises SnapshotConflictError for the caller to recompute
+            return _try_commit(
+                df.sparkSession, table, manifest, expected_version
+            )
+        # state-INDEPENDENT (overwrite/restore-style): content needs no
+        # recompute on a race, but the inherited TABLE FACTS (constraints,
+        # txn watermarks, column mapping) were read from a tip a racer may
+        # have superseded — losing the claim loops back to RE-INHERIT from
+        # the new tip instead of blindly bumping the version number, so a
+        # racing ADD CONSTRAINT or watermark advance is never erased
+        claim = (versions[-1] + 1) if versions else 1
+        if _claim_version(df.sparkSession, table, manifest, claim):
+            return claim
+    raise RuntimeError(
+        f"snapshot commit lost {_MAX_COMMIT_RETRIES} consecutive version "
+        f"races on {table} — runaway concurrent writer loop?"
+    )
 
 
 def _collect_file_stats(
@@ -959,10 +990,27 @@ def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
         existing = snapshot_read(spark, table, version=versions[-1])
         keep = _anti_join_null_safe(existing, df.select(*keys), keys)
         merged = keep.unionByName(df.select(keep.columns))
+        # the files are written from `merged`, so the manifest must carry
+        # MERGED's schema — which must equal the table's: a delta whose
+        # column types drift would widen the union output and make the
+        # pinned-schema read of the new tip throw. Refuse with a hint.
+        for f_old, f_new in zip(existing.schema.fields, merged.schema.fields):
+            if f_old.dataType != f_new.dataType:
+                raise ValueError(
+                    f"merge delta changes column {f_old.name!r} from "
+                    f"{f_old.dataType.simpleString()} to "
+                    f"{f_new.dataType.simpleString()} — CAST the delta to "
+                    f"the table's types first"
+                )
         files = _write_data_files(merged, table)
         try:
             return _commit(
-                df, table, "merge", files, expected_version=versions[-1] + 1
+                df,
+                table,
+                "merge",
+                files,
+                expected_version=versions[-1] + 1,
+                schema=existing.schema,
             )
         except SnapshotConflictError:
             # merged content was computed against a superseded snapshot:
@@ -1013,6 +1061,18 @@ def snapshot_merge_when(
     spark = source.sparkSession
     keys = list(key_cols)
     upd = dict(when_matched_update or {})
+    if upd or when_matched_delete is not None:
+        # Delta's 'multiple source rows matched' contract: with a
+        # matched clause, two source rows on one key would update/delete
+        # the same target row ambiguously — refuse instead of silently
+        # duplicating it through the full-outer join (groupBy treats
+        # NULL keys as one group, matching the null-safe join)
+        if source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
+            raise ValueError(
+                "MERGE source has multiple rows for the same key; "
+                "pre-aggregate the source so each key appears once "
+                "(Delta raises the same error)"
+            )
     for _ in range(3):
         versions = list_versions(spark, table)
         if not versions:
@@ -1069,9 +1129,17 @@ def snapshot_merge_when(
             col = (
                 F.when(upd_fires, F.expr(upd[c])) if c in upd else F.when(F.lit(False), F.col(f"t.{c}"))
             )
+            # a delete-only/update-only merge may ship a keys-only source
+            # (insert disabled, validated above): the source branch then
+            # never survives `keep`, but the expression must still resolve
+            insert_src = (
+                F.col(f"s.{c}")
+                if c in source.columns
+                else F.lit(None).cast(tgt.schema[c].dataType)
+            )
             out_cols.append(
                 col.when(matched | t_only, F.col(f"t.{c}"))
-                .otherwise(F.col(f"s.{c}"))
+                .otherwise(insert_src)
                 .alias(c)
             )
         merged = j.filter(keep).select(*out_cols)
@@ -1123,6 +1191,7 @@ def _try_rebase_partitioned(
     values: list,
     want_null: bool,
     manifest_df: DataFrame,
+    schema: "StructType | None" = None,
 ) -> int | None:
     """Conflict-class resolution for a partitioned merge that lost its
     version race: if every racing commit since ``base_version`` is
@@ -1179,6 +1248,7 @@ def _try_rebase_partitioned(
                 rebased_files + new_files,
                 file_stats,
                 expected_version=tip_v + 1,
+                schema=schema,
             )
         except SnapshotConflictError:
             continue  # yet another racer: re-prove against the newer tip
@@ -1279,7 +1349,18 @@ def snapshot_merge_partitioned(
             keep = _anti_join_null_safe(existing, df.select(*keys), keys)
             merged = keep.unionByName(df.select(keep.columns))
         else:
-            merged = df
+            merged = df.select(*schema.names)
+        # files are written from `merged`; the manifest must not lie about
+        # them — refuse a type-drifted delta (the union would widen the
+        # files while the pinned schema stays narrow → unreadable tip)
+        for f_old, f_new in zip(schema.fields, merged.schema.fields):
+            if f_old.dataType != f_new.dataType:
+                raise ValueError(
+                    f"merge delta changes column {f_old.name!r} from "
+                    f"{f_old.dataType.simpleString()} to "
+                    f"{f_new.dataType.simpleString()} — CAST the delta to "
+                    f"the table's types first"
+                )
         new_files = _write_data_files(clustered(merged), table)
         new_stats = _collect_file_stats(
             new_files, all_stats_cols, manifest.get("column_mapping") or {}
@@ -1299,6 +1380,7 @@ def snapshot_merge_partitioned(
                 carried + new_files,
                 file_stats,
                 expected_version=versions[-1] + 1,
+                schema=schema,
             )
         except SnapshotConflictError:
             # computed against a superseded snapshot. If every racing
@@ -1317,6 +1399,7 @@ def snapshot_merge_partitioned(
                 values=values,
                 want_null=want_null,
                 manifest_df=df,
+                schema=schema,
             )
             if rebased is not None:
                 return rebased
@@ -2371,14 +2454,29 @@ def snapshot_delete_where(
     can match and carries the rest by identity. Constraints and carried
     bloom entries inherit via the normal commit path (rewritten files
     are unindexed until re-index)."""
-    versions = list_versions(spark, table)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot manifests under {table}")
-    kept = snapshot_read(spark, table).filter(
-        ~F.coalesce(F.expr(predicate), F.lit(False))
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        kept = snapshot_read(spark, table, versions[-1]).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
+        files = _write_data_files(kept, table)
+        try:
+            # state-DEPENDENT: the rewrite was computed from versions[-1],
+            # so claim exactly the next number — a racer's commit must
+            # trigger a recompute, not be silently erased
+            return _commit(
+                kept, table, "delete", files,
+                expected_version=versions[-1] + 1,
+            )
+        except SnapshotConflictError:
+            _delete_files(spark, files)
+            continue
+    raise SnapshotConflictError(
+        f"delete on {table} lost 3 consecutive races — retry under lower "
+        f"write concurrency"
     )
-    files = _write_data_files(kept, table)
-    return _commit(kept, table, "delete", files)
 
 
 def snapshot_update(
@@ -2399,7 +2497,7 @@ def snapshot_update(
     versions = list_versions(spark, table)
     if not versions:
         raise FileNotFoundError(f"no snapshot manifests under {table}")
-    df = snapshot_read(spark, table)
+    df = snapshot_read(spark, table, versions[-1])
     for col in set_exprs:
         if col not in df.columns:
             raise ValueError(f"UPDATE of unknown column {col!r} ({df.columns})")
@@ -2429,8 +2527,33 @@ def snapshot_update(
                 f"{f_old.dataType.simpleString()}) to the SET expression"
             )
     _validate_constraints(updated, _tip_constraints(spark, table))
-    files = _write_data_files(updated, table)
-    return _commit(updated, table, "update", files, schema=df.schema)
+    for _ in range(3):
+        files = _write_data_files(updated, table)
+        try:
+            # state-DEPENDENT: computed from versions[-1] — claim exactly
+            # the next number so a racer forces a recompute
+            return _commit(
+                updated, table, "update", files,
+                schema=df.schema,
+                expected_version=versions[-1] + 1,
+            )
+        except SnapshotConflictError:
+            _delete_files(spark, files)
+            versions = list_versions(spark, table)
+            df = snapshot_read(spark, table, versions[-1])
+            updated = df.select(
+                *[
+                    F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            continue
+    raise SnapshotConflictError(
+        f"update on {table} lost 3 consecutive races — retry under lower "
+        f"write concurrency"
+    )
 
 
 def snapshot_delete_dv(

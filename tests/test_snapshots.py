@@ -2105,3 +2105,179 @@ def test_dv_delete_ranged_form_prunes_files(spark, table):
         snapshot_delete_dv(spark, table, "k = 1", column="p", lo=0, hi=0)
     with pytest.raises(ValueError, match="exactly one"):
         snapshot_delete_dv(spark, table)
+
+
+def test_merge_refuses_type_drifted_delta(spark, table):
+    """A delta whose column type drifts would widen the union output
+    while the pinned manifest schema stays narrow — unreadable tip.
+    Both merge forms refuse with a CAST hint instead."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge,
+        snapshot_merge_partitioned,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10)], "k int, v int"), table
+    )
+    with pytest.raises(ValueError, match="CAST"):
+        snapshot_merge(
+            spark.createDataFrame([(1, 1.5)], "k int, v double"), table, ["k"]
+        )
+    with pytest.raises(ValueError, match="CAST"):
+        snapshot_merge_partitioned(
+            spark.createDataFrame([(1, 1.5)], "k int, v double"),
+            table,
+            key_cols=["k"],
+            partition_col="k",
+        )
+    # healthy table, merge still works with matching types
+    snapshot_merge(
+        spark.createDataFrame([(2, 20)], "k int, v int"), table, ["k"]
+    )
+    assert snapshot_read(spark, table).count() == 2
+
+
+def test_merge_when_refuses_ambiguous_source(spark, table):
+    """Delta's 'multiple source rows matched' contract: two source rows
+    on one key with a matched clause refuse instead of duplicating the
+    target row through the full-outer join."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_when,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0)], "k int, v double"), table
+    )
+    dup = spark.createDataFrame([(1, 1.0), (1, 2.0)], "k int, v double")
+    with pytest.raises(ValueError, match="multiple"):
+        snapshot_merge_when(dup, table, ["k"], when_matched_update={"v": "s.v"})
+    # insert-only merges take every source row (Delta does too)
+    snapshot_merge_when(
+        spark.createDataFrame([(2, 1.0), (2, 2.0)], "k int, v double"),
+        table,
+        ["k"],
+        when_matched_update=None,
+    )
+    assert snapshot_read(spark, table).count() == 3
+
+
+def test_merge_when_delete_by_keylist_source(spark, table):
+    """A delete-only merge may ship a KEYS-ONLY source (insert disabled)
+    — the standard delete-by-keylist shape."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_when,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+        ),
+        table,
+    )
+    snapshot_merge_when(
+        spark.createDataFrame([(1,), (3,)], "k int"),
+        table,
+        ["k"],
+        when_matched_delete="true",
+        when_not_matched_insert=False,
+    )
+    assert {r.k for r in snapshot_read(spark, table).collect()} == {2}
+
+
+def test_delete_where_detects_racing_append(spark, table, monkeypatch):
+    """snapshot_delete_where is state-dependent: a commit that lands
+    between its read and its claim must force a recompute, never be
+    silently erased from the file list."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    snapshot_overwrite(
+        spark.createDataFrame([(k,) for k in range(10)], "k int"), table
+    )
+    real_write = snap._write_data_files
+    raced = {"done": False}
+
+    def racing_write(df, tbl, *a, **kw):
+        files = real_write(df, tbl, *a, **kw)
+        if not raced["done"] and tbl == table:
+            raced["done"] = True  # racer appends AFTER the rewrite is
+            # computed+written but BEFORE the claim
+            snapshot_append(
+                spark.createDataFrame([(100,)], "k int"), table
+            )
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", racing_write)
+    snap.snapshot_delete_where(spark, table, "k < 5")
+    got = {r.k for r in snapshot_read(spark, table).collect()}
+    assert got == {5, 6, 7, 8, 9, 100}  # racer's row survived the delete
+
+
+def test_overwrite_race_reinherits_racer_constraint(spark, table, monkeypatch):
+    """A state-independent overwrite that loses its version race must
+    RE-INHERIT table facts from the new tip: a racing ADD CONSTRAINT
+    (or txn watermark) is never erased."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    snapshot_overwrite(spark.createDataFrame([(1,)], "k int"), table)
+    real_claim = snap._claim_version
+    state = {"raced": False}
+
+    def racing_claim(spark_, tbl, manifest, v):
+        if not state["raced"] and manifest.get("operation") == "overwrite" and v > 1:
+            state["raced"] = True
+            snap.snapshot_add_constraint(spark, table, "pos", "k >= 0")
+            return False  # the racer took our number
+        return real_claim(spark_, tbl, manifest, v)
+
+    monkeypatch.setattr(snap, "_claim_version", racing_claim)
+    snapshot_overwrite(spark.createDataFrame([(2,)], "k int"), table)
+    tip = snap._read_manifest(spark, table, snap.list_versions(spark, table)[-1])
+    assert "pos" in (tip.get("constraints") or {})  # fact survived the race
+
+
+def test_commit_io_errors_surface_not_retried_as_races(spark, tmp_path):
+    """Only version-exists is a race: a broken manifest location must
+    raise the real error immediately, not burn 50 'lost races'."""
+    import pytest
+
+    table = str(tmp_path / "t")
+    snapshot_overwrite(spark.createDataFrame([(1,)], "k int"), table)
+    # replace the manifest DIRECTORY with a plain file: fs.create of
+    # _manifests/v2.json now fails with a parent-not-a-directory error
+    import shutil
+
+    shutil.rmtree(f"{table}/_manifests")
+    with open(f"{table}/_manifests", "w") as f:
+        f.write("not a directory")
+    with pytest.raises(Exception) as ei:
+        snapshot_overwrite(spark.createDataFrame([(2,)], "k int"), table)
+    assert "runaway" not in str(ei.value)  # the real error, not 50 races
+
+
+def test_stream_sink_batch_id_survives_vacuum(spark, tmp_path):
+    """The exactly-once batch id rides the tip-inherited txn map: after
+    maintenance commits and VACUUM drop the batch's own manifest, the
+    sink still refuses to re-apply the batch."""
+    from pyspark.sql.types import StructType
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import SnapshotStreamWriter
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_optimize,
+        vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    d = spark.createDataFrame([(1, "a")], "k int, v string")
+    snapshot_overwrite(d, table)
+    snapshot_append(
+        d, table, txn_app_id="lakesnap.stream_sink", txn_version=9
+    )  # engine-side stand-in for a committed micro-batch 9
+    snapshot_optimize(spark, table, target_file_bytes=1)  # no-op metadata-ish
+    snapshot_append(d, table)
+    vacuum(spark, table, keep_last=1)
+    w = SnapshotStreamWriter({"path": table}, StructType.fromDDL("k int, v string"), False)
+    assert w._last_committed_batch() == 9
