@@ -650,6 +650,8 @@ def snapshot_overwrite(
     table: str,
     stats_cols: list[str] | None = None,
     app: dict | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Logical overwrite: the new version references ONLY this commit's
     files. Prior versions (and their files) remain readable — time travel
@@ -661,13 +663,32 @@ def snapshot_overwrite(
     ``write_parquet_zordered`` shapes applied to ``df`` BEFORE the call,
     e.g. ``df.repartitionByRange(n, col).sortWithinPartitions(col)``) so
     the recorded ranges are actually tight."""
-    _validate_constraints(df, _tip_constraints(df.sparkSession, table))
-    mapping, _retired = _tip_column_mapping(df.sparkSession, table)
+    spark = df.sparkSession
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
+    if txn_app_id is not None:
+        # idempotent writer protocol, same contract as snapshot_append:
+        # an already-applied (app, version) no-ops before writing a byte
+        versions0 = list_versions(spark, table)
+        if versions0:
+            seen = _read_manifest(spark, table, versions0[-1]).get("txn") or {}
+            if int(seen.get(txn_app_id, -1)) >= int(txn_version):
+                return versions0[-1]
+    _validate_constraints(df, _tip_constraints(spark, table))
+    mapping, _retired = _tip_column_mapping(spark, table)
     files = _write_data_files(df, table, schema_replacing=True)
     stats = (
         _collect_file_stats(files, stats_cols, mapping) if stats_cols else None
     )
-    return _commit(df, table, "overwrite", files, stats, app=app)
+    return _commit(
+        df,
+        table,
+        "overwrite",
+        files,
+        stats,
+        app=app,
+        txn=(txn_app_id, int(txn_version)) if txn_app_id is not None else None,
+    )
 
 
 def _merged_append_schema(

@@ -2281,3 +2281,19 @@ def test_stream_sink_batch_id_survives_vacuum(spark, tmp_path):
     vacuum(spark, table, keep_last=1)
     w = SnapshotStreamWriter({"path": table}, StructType.fromDDL("k int, v string"), False)
     assert w._last_committed_batch() == 9
+
+
+def test_txn_overwrite_is_exactly_once(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        list_versions,
+    )
+
+    d1 = spark.createDataFrame([(1,)], "k int")
+    d2 = spark.createDataFrame([(2,), (3,)], "k int")
+    snapshot_overwrite(d1, table, txn_app_id="nightly", txn_version=1)
+    v = list_versions(spark, table)[-1]
+    # replay of the same nightly run: no new version, content untouched
+    assert snapshot_overwrite(d2, table, txn_app_id="nightly", txn_version=1) == v
+    assert snapshot_read(spark, table).count() == 1
+    snapshot_overwrite(d2, table, txn_app_id="nightly", txn_version=2)
+    assert snapshot_read(spark, table).count() == 2
