@@ -152,7 +152,6 @@ _FORCE_REVERIFY: dict[str, int] = {
     # column AND the query harness changed (shared tempdir, checkpoint
     # pinning) — locally green at sf0.01, but the executed path differs
     # from what earned the r6 green
-    "stream_continuous_rollup": 7,
     # r7: resize_media's pass-through guard broadened from
     # NotImplementedError to Exception — decode behavior on the fixture
     # is unchanged, but the UDF body differs
@@ -193,6 +192,10 @@ _FORCE_REVERIFY: dict[str, int] = {
     "snapshot_restore_roundtrip": 8,
     "snapshot_history_audit": 8,
     "stream_snapshot_native_sink": 8,
+    # r8 late: the continuous sinks' shared projection helper + default-
+    # checkpoint cleanup (writers/jobs review fixes) changed the
+    # executed sink path again after the r7 green
+    "stream_continuous_rollup": 8,
 }
 
 

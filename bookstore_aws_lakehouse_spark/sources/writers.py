@@ -77,9 +77,44 @@ def compact_parquet(df_path: str, spark, target_partitions: int | None = None) -
         size_bytes = fs.getContentSummary(hpath).getLength()
         target_partitions = max(1, math.ceil(size_bytes / (96 * 1024 * 1024)))
     staging = _staging_sibling(df_path)
-    df.repartition(target_partitions).write.mode("overwrite").parquet(staging)
+    pcols = _hive_partition_cols(spark, df_path)
+    writer = df.repartition(
+        target_partitions, *pcols
+    ) if pcols else df.repartition(target_partitions)
+    # a partitioned location stays partitioned: a flat rewrite beside
+    # later dynamic-partition upserts would mix layouts and break reads
+    w = writer.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(staging)
     _fs_swap_into(spark, staging, df_path)
     return target_partitions
+
+
+def _hive_partition_cols(spark, path: str) -> list[str]:
+    """Partition columns of a hive-layout location, in nesting order
+    (['day_no'] for .../day_no=3/part-*.parquet), [] for a flat layout.
+    Detected from the directory names via the Hadoop FS API so remote
+    stores answer identically. Rewriting a partitioned location MUST
+    preserve this layout: a flat rewrite next to later dynamic-partition
+    writes yields a mixed-layout directory Spark refuses to read."""
+    jvm = spark._jvm
+    cols: list[str] = []
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    while True:
+        if not fs.exists(hpath):
+            return cols
+        sub = None
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith("_"):
+                sub = st.getPath()
+                cols.append(name.split("=", 1)[0])
+                break
+        if sub is None:
+            return cols
+        hpath = sub
 
 
 def _fs_path_exists(spark, path: str) -> bool:
@@ -162,11 +197,22 @@ def upsert_parquet(
     spark = df.sparkSession
     keys = list(key_cols)
     if _fs_path_exists(spark, path):
+        # pin the delta: it feeds both the anti-join keys and the union,
+        # and a nondeterministic delta evaluated twice would drop rows
+        # (same hazard upsert_parquet_partitioned documents)
+        df = df.localCheckpoint()
+        if df.isEmpty():
+            return  # no-op: skip the full rewrite AND the swap window
         existing = spark.read.parquet(path)
         keep = _anti_join_null_safe(existing, df.select(*keys), keys)
         merged = keep.unionByName(df)
         staging = _staging_sibling(path)
-        merged.write.mode("overwrite").parquet(staging)
+        pcols = _hive_partition_cols(spark, path)
+        w = merged.write.mode("overwrite")
+        if pcols:
+            # a partitioned mart stays partitioned through a full rewrite
+            w = w.partitionBy(*pcols)
+        w.parquet(staging)
         _fs_swap_into(spark, staging, path)
     else:
         if df.isEmpty():

@@ -58,7 +58,12 @@ def _events_stream_dir(sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="blhs_events_stream_")
         import os
 
-        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        # a relative sf_dir stored verbatim would resolve against the
+        # TEMP dir and dangle — the stream would list zero files
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            f"{d}/events.parquet",
+        )
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 
@@ -249,10 +254,23 @@ def continuous_hourly_aggregate(
     cron; with Delta/Iceberg the merge becomes MERGE INTO and readers
     get snapshot isolation.
     """
-    from pyspark.sql import functions as F
-
     from bookstore_aws_lakehouse_spark.sources.writers import upsert_parquet_partitioned
 
+    agged = _hourly_delta(spark, sf_dir, watermark)
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        upsert_parquet_partitioned(
+            batch_df, out_path, ["window_start_ns"], "day_no"
+        )
+
+    _run_update_sink(agged, merge_batch, checkpoint, "blhs_ckpt_cagg_")
+
+
+def _hourly_delta(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
+    """The one hourly-rollup projection BOTH continuous sinks share:
+    tumbling 1-hour aggregate over the events stream, window start as
+    epoch-ns, day_no derived for partition pruning. One definition —
+    the parquet and snapshot sinks can't silently diverge."""
     ns_per_day = 86_400_000_000_000
     stream = read_events_stream(spark, sf_dir)
     agged = tumbling_agg(stream, window="1 hour", watermark=watermark).select(
@@ -260,26 +278,32 @@ def continuous_hourly_aggregate(
         "n_events",
         "total_value",
     )
-    agged = agged.withColumn(
+    return agged.withColumn(
         "day_no", F.expr(f"window_start_ns div {ns_per_day}")
     )
 
-    def merge_batch(batch_df, batch_id: int) -> None:
-        upsert_parquet_partitioned(
-            batch_df, out_path, ["window_start_ns"], "day_no"
-        )
 
-    query = (
-        agged.writeStream.outputMode("update")
-        .foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="blhs_ckpt_cagg_"),
+def _run_update_sink(agged: DataFrame, batch_fn, checkpoint, prefix: str) -> None:
+    """Run an update-mode foreachBatch sink with availableNow; a caller
+    checkpoint persists for recovery, a default one is removed after the
+    run (same leak rule as run_available_now — a mkdtemp'd path is
+    returned nowhere, so it could never be reused anyway)."""
+    import shutil
+
+    own = checkpoint is None
+    ckpt = checkpoint or tempfile.mkdtemp(prefix=prefix)
+    try:
+        query = (
+            agged.writeStream.outputMode("update")
+            .foreachBatch(batch_fn)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
+    finally:
+        if own:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def snapshot_sink_batch(
@@ -343,6 +367,7 @@ def continuous_aggregate_snapshot(
     checkpoint: str | None = None,
     maintenance_every: int | None = None,
     target_file_bytes: int = 128 << 20,
+    bloom_col: str | None = None,
 ) -> None:
     """The continuous aggregate with a SNAPSHOT-TABLE sink
     (sources/snapshots.py): each micro-batch MERGEs into the
@@ -355,33 +380,17 @@ def continuous_aggregate_snapshot(
     in-repo manifest format. With ``maintenance_every`` the sink also
     self-maintains: every N-th version it bin-packs its accumulated
     small files and checkpoints the history log (see
-    ``snapshot_sink_batch``)."""
-    from pyspark.sql import functions as F
-
-    ns_per_day = 86_400_000_000_000
-    stream = read_events_stream(spark, sf_dir)
-    agged = tumbling_agg(stream, window="1 hour", watermark=watermark).select(
-        (F.unix_micros(F.col("window.start")) * 1000).alias("window_start_ns"),
-        "n_events",
-        "total_value",
+    ``snapshot_sink_batch``); ``bloom_col`` forwards to the maintenance
+    cycle's bloom re-index so point lookups stay file-skipping."""
+    agged = _hourly_delta(spark, sf_dir, watermark)
+    _run_update_sink(
+        agged,
+        snapshot_sink_batch(
+            table, maintenance_every, target_file_bytes, bloom_col
+        ),
+        checkpoint,
+        "blhs_ckpt_caggsnap_",
     )
-    agged = agged.withColumn(
-        "day_no", F.expr(f"window_start_ns div {ns_per_day}")
-    )
-
-    query = (
-        agged.writeStream.outputMode("update")
-        .foreachBatch(
-            snapshot_sink_batch(table, maintenance_every, target_file_bytes)
-        )
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="blhs_ckpt_caggsnap_"),
-        )
-        .start()
-    )
-    query.awaitTermination()
 
 
 def stream_stream_join(

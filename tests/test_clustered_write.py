@@ -131,3 +131,71 @@ def test_zorder_value_interleaves_bits(spark):
 
     want = [ref(0, 0), ref(1, 0), ref(0, 1), ref(1, 1), ref(3, 5), -1, -1]
     assert got == want
+
+
+def test_upsert_and_compact_preserve_hive_layout(spark, tmp_path):
+    """A hive-partitioned mart must SURVIVE the full-rewrite upsert and
+    compaction with its layout intact — a flat rewrite beside later
+    dynamic-partition writes mixes layouts and breaks reads."""
+    import os
+
+    from bookstore_aws_lakehouse_spark.sources.writers import (
+        compact_parquet,
+        upsert_parquet,
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "mart")
+    df = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(30)], "k int, day int, v double"
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    def layout():
+        return sorted(
+            d for d in os.listdir(path) if d.startswith("day=")
+        ), any(f.endswith(".parquet") for f in os.listdir(path))
+
+    # full-rewrite upsert keeps the partition dirs, adds no root files
+    upsert_parquet(
+        spark.createDataFrame([(1, 1, 99.0), (100, 0, 1.0)], "k int, day int, v double"),
+        path,
+        ["k"],
+    )
+    dirs, root_files = layout()
+    assert dirs == ["day=0", "day=1", "day=2"] and not root_files
+    # compaction too
+    compact_parquet(path, spark, target_partitions=1)
+    dirs, root_files = layout()
+    assert dirs == ["day=0", "day=1", "day=2"] and not root_files
+    # and the partitioned upsert still composes on top
+    upsert_parquet_partitioned(
+        spark.createDataFrame([(2, 2, -1.0)], "k int, day int, v double"),
+        path,
+        ["k"],
+        "day",
+    )
+    got = spark.read.parquet(path)
+    assert got.count() == 31
+    assert got.filter("k = 1").head().v == 99.0
+    assert got.filter("k = 2").head().v == -1.0
+    # empty delta: untouched no-op (no rewrite, no swap window)
+    before = sorted(os.listdir(path))
+    upsert_parquet(
+        spark.createDataFrame([], "k int, day int, v double"), path, ["k"]
+    )
+    assert sorted(os.listdir(path)) == before
+
+
+def test_events_stream_symlink_is_absolute(spark, tmp_path):
+    import os
+
+    from bookstore_aws_lakehouse_spark.streaming import jobs
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    spark.range(1).selectExpr("id as ts").write.parquet(str(d / "events.parquet"))
+    rel = os.path.relpath(str(d))
+    stream_dir = jobs._events_stream_dir(rel)
+    target = os.readlink(os.path.join(stream_dir, "events.parquet"))
+    assert os.path.isabs(target), target
