@@ -131,6 +131,12 @@ def minhash_band_pairs(
     become candidate near-duplicate pairs (id_a < id_b, with the count of
     agreeing bands). The join key is (band, band_key) — a 1-row-per-band
     inverted index, so cost scales with collisions, not with n²."""
+    if num_hashes % band_rows:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_rows "
+            f"({band_rows}) — trailing hashes would be computed and then "
+            f"silently excluded from banding, lowering recall"
+        )
     wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_k)
     num_bands = num_hashes // band_rows
     band_rows_exprs = []
@@ -227,9 +233,10 @@ def jaccard_pairs(
             F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
         )
         .filter(
-            # integer cross-multiplication: n_shared/union >= t without floats
-            F.col("n_shared") * 1000
-            >= F.lit(int(round(threshold * 1000)))
+            # integer cross-multiplication: n_shared/union >= t without
+            # floats, exact for thresholds of up to 6 decimals (ppm)
+            F.col("n_shared") * 1_000_000
+            >= F.lit(int(round(threshold * 1_000_000)))
             * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
         )
         .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
@@ -256,18 +263,18 @@ def containment_pairs(
     does NOT double); integer cross-multiplied threshold, exact on any
     engine."""
     shared, sizes = _shingle_shared(df, id_col, text_col, shingle_k, max_df)
-    t = F.lit(int(round(threshold * 1000)))
+    t = F.lit(int(round(threshold * 1_000_000)))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     j = shared.join(sa, "id_a").join(sb, "id_b")
-    dir_a = j.filter(F.col("n_shared") * 1000 >= t * F.col("n_a")).select(
+    dir_a = j.filter(F.col("n_shared") * 1_000_000 >= t * F.col("n_a")).select(
         F.col("id_a").alias("id_sub"),
         F.col("id_b").alias("id_super"),
         "n_shared",
         F.col("n_a").alias("n_sub"),
         (F.col("n_shared") / F.col("n_a")).alias("containment"),
     )
-    dir_b = j.filter(F.col("n_shared") * 1000 >= t * F.col("n_b")).select(
+    dir_b = j.filter(F.col("n_shared") * 1_000_000 >= t * F.col("n_b")).select(
         F.col("id_b").alias("id_sub"),
         F.col("id_a").alias("id_super"),
         "n_shared",
@@ -431,6 +438,20 @@ def connected_components(
         changed = new_labels.agg(F.max(F.coalesce("chg", F.lit(False)))).first()[0]
         if not changed:
             break
+    else:
+        # max_iter exhausted without a converged probe: min-label
+        # propagation moves one hop per round, so a component whose
+        # diameter exceeds max_iter would get SILENTLY split into
+        # several cluster_ids — run the probe one final time and refuse
+        # loudly instead of returning wrong clusters
+        changed = labels.agg(F.max(F.coalesce("chg", F.lit(False)))).first()[0]
+        if changed:
+            raise RuntimeError(
+                f"connected_components did not converge within max_iter="
+                f"{max_iter} rounds — the duplicate graph has a component "
+                f"of diameter > {max_iter}; raise max_iter (labels move "
+                f"one hop per round)"
+            )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -160,7 +160,12 @@ def lsh_buckets(
     dot products with ``num_planes`` pseudo-random (md5-seeded) hyperplanes.
     Hyperplanes are precomputed literal arrays (broadcast with the plan);
     one Project per vector — no shuffle; bucket-joins downstream."""
-    out = df.select(F.col(id_col), F.col(vec_col))
+    # NULL vectors would project to NULL on every plane and land in
+    # bucket 0 (a hot key + bogus co-bucket candidates) — drop them,
+    # consistent with lsh_bucket_tables and the exact cosine path
+    out = df.select(F.col(id_col), F.col(vec_col)).filter(
+        F.col(vec_col).isNotNull()
+    )
     bucket = F.lit(0)
     for p in range(num_planes):
         plane = F.lit(_plane_signs(p, num_dims))
@@ -628,6 +633,12 @@ def ivfpq_residual_search(
         .select(id_col, vec_col)
         .localCheckpoint(eager=True)
     )
+    if not seeds.head(1):
+        raise ValueError(
+            f"PQ seed selection ({id_col} < {n_seeds}) matched no rows — "
+            f"ids must be numeric and start near 0 for this seeding rule; "
+            f"an empty codebook would silently return zero neighbors"
+        )
     codes = pq_encode(res, seeds, m, dim, id_col, vec_col).select(
         id_col, "subspace", "code"
     )
@@ -700,6 +711,12 @@ def ivfpq_residual_multiprobe(
         .select(id_col, vec_col)
         .localCheckpoint(eager=True)
     )
+    if not seeds.head(1):
+        raise ValueError(
+            f"PQ seed selection ({id_col} < {n_seeds}) matched no rows — "
+            f"ids must be numeric and start near 0 for this seeding rule; "
+            f"an empty codebook would silently return zero neighbors"
+        )
     codes = pq_encode(res, seeds, m, dim, id_col, vec_col).select(
         id_col, "subspace", "code"
     )

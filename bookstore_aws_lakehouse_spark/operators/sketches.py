@@ -30,6 +30,21 @@ def _cms_bucket(value_col: Column, row: int, width: int) -> Column:
     return F.pmod(F.xxhash64(value_col, F.lit(row)), F.lit(width)).cast("int")
 
 
+def _cms_coords(value_col, depth: int, width: int):
+    """The (row, bucket) coordinate array — ONE definition shared by
+    build and estimate, which must stay bit-identical or every estimate
+    silently breaks."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_bucket(value_col, i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cms_build(
     df: DataFrame, col: str, depth: int = 4, width: int = 8192
 ) -> DataFrame:
@@ -44,19 +59,7 @@ def cms_build(
     v = F.col(col)
     rows = (
         df.where(v.isNotNull())
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("row"),
-                            _cms_bucket(v, i, width).alias("bucket"),
-                        )
-                        for i in range(depth)
-                    ]
-                )
-            ).alias("rb")
-        )
+        .select(F.explode(_cms_coords(v, depth, width)).alias("rb"))
         .select("rb.row", "rb.bucket")
     )
     return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
@@ -83,33 +86,31 @@ def cms_estimate(
     ``depth`` counter coordinates with the build's expression, broadcast-
     join the counter grid, take the MIN across rows (the Count-Min
     estimator). Probes missing a counter entirely (no input value ever
-    hashed there) estimate 0. Adds ``est_n`` to ``probes``; the sketch
-    side is ≤ depth·width rows — always broadcastable."""
-    clash = {"row", "bucket"} & set(probes.columns)
+    hashed there) estimate 0; a NULL probe estimates NULL (the build
+    ignored NULLs, so any nonzero answer would be pure collision mass).
+    Adds ``est_n`` to ``probes`` — one output row per DISTINCT probe
+    row; the sketch side is ≤ depth·width rows — always broadcastable."""
+    clash = {"row", "bucket", "cnt", "est_n"} & set(probes.columns)
     if clash:
         raise ValueError(
             f"probe columns {sorted(clash)} collide with the sketch's "
-            f"coordinate columns — rename them before estimating"
+            f"working columns — rename them before estimating"
         )
     v = F.col(col)
     exploded = probes.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _cms_bucket(v, i, width).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        F.explode(_cms_coords(v, depth, width)).alias("rb"),
     ).select("*", "rb.row", "rb.bucket").drop("rb")
     joined = exploded.join(F.broadcast(sketch), ["row", "bucket"], "left")
     return (
         joined.groupBy(*probes.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
+        .withColumn(
+            "est_n",
+            F.when(v.isNull(), F.lit(None).cast("bigint")).otherwise(
+                F.col("est_n")
+            ),
+        )
     )
 
 

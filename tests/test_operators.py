@@ -403,3 +403,88 @@ def test_split_by_expectations_semantics(spark):
     got = {r.k: list(r.failed_rules) for r in quar.collect()}
     assert got == {2: ["pos"], 4: ["pos", "tagged"]}
     assert clean.count() + quar.count() == df.count()
+
+
+# ---- r11 operator review regressions --------------------------------------
+
+
+def test_connected_components_refuses_nonconverged(spark):
+    """A chain longer than max_iter must raise, not return a silently
+    split cluster (labels move one hop per round)."""
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, "id_a", "id_b", max_iter=3)
+    out = connected_components(chain, "id_a", "id_b", max_iter=20)
+    assert out.select("cluster_id").distinct().count() == 1
+
+
+def test_minhash_banding_refuses_orphan_hashes(spark):
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        minhash_band_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "abc abc")], "id int, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_band_pairs(df, "id", "text", num_hashes=8, band_rows=3)
+
+
+def test_cms_estimate_guards_and_null_probes(spark):
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    data = spark.createDataFrame([(v,) for v in ["a"] * 9 + ["b"]], "w string")
+    sk = cms_build(data, "w", depth=3, width=64)
+    # working-column collision refused (cnt/est_n included now)
+    with pytest.raises(ValueError, match="collide"):
+        cms_estimate(
+            sk, spark.createDataFrame([("a", 1)], "w string, cnt int"), "w"
+        )
+    probes = spark.createDataFrame([("a",), ("b",), (None,)], "w string")
+    got = {r.w: r.est_n for r in cms_estimate(sk, probes, "w", depth=3, width=64).collect()}
+    assert got["a"] >= 9 and got["b"] >= 1
+    assert got[None] is None  # the sketch ignored NULLs at build time
+
+
+def test_lsh_buckets_drops_null_vectors(spark):
+    from bookstore_aws_lakehouse_spark.operators.similarity import lsh_buckets
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)],
+        "vec_id int, embedding array<double>",
+    )
+    out = lsh_buckets(df, "vec_id", "embedding", num_planes=2, num_dims=2)
+    assert [r.vec_id for r in out.collect()] == [1]
+
+
+def test_pq_seed_guard_raises_on_offset_ids(spark):
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        ivfpq_residual_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1000 + i, [float(i), float(i + 1)]) for i in range(8)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "centroid_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="matched no rows"):
+        ivfpq_residual_search(
+            corpus, cents, corpus.limit(1), m=2, dim=2, n_seeds=4
+        )
