@@ -19,9 +19,21 @@ from bookstore_aws_lakehouse_spark.operators.dedup import md5_hash64
 
 
 def split_bucket(id_col: Column | str, salt: str = "split", modulus: int = 1000) -> Column:
-    """Stable bucket in [0, modulus) from the record id (md5-portable)."""
+    """Stable bucket in [0, modulus) from the record id (md5-portable).
+    A NULL id yields a NULL bucket — matching SQL's ``salt || id``
+    (NULL-propagating), so every ``bucket < cut`` gate is simply FALSE
+    for NULL ids on both engines. Without this, concat_ws SKIPPED the
+    NULL and hashed the salt alone, collapsing every NULL-id row into
+    one arbitrary bucket that diverged from the SQL twins."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(md5_hash64(F.concat_ws(":", F.lit(salt), c.cast("string"))), F.lit(modulus))
+    return F.when(
+        c.isNull(), F.lit(None).cast("bigint")
+    ).otherwise(
+        F.pmod(
+            md5_hash64(F.concat_ws(":", F.lit(salt), c.cast("string"))),
+            F.lit(modulus),
+        )
+    )
 
 
 def train_test_split(
@@ -174,6 +186,15 @@ def temperature_source_mix(
     caller also reports them."""
     if cuts is None:
         cuts = temperature_cuts(df, source_col, alpha)
-    return df.join(
-        F.broadcast(cuts.select(source_col, "cut")), source_col
-    ).filter(split_bucket(id_col, salt) < F.col("cut")).drop("cut")
+    # null-safe source join: a NULL source is a stratum like any other
+    # (same policy as stratified_sample) — a plain equi-join would
+    # silently DROP every NULL-source row, contradicting "alpha=1 keeps
+    # all rows"
+    c = F.broadcast(
+        cuts.select(F.col(source_col).alias("__mix_src"), "cut")
+    )
+    return (
+        df.join(c, F.col(source_col).eqNullSafe(F.col("__mix_src")))
+        .filter(split_bucket(id_col, salt) < F.col("cut"))
+        .drop("cut", "__mix_src")
+    )

@@ -17,6 +17,8 @@ Range join — coarse-bucket equi-join + exact filter:
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -44,7 +46,19 @@ def asof_join(
     keys = list(by)
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1))
-    r = right.select(
+    # equi-join ASOF semantics (DuckDB / SQL:2023): a NULL join key never
+    # matches, and a right row with NULL time has no position on the
+    # timeline — drop both from the MATCHING side (left rows keep flowing
+    # through and surface NULL asof columns). Without this, NULLS-FIRST
+    # ordering made a NULL-time right row the "earliest" match, and the
+    # window's NULL partition matched NULL keys to each other.
+    r = right.filter(
+        F.col(time_col).isNotNull()
+        & functools.reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+        )
+    )
+    r = r.select(
         *keys,
         F.col(time_col),
         *[F.col(c) for c in value_cols],
@@ -74,10 +88,17 @@ def asof_join(
         .orderBy(F.col(time_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    null_key = functools.reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
     filled = unioned.select(
         *lcols,
         "_side",
-        F.last("_rrow", ignorenulls=True).over(w).alias("_asof_row"),
+        # a NULL-key left row matches nothing (its window partition is
+        # the NULL group, but equi-join semantics say no match)
+        F.when(
+            null_key, F.lit(None).cast(r.schema["_rrow"].dataType)
+        ).otherwise(F.last("_rrow", ignorenulls=True).over(w)).alias("_asof_row"),
     )
     out = filled.filter(F.col("_side") == 1).select(
         *lcols,

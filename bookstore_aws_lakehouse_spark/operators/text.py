@@ -156,13 +156,17 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(
             f"_hits_{lang}", F.size(F.filter(toks, lambda t: t.isin(list(markers))))
         )
+    # argmax via one greatest() + a FLAT first-match chain: the old
+    # fold-style CASE chain embedded the previous `best` twice per
+    # language — O(2^|langs|) expression-tree growth that would stall
+    # codegen on a realistic marker table. First-match keeps the same
+    # insertion-order tie semantics.
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in LANG_MARKERS])
     guess = F.lit("unknown")
-    best = F.lit(0)
-    # build argmax as a CASE chain: strictly-greater keeps first-lang-wins ties
-    for lang in LANG_MARKERS:
-        hits = F.col(f"_hits_{lang}")
-        guess = F.when(hits > best, F.lit(lang)).otherwise(guess)
-        best = F.when(hits > best, hits).otherwise(best)
+    for lang in reversed(LANG_MARKERS):
+        guess = F.when(
+            (best > 0) & (F.col(f"_hits_{lang}") == best), F.lit(lang)
+        ).otherwise(guess)
     return out.withColumn("lang_guess", guess).drop(
         *[f"_hits_{lang}" for lang in LANG_MARKERS]
     )

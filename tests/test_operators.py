@@ -488,3 +488,51 @@ def test_pq_seed_guard_raises_on_offset_ids(spark):
         ivfpq_residual_search(
             corpus, cents, corpus.limit(1), m=2, dim=2, n_seeds=4
         )
+
+
+def test_asof_join_null_semantics(spark):
+    """Equi-join ASOF semantics: NULL keys never match (either side) and
+    a NULL-time right row has no timeline position."""
+    from bookstore_aws_lakehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10), (None, 5)], "user_id string, t bigint"
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 5.0), ("u1", 3, 7.0), (None, 1, 9.0)],
+        "user_id string, t bigint, v double",
+    )
+    out = {
+        r.user_id: (r.t_asof, r.v_asof)
+        for r in asof_join(left, right, "t", ["user_id"], ["v"]).collect()
+    }
+    assert out["u1"] == (3, 7.0)  # the NULL-time right row is no match
+    assert out[None] == (None, None)  # NULL keys never match each other
+
+
+def test_temperature_mix_keeps_null_source_stratum(spark):
+    from bookstore_aws_lakehouse_spark.operators.sampling import (
+        temperature_source_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i < 10 else "web") for i in range(30)],
+        "doc_id int, source string",
+    )
+    out = temperature_source_mix(df, "doc_id", "source", alpha=1.0)
+    # alpha=1 keeps ALL rows — including the NULL-source stratum
+    assert out.count() == 30
+    assert out.filter("source IS NULL").count() == 10
+
+
+def test_split_bucket_null_id_matches_sql_semantics(spark):
+    from bookstore_aws_lakehouse_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",)], "doc_id string"
+    )
+    got = {r.doc_id: r.split for r in train_test_split(df, "doc_id").collect()}
+    # SQL twin: 'split:'||NULL is NULL -> CASE falls through to 'train'
+    assert got[None] == "train"
