@@ -196,6 +196,15 @@ _FORCE_REVERIFY: dict[str, int] = {
     # checkpoint cleanup (writers/jobs review fixes) changed the
     # executed sink path again after the r7 green
     "stream_continuous_rollup": 8,
+    # r8 late (fifth review pass): asof_join's NULL semantics changed
+    # (NULL keys/times no longer match). The fixture carries no NULL
+    # keys so values are identical — but the operator CONTRACT changed,
+    # so the row re-earns its green. The split_bucket/langid expression
+    # rewrites from the same pass are value-identical by construction
+    # (230/230 local parity at sf0.01) and are deliberately NOT forced:
+    # forcing ~8 more rows would push r3-era rows out of the drain
+    # window, which the r7 verdict ranked above re-greening.
+    "asof_last_signup": 8,
 }
 
 
