@@ -17,18 +17,24 @@ from pyspark.sql import functions as F
 
 
 def exact_sum(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent SUM for fixed-point-valued double columns."""
+    """Order-independent SUM for fixed-point-valued double columns.
+    Values cast at decimal(28, scale): doubles are integers-exact only
+    to 2^53 anyway, and the wider type keeps a pathological huge value
+    from casting to NULL and silently vanishing from an "exact" sum
+    (Spark's non-ANSI overflow behavior)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
 
 
 def exact_avg(col: Column | str, scale: int = 2) -> Column:
     """Order-independent AVG: exact decimal sum / count, divided in double
-    (identical bit pattern on any engine that does the same)."""
+    (identical bit pattern on any engine that does the same). The count
+    is over the CASTED column, so a value the cast cannot represent can
+    never be dropped from the numerator while still inflating the
+    divisor."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
-    )
+    casted = c.cast(f"decimal(28,{scale})")
+    return F.sum(casted).cast("double") / F.count(casted)
 
 
 def null_if_in(col: Column | str, tokens: tuple[str, ...]) -> Column:

@@ -53,13 +53,25 @@ def make_cosine_similarity_pandas():
     # `from __future__ import annotations`, which would stringify inline
     # hints and break pandas_udf's signature inference
     def cosine_pandas(a, b):
-        va = np.stack(a.to_numpy()).astype("float64")
-        vb = np.stack(b.to_numpy()).astype("float64")
-        dots = (va * vb).sum(axis=1)
-        norms = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(norms > 0, dots / norms, np.nan)
-        return pd.Series(out)
+        # NULL-vector rows and empty batches must mirror the JVM path:
+        # np.stack would crash on a None element or a zero-length batch,
+        # and a NaN result would flip IS NULL semantics vs the `when`
+        # with no `otherwise` (NULL on zero norms)
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        mask = np.array(
+            [x is not None for x in a.to_numpy()]
+        ) & np.array([x is not None for x in b.to_numpy()])
+        out = np.full(len(a), np.nan)
+        if mask.any():
+            va = np.stack(a.to_numpy()[mask]).astype("float64")
+            vb = np.stack(b.to_numpy()[mask]).astype("float64")
+            dots = (va * vb).sum(axis=1)
+            norms = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[mask] = np.where(norms > 0, dots / norms, np.nan)
+        # NaN -> None so Spark surfaces NULL, matching cosine_similarity
+        return pd.Series(out).where(lambda v: v == v, None)
 
     cosine_pandas.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
     return pandas_udf(cosine_pandas, "double")

@@ -104,16 +104,23 @@ def nb_score(
     outer so out-of-vocabulary tokens fall back to the label's smoothed
     default. Scores are exact integers → argmax is engine- and
     partitioning-independent (ties break label-ascending)."""
+    # explode_outer: a NULL-text doc keeps one (token=NULL) row, so it
+    # still receives a prediction (the prior-only argmax — the correct
+    # NB answer for an empty document) instead of silently vanishing
     toks = test.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("token"),
     )
     cand = toks.crossJoin(F.broadcast(labels))
     scored = cand.join(model, ["label", "token"], "left").select(
         "_id",
         "label",
         "prior_s",
-        F.coalesce("ll_s", "default_ll_s").alias("ll_s"),
+        # NULL token = no tokens at all: contributes ZERO likelihood
+        # (not a phantom OOV default)
+        F.when(F.col("token").isNull(), F.lit(0))
+        .otherwise(F.coalesce("ll_s", "default_ll_s"))
+        .alias("ll_s"),
     )
     doc_scores = scored.groupBy("_id", "label", "prior_s").agg(
         F.sum("ll_s").alias("_sum_ll")

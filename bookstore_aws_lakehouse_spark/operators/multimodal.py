@@ -149,9 +149,15 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             # the select below has already normalized the id column's
             # name — indexing by the caller's id_col would KeyError for
             # any non-default id column
+            # a NULL id arrives as float NaN after Arrow->pandas; emit a
+            # NULL-payload row instead of int(NaN) killing the task
             ids = pdf["doc_id"]
             types, payloads = [], []
             for i in ids:
+                if i is None or (isinstance(i, float) and i != i):
+                    types.append(None)
+                    payloads.append(None)
+                    continue
                 i = int(i)
                 if i % 2 == 0:
                     types.append("image/bmp")
@@ -182,10 +188,18 @@ def extract_media_features(df: DataFrame, fake_decode: bool = False) -> DataFram
             # NULL payloads (a NULL source column through attach_payload)
             # must yield NULL features, not a len(None) TypeError that
             # kills the whole task
-            dims = [
-                decode_media(p, t, fake=fake_decode) if p is not None else (None, None)
-                for p, t in zip(payloads, pdf["media_type"])
-            ]
+            # guarded decode: one corrupt/truncated/unknown-codec row
+            # degrades to NULL dims instead of killing the whole job
+            # (the same contract resize_media's pass-through keeps)
+            dims = []
+            for p, t in zip(payloads, pdf["media_type"]):
+                if p is None:
+                    dims.append((None, None))
+                    continue
+                try:
+                    dims.append(decode_media(p, t, fake=fake_decode))
+                except Exception:
+                    dims.append((None, None))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -273,9 +287,31 @@ def resize_media(df: DataFrame, target_w: int, target_h: int, fake: bool = False
             payloads, widths, heights = [], [], []
             for p, mt in zip(out["payload"], out["media_type"]):
                 if p is not None and p[:2] == b"BM":
-                    payloads.append(resize_bmp(p, target_w, target_h))
-                    widths.append(target_w)
-                    heights.append(target_h)
+                    # a truncated or non-24-bpp 'BM' payload must not
+                    # kill the task OR be silently resampled as 24-bpp
+                    # garbage: pass the original through with NULL dims
+                    try:
+                        if len(p) >= 32:
+                            import struct as _struct
+
+                            bpp = _struct.unpack_from("<H", p, 28)[0]
+                            comp = _struct.unpack_from("<I", p, 30)[0]
+                        else:
+                            bpp, comp = None, None
+                        if bpp == 24 and comp == 0:
+                            payloads.append(resize_bmp(p, target_w, target_h))
+                            widths.append(target_w)
+                            heights.append(target_h)
+                            continue
+                        payloads.append(p)
+                        widths.append(None)
+                        heights.append(None)
+                        continue
+                    except Exception:
+                        payloads.append(p)
+                        widths.append(None)
+                        heights.append(None)
+                        continue
                 else:
                     # pass-through: metadata must describe the ACTUAL
                     # payload, not the targets — decode its real dims
@@ -315,12 +351,16 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, f
     real distributed concern: one input row fanning out to many output
     rows inside mapInPandas (batch shapes change, schema doesn't)."""
 
+    if not fake:
+        # raise at DRIVER time: the executor-side check fired only in
+        # tasks that received rows, so the same misuse either failed
+        # mid-job or silently succeeded depending on partitioning
+        raise NotImplementedError(
+            "video decoding requires codec libraries not present here"
+        )
+
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decoding requires codec libraries not present here"
-                )
             rows = {"doc_id": [], "frame_no": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:

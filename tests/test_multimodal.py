@@ -200,3 +200,57 @@ def test_sample_frames_fan_out(spark):
     assert {(r["doc_id"], r["frame_no"], r["frame_md5"]) for r in out} == {
         (r["doc_id"], r["frame_no"], r["frame_md5"]) for r in again
     }
+
+
+def test_feature_extract_degrades_on_corrupt_payloads(spark):
+    """One corrupt/truncated/unknown row must yield NULL dims, never
+    kill the job (the resize stage's contract, now shared)."""
+    from bookstore_aws_lakehouse_spark.operators.multimodal import (
+        extract_media_features,
+        make_bmp,
+    )
+
+    rows = [
+        (1, "image/bmp", bytearray(make_bmp(2, 2, fill=1))),
+        (2, "image/bmp", bytearray(b"BM\x01")),  # truncated header
+        (3, None, bytearray(b"????")),  # NULL media type
+        (4, "video/mp4", bytearray(b"\x00\x00\x00\x18ftyp")),  # no codec
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    got = {r.doc_id: (r.width, r.height) for r in extract_media_features(df).collect()}
+    assert got[1] == (2, 2)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+
+def test_resize_passes_through_truncated_and_exotic_bmps(spark):
+    from bookstore_aws_lakehouse_spark.operators.multimodal import (
+        make_bmp,
+        resize_media,
+    )
+
+    rows = [
+        (1, "image/bmp", bytearray(make_bmp(4, 2, fill=7))),
+        (2, "image/bmp", bytearray(b"BM\x01\x02")),  # truncated
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    got = {r.doc_id: (r.width, r.height, bytes(r.payload)) for r in resize_media(df, 2, 2, fake=False).collect()}
+    assert got[1][:2] == (2, 2)
+    # truncated 'BM' passes through UNCHANGED with NULL dims - neither a
+    # crash nor silently-resampled garbage
+    assert got[2] == (None, None, b"BM\x01\x02")
+
+
+def test_sample_frames_refuses_real_mode_at_driver_time(spark):
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([], "doc_id long, media_type string, payload binary")
+    with pytest.raises(NotImplementedError):
+        sample_frames(df, fake=False)  # even with zero rows

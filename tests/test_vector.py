@@ -392,3 +392,34 @@ def test_ivfpq_residual_multiprobe_superset_and_structure(spark):
     for q, rows in by_q.items():
         contributing = {cells[v] for _, _, v in rows}
         assert len(contributing) <= 2
+
+
+def test_pandas_cosine_handles_nulls_and_zero_norms(spark):
+    """The Arrow cosine must mirror the JVM path on degenerate input:
+    NULL vectors and zero norms yield NULL (not NaN / not a crash)."""
+    from bookstore_aws_lakehouse_spark.functions.vector import (
+        cosine_similarity,
+        make_cosine_similarity_pandas,
+    )
+    from pyspark.sql import functions as F
+
+    cos = make_cosine_similarity_pandas()
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [0.0, 0.0], [1.0, 0.0]),
+        ],
+        "k int, a array<double>, b array<double>",
+    )
+    got = {
+        r.k: (r.pandas_cos, r.jvm_cos)
+        for r in df.select(
+            "k",
+            cos("a", "b").alias("pandas_cos"),
+            cosine_similarity(F.col("a"), F.col("b")).alias("jvm_cos"),
+        ).collect()
+    }
+    assert got[1] == (1.0, 1.0)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
