@@ -268,10 +268,12 @@ def kmeans_update(
     self-join; the only shuffles are the two aggregations keyed on
     (cell, dim) / cell — both map-side-combinable. Iteration count is a
     small constant (codebook training), not data-dependent."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id)
-    members = assigned.select(id_col, centroid_id).join(
-        corpus.select(id_col, vec_col), id_col
+    # keep_vec: the assignment window already shuffles on id, so the
+    # vector rides it for free — no per-iteration corpus re-join
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, centroid_id, keep_vec=True
     )
+    members = assigned.select(centroid_id, vec_col)
     comp = members.select(
         centroid_id, F.posexplode(F.col(vec_col).cast("array<double>"))
     )
@@ -362,15 +364,20 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     by cosine (broadcast the centroid table). Output: (vec_id, centroid_id,
-    cosine)."""
+    cosine); with ``keep_vec`` the vector rides along — the argmax window
+    already shuffles on ``id_col``, so carrying the payload through it is
+    strictly cheaper than the corpus re-join a vector-needing caller
+    (kmeans_update) would otherwise pay every iteration."""
     c = centroids.select(
         F.col(centroid_id),
         F.col(vec_col).alias("centroid_vec"),
         l2_norm(F.col(vec_col)).alias("_cen_n"),
     )
+    keep = [F.col(vec_col)] if keep_vec else []
     scored = (
         corpus.select(
             F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
@@ -382,6 +389,7 @@ def ivf_assign(
             _cosine_prenormed(
                 F.col(vec_col), F.col("centroid_vec"), F.col("_vn"), F.col("_cen_n")
             ).alias("cosine"),
+            *keep,
         )
     )
     return (
