@@ -9,7 +9,6 @@ catalog; temp views over parquet locations (tests/driver) or
 
 from __future__ import annotations
 
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,24 +32,33 @@ TABLES: tuple[str, ...] = (
 #: per-session DataFrame cache: a read DataFrame is an immutable logical
 #: plan, so reusing it is safe — and skips the footer/schema-inference
 #: I/O that every one of the ~150 registry builders would otherwise
-#: re-pay per call (the driver builds all of them per round). Weakly
-#: keyed so a stopped session's plans don't pin its JVM state. Each key
-#: carries the file's (mtime, size) fingerprint, so a fixture regenerated
-#: mid-session gets a FRESH read instead of a stale plan/schema — the
-#: round-4 regeneration failure mode, closed at the cache itself. Keyed
-#: by (sf_dir, name) with the fingerprint stored in the VALUE, so a
-#: regeneration REPLACES the stale entry instead of stranding it — the
-#: cache is bounded by the number of distinct tables, not regenerations.
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, tuple[tuple, DataFrame]]]" = (
-    weakref.WeakKeyDictionary()
-)
+#: re-pay per call (the driver builds all of them per round). The cache
+#: dict lives ON the session object itself: a cached DataFrame strongly
+#: references its session, so a module-global weak-keyed map could never
+#: actually evict (value → key path keeps the key alive) — storing the
+#: dict as a session attribute makes session+cache one reference CYCLE
+#: that the gc collects wholesale once the session is otherwise
+#: unreachable, so a stopped session's plans don't pin its JVM state.
+#: Each entry carries the file's (mtime, size) fingerprint, so a fixture
+#: regenerated mid-session gets a FRESH read instead of a stale
+#: plan/schema — the round-4 regeneration failure mode, closed at the
+#: cache itself. Keyed by (sf_dir, name) with the fingerprint stored in
+#: the VALUE, so a regeneration REPLACES the stale entry instead of
+#: stranding it — bounded by the number of distinct tables.
+_TABLE_CACHE_ATTR = "_blhs_table_cache"
 
 
 def _cached_read(spark: SparkSession, sf_dir: str, name: str, path: str, build):
     """Fingerprint-validated memo lookup: returns the cached plan when the
     file fingerprint still matches, else rebuilds via ``build()`` and
     replaces the entry in place."""
-    cache = _TABLE_CACHE.setdefault(spark, {})
+    cache = getattr(spark, _TABLE_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        try:
+            setattr(spark, _TABLE_CACHE_ATTR, cache)
+        except Exception:
+            pass  # exotic session proxy refusing attributes: cache per call
     fp = _file_fingerprint(path)
     key = (sf_dir, name)
     hit = cache.get(key)
@@ -113,7 +121,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       matching DuckDB's naive-as-UTC ``epoch_ns(ts)`` oracle semantics.
 
     Downstream code sees one contract — integer nanos: exact,
-    timezone-free, and identical on every engine."""
+    timezone-free, and identical on every engine.
+    NOTE: this read sets two SESSION-GLOBAL confs and leaves them set
+    (``spark.sql.legacy.parquet.nanosAsLong``, UTC session timezone) —
+    required for correct ns-timestamp handling of the fixture, and
+    restoring them mid-session would change the semantics of the lazy
+    plans built here. A caller embedding this library in a session with
+    a different timezone policy should use a dedicated session.
+    """
     path = f"{sf_dir}/events.parquet"
 
     def build() -> DataFrame:

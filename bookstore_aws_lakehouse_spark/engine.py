@@ -32,16 +32,17 @@ class Engine:
         self.spark = spark or get_spark(master=master)
         self.sf_dir = sf_dir
         self._golden, self._oracle = load_all()
-        self._views_registered = False
 
     # -- data access -------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)
 
     def sql(self, query: str) -> DataFrame:
-        if not self._views_registered:
-            register_views(self.spark, self.sf_dir)
-            self._views_registered = True
+        # re-register each call: load_table is fingerprint-memoized, so
+        # this costs os.stat checks — and it means a fixture regeneration
+        # (or another Engine on the same session pointing at a different
+        # sf_dir) can never leave .sql() running against stale views
+        register_views(self.spark, self.sf_dir)
         return self.spark.sql(query)
 
     # -- registered queries ------------------------------------------------

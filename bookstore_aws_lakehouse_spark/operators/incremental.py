@@ -115,12 +115,20 @@ def apply_rollup_delta(
     out_cols = [
         F.coalesce(mart[g], delta[g]).alias(g) for g in groups
     ] + [n.alias(count_col)]
+    delta_present = F.col("d_count").isNotNull()
     for mart_col, src in sum_col_map.items():
         out_cols.append(
-            (
+            # a group the delta never touched keeps its stored sum
+            # VERBATIM — including SQL's SUM-of-all-NULLs = NULL; blanket
+            # coalescing to 0 made an incremental refresh diverge from a
+            # from-scratch rebuild on exactly those groups
+            F.when(
+                delta_present,
                 F.coalesce(F.col(mart_col), F.lit(0))
-                + F.coalesce(F.col(f"d_{src}"), F.lit(0))
-            ).alias(mart_col)
+                + F.coalesce(F.col(f"d_{src}"), F.lit(0)),
+            )
+            .otherwise(F.col(mart_col))
+            .alias(mart_col)
         )
     return joined.select(*out_cols).filter(F.col(count_col) > 0)
 

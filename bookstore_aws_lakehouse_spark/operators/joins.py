@@ -48,17 +48,24 @@ def detect_hot_keys(
     (``df.sample(0.001)``) — hot keys are by definition dense enough to
     survive sampling."""
     keys = [on] if isinstance(on, str) else list(on)
-    total = df.count()
-    if total == 0:
-        return []
-    rows = (
-        df.groupBy(keys)
-        .count()
-        .filter(F.col("count") > total * threshold_frac)
-        .orderBy(F.col("count").desc())
-        .limit(max_keys)
-        .collect()
-    )
+    # ONE raw scan: the grouped counts are cached so the total (their
+    # sum) and the hot-key filter both read the aggregated result
+    # instead of re-scanning the input (the probe used to pay two full
+    # passes — count() then groupBy — on exactly the 100 TB inputs it
+    # exists to plan for)
+    grouped = df.groupBy(keys).count().cache()
+    try:
+        total = grouped.agg(F.sum("count")).first()[0] or 0
+        if total == 0:
+            return []
+        rows = (
+            grouped.filter(F.col("count") > total * threshold_frac)
+            .orderBy(F.col("count").desc())
+            .limit(max_keys)
+            .collect()
+        )
+    finally:
+        grouped.unpersist()
     if len(keys) == 1:
         return [r[keys[0]] for r in rows]
     return [tuple(r[k] for k in keys) for r in rows]
@@ -104,6 +111,11 @@ def salted_join(
     so results are identical. Single-key joins only (the common skew
     case); multi-key hot sets need composite encoding by the caller.
     """
+    if num_salts < 1:
+        raise ValueError(
+            f"num_salts must be >= 1 (got {num_salts}); pmod(hash, 0) "
+            f"would yield NULL salts and an silently EMPTY join"
+        )
     normalized = how.lower().replace("_", "")
     if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
         raise ValueError(
@@ -121,17 +133,27 @@ def salted_join(
         if not hot:  # nothing skewed: plain join, no replication at all
             return skewed.join(other, on=keys, how=how)
         k = keys[0]
+
+        def is_hot(c):
+            # null-safe membership: NULL is a legitimate hot key (the
+            # textbook 40%-NULL-keys skew) — isin() would yield NULL and
+            # silently skip the mitigation for exactly those rows
+            import functools as _ft
+
+            return _ft.reduce(
+                lambda a, b: a | b, [c.eqNullSafe(F.lit(h)) for h in hot]
+            )
         row_salt = F.pmod(
             F.hash(F.monotonically_increasing_id()), F.lit(num_salts)
         ).cast("int")
         salted_l = skewed.withColumn(
-            "_salt", F.when(F.col(k).isin(hot), row_salt).otherwise(F.lit(0))
+            "_salt", F.when(is_hot(F.col(k)), row_salt).otherwise(F.lit(0))
         )
         salted_r = other.withColumn(
             "_salt",
             F.explode(
                 F.when(
-                    F.col(k).isin(hot),
+                    is_hot(F.col(k)),
                     F.sequence(F.lit(0), F.lit(num_salts - 1)),
                 ).otherwise(F.array(F.lit(0)))
             ),

@@ -536,3 +536,51 @@ def test_split_bucket_null_id_matches_sql_semantics(spark):
     got = {r.doc_id: r.split for r in train_test_split(df, "doc_id").collect()}
     # SQL twin: 'split:'||NULL is NULL -> CASE falls through to 'train'
     assert got[None] == "train"
+
+
+def test_rollup_delta_untouched_allnull_sum_stays_null(spark):
+    """An incrementally refreshed group the delta never touched must
+    keep its stored value VERBATIM — including SUM-of-all-NULLs = NULL
+    (blanket coalescing to 0 diverged from a from-scratch rebuild)."""
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        apply_rollup_delta,
+    )
+
+    mart = spark.createDataFrame(
+        [("a", 2, None), ("b", 1, 5.0)],
+        "g string, n_rows bigint, sum_v double",
+    )
+    delta = spark.createDataFrame(
+        [("b", 1, 1.0)], "g string, d_count bigint, d_v double"
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in apply_rollup_delta(
+            mart, delta, ["g"], "n_rows", {"sum_v": "v"}
+        ).collect()
+    }
+    assert got["a"] == (2, None)  # untouched: NULL sum preserved
+    assert got["b"] == (2, 6.0)
+
+
+def test_salted_join_guards_and_null_hot_key(spark):
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(None, i) for i in range(40)] + [(1, 0), (2, 0)], "k int, v int"
+    )
+    right = spark.createDataFrame([(None, "x"), (1, "y"), (2, "z")], "k int, w string")
+    with pytest.raises(ValueError, match="num_salts"):
+        salted_join(left, right, "k", num_salts=0)
+    out = salted_join(
+        left, right, "k", num_salts=4, hot_keys=[None], how="inner"
+    )
+    # NULL keys don't match in an inner equi-join — but the mitigation
+    # must SPREAD them: check the left side's salt distribution directly
+    from bookstore_aws_lakehouse_spark.operators import joins as J
+    import functools
+    from pyspark.sql import functions as F
+
+    assert out.count() == 2  # inner join semantics unchanged (1 and 2)
