@@ -122,7 +122,17 @@ def apply_rollup_delta(
             # VERBATIM — including SQL's SUM-of-all-NULLs = NULL; blanket
             # coalescing to 0 made an incremental refresh diverge from a
             # from-scratch rebuild on exactly those groups
+            # delta-touched groups where BOTH sides are NULL stay NULL:
+            # a brand-new group whose source values are all NULL must
+            # read NULL (SUM-of-all-NULLs), not 0 — same rebuild-parity
+            # class as the untouched-group rule above
             F.when(
+                delta_present
+                & F.col(mart_col).isNull()
+                & F.col(f"d_{src}").isNull(),
+                F.lit(None),
+            )
+            .when(
                 delta_present,
                 F.coalesce(F.col(mart_col), F.lit(0))
                 + F.coalesce(F.col(f"d_{src}"), F.lit(0)),

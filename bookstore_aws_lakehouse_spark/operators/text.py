@@ -270,27 +270,35 @@ def remove_repeated_passages(
     dfreq = chunks.groupBy("_chunk_md5").agg(
         F.count_distinct(id_col).alias("_nd")
     )
-    kept = chunks.join(dfreq, "_chunk_md5").filter(F.col("_nd") <= max_docs)
-    rebuilt = kept.groupBy(id_col).agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_b", "_chunk"))),
-                    lambda s: s["_chunk"],
-                ),
-                " ",
-            )
-        ).alias("clean_md5"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-    )
-    totals = chunks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n_total")
-    )
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        "clean_md5",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        (F.col("_n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
+    # one rebuild pass over ALL chunks (kept + boilerplate): collect_list
+    # skips the NULLed boilerplate structs, so the kept-passage reassembly,
+    # n_kept, and n_total come out of a single aggregation — no separate
+    # totals scan + re-join (two aggregations total in the plan, counting
+    # the dfreq one above).
+    keep = F.col("_nd") <= max_docs
+    return (
+        chunks.join(dfreq, "_chunk_md5")
+        .groupBy(id_col)
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(keep, F.struct("_b", "_chunk")))
+                        ),
+                        lambda s: s["_chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("_md5_kept"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.count(F.lit(1)).cast("bigint").alias("_n_total"),
+        )
+        .select(
+            id_col,
+            # every passage boilerplate -> NULL, never md5("")
+            F.when(F.col("n_kept") > 0, F.col("_md5_kept")).alias("clean_md5"),
+            "n_kept",
+            (F.col("_n_total") - F.col("n_kept")).cast("bigint").alias("n_removed"),
+        )
     )

@@ -615,6 +615,21 @@ class SnapshotWriter(DataSourceArrowWriter):
                     # idempotent append re-apply after a DS write
                     if tip.get(key):
                         manifest[key] = tip[key]
+                if self._overwrite and manifest.get("column_mapping"):
+                    # mirror the engine's _commit: an overwrite that drops
+                    # a renamed column must drop its mapping entry too, or
+                    # the stale {gone_logical: physical} pair keeps blocking
+                    # unrelated new column names via the clash guards
+                    names = set(self._schema.fieldNames())
+                    pruned = {
+                        l: p
+                        for l, p in manifest["column_mapping"].items()
+                        if l in names
+                    }
+                    if pruned:
+                        manifest["column_mapping"] = pruned
+                    else:
+                        del manifest["column_mapping"]
                 if not self._overwrite:
                     for key in ("file_stats", "file_blooms"):
                         if tip.get(key):

@@ -227,13 +227,15 @@ def _write_data_files(
         # schema would gain a duplicate field and the table tip would
         # become unreadable)
         # an OVERWRITE replaces the whole schema and every file, so a
-        # column re-using a renamed column's physical name is fine (the
-        # mapped column is gone from the committed schema) — only the
-        # retired-name guard stays (keeps the inherited retired list
-        # consistent). Appends/merges carry old files and must refuse
-        # both collisions.
+        # column re-using a renamed column's physical name is fine WHEN
+        # the mapped column is gone from the committed schema — but if
+        # the overwrite df carries BOTH the renamed logical column and a
+        # new column equal to its frozen physical name, the rename below
+        # would manufacture duplicate physical fields and the parquet
+        # write fails opaquely; refuse that sub-case up front. Appends/
+        # merges carry old files and must refuse every collision.
         other_phys = (
-            set()
+            {p for l, p in mapping.items() if l != p and l in df.columns}
             if schema_replacing
             else {p for l, p in mapping.items() if l != p}
         )
@@ -2570,6 +2572,21 @@ def snapshot_update(
                     for c in df.columns
                 ]
             )
+            # The racer's commit may have appended rows or added constraints
+            # since the pre-race validation: re-run the type-drift check and
+            # CHECK validation on the RECOMPUTED frame, or a retry could
+            # commit rows the first pass never saw, unvalidated.
+            for f_old, f_new in zip(df.schema.fields, updated.schema.fields):
+                if f_old.dataType != f_new.dataType:
+                    raise ValueError(
+                        f"UPDATE SET expression changes column {f_old.name!r} "
+                        f"from {f_old.dataType.simpleString()} to "
+                        f"{f_new.dataType.simpleString()} — UPDATE preserves "
+                        f"column types; add an explicit CAST(... AS "
+                        f"{f_old.dataType.simpleString()}) to the SET "
+                        f"expression"
+                    )
+            _validate_constraints(updated, _tip_constraints(spark, table))
             continue
     raise SnapshotConflictError(
         f"update on {table} lost 3 consecutive races — retry under lower "

@@ -584,3 +584,29 @@ def test_salted_join_guards_and_null_hot_key(spark):
     from pyspark.sql import functions as F
 
     assert out.count() == 2  # inner join semantics unchanged (1 and 2)
+
+
+def test_rollup_delta_new_group_allnull_sum_is_null(spark):
+    """A delta-touched group where BOTH the stored sum and the delta sum
+    are NULL must emit NULL (SUM-of-all-NULLs), not 0 — the new-group
+    twin of the untouched-group rule (ADVICE r9 #4)."""
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        apply_rollup_delta,
+    )
+
+    mart = spark.createDataFrame(
+        [("a", 2, None)], "g string, n_rows bigint, sum_v double"
+    )
+    delta = spark.createDataFrame(
+        [("a", 1, None), ("new", 2, None), ("new2", 1, 3.0)],
+        "g string, d_count bigint, d_v double",
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in apply_rollup_delta(
+            mart, delta, ["g"], "n_rows", {"sum_v": "v"}
+        ).collect()
+    }
+    assert got["a"] == (3, None)      # touched, both sides NULL
+    assert got["new"] == (2, None)    # brand-new group, all-NULL source
+    assert got["new2"] == (1, 3.0)    # brand-new group, real sum

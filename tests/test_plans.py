@@ -400,3 +400,29 @@ def test_dv_free_snapshot_read_plans_plain_scan(spark, tmp_path):
     dirty = snapshot_read(spark, table)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in dirty and "LeftAnti" in dirty, dirty
     assert "SortMergeJoin" not in dirty and "Exchange hashpartitioning" not in dirty, dirty
+
+
+def test_remove_repeated_passages_single_rebuild_pass(spark, sf_smoke):
+    """The boilerplate-removal rebuild is ONE aggregation over all chunks
+    (collect_list skips NULLed boilerplate structs) joined once against
+    the passage-df table — the old shape paid a third totals aggregation
+    plus a second join over the exploded chunks (NOTES_r11 §11)."""
+    import re
+    from collections import Counter
+
+    from bookstore_aws_lakehouse_spark.operators.text import (
+        remove_repeated_passages,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = remove_repeated_passages(docs, "doc_id", "text", block=32, max_docs=1)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", p)
+    assert len(joins) == 1, joins
+    aggs = Counter(
+        re.findall(r"(HashAggregate|ObjectHashAggregate|SortAggregate)\(", p)
+    )
+    # rebuild agg = partial+final ObjectHashAggregate (collect_list);
+    # the 4 HashAggregates are count_distinct's expansion of the df agg
+    assert aggs.get("ObjectHashAggregate", 0) + aggs.get("SortAggregate", 0) == 2, aggs
+    assert sum(aggs.values()) <= 6, aggs

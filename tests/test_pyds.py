@@ -614,3 +614,45 @@ def test_ds_writer_carries_txn_watermarks(spark, tmp_path):
     assert snapshot_read(spark, table).count() == 3
     snapshot_append(d, table, txn_app_id="loader", txn_version=3)  # replay
     assert snapshot_read(spark, table).count() == 3  # still at-most-once
+
+
+def test_pyds_overwrite_prunes_stale_column_mapping(spark, tmp_path):
+    """A DataSource overwrite that drops a renamed column must prune its
+    {gone_logical: physical} mapping entry like the engine's _commit
+    does — a stranded entry later blocks unrelated new column names via
+    the clash guards (ADVICE r9 #3)."""
+    from bookstore_aws_lakehouse_spark.sources.pyds import (
+        register_snapshot_datasource,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        list_versions,
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_rename_column,
+    )
+
+    register_snapshot_datasource(spark)
+    table = str(tmp_path / "t")
+    snapshot_overwrite(
+        spark.range(0, 5).selectExpr("id as k", "cast(id as double) as amount"),
+        table,
+    )
+    snapshot_rename_column(spark, table, "amount", "price")
+    # DS overwrite with a schema that drops the renamed column entirely
+    (
+        spark.range(0, 5)
+        .selectExpr("id as k", "id * 2 as total")
+        .write.format("lakesnap")
+        .mode("overwrite")
+        .option("path", table)
+        .save()
+    )
+    m = _read_manifest(spark, table, list_versions(spark, table)[-1])
+    assert "price" not in (m.get("column_mapping") or {})
+    # and the physical name is usable again by a later engine-side append
+    snapshot_append(
+        spark.range(5, 7).selectExpr("id as k", "id * 2 as total"), table
+    )
+    assert snapshot_read(spark, table).count() == 7

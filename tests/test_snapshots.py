@@ -2297,3 +2297,62 @@ def test_txn_overwrite_is_exactly_once(spark, table):
     assert snapshot_read(spark, table).count() == 1
     snapshot_overwrite(d2, table, txn_app_id="nightly", txn_version=2)
     assert snapshot_read(spark, table).count() == 2
+
+
+def test_update_retry_revalidates_racer_rows(spark, table, monkeypatch):
+    """snapshot_update's conflict-retry recomputes from the new tip — it
+    must RE-validate constraints on the recomputed frame: a racer's
+    appended rows can be updated into CHECK-violating values the
+    pre-race validation never saw (ADVICE r9 #1)."""
+    from bookstore_aws_lakehouse_spark.sources import snapshots as snap
+
+    snapshot_overwrite(spark.createDataFrame([(1, 10)], "k int, v int"), table)
+    snap.snapshot_add_constraint(spark, table, "v_cap", "v < 100")
+    real_write = snap._write_data_files
+    raced = {"done": False}
+
+    def racing_write(df, tbl, *a, **kw):
+        files = real_write(df, tbl, *a, **kw)
+        if not raced["done"] and tbl == table:
+            raced["done"] = True  # racer appends a 99 (passes the CHECK)
+            # AFTER the update's rewrite is written but BEFORE its claim;
+            # the retry's SET v = v + 1 drives it to 100 — violating
+            snapshot_append(
+                spark.createDataFrame([(2, 99)], "k int, v int"), table
+            )
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", racing_write)
+    with pytest.raises(snap.SnapshotConstraintError, match="v_cap"):
+        snap.snapshot_update(spark, table, {"v": "CAST(v + 1 AS INT)"})
+    # nothing violating was committed
+    got = {(r.k, r.v) for r in snapshot_read(spark, table).collect()}
+    assert got == {(1, 10), (2, 99)}
+
+
+def test_overwrite_refuses_logical_plus_physical_duplicate(spark, table):
+    """An overwrite df carrying BOTH a renamed logical column and a new
+    column equal to its frozen physical name would produce duplicate
+    physical fields under the rename — refuse with a targeted error, not
+    an opaque parquet failure (ADVICE r9 #2). Re-using the physical name
+    WITHOUT the logical column stays allowed (revert-a-rename)."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_rename_column,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 2.0)], "k int, amount double"), table
+    )
+    snapshot_rename_column(spark, table, "amount", "price")
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_overwrite(
+            spark.createDataFrame(
+                [(1, 2.0, 3.0)], "k int, price double, amount double"
+            ),
+            table,
+        )
+    # the legal sub-case still works: physical name alone, logical gone
+    snapshot_overwrite(
+        spark.createDataFrame([(9, 9.0)], "k int, amount double"), table
+    )
+    assert snapshot_read(spark, table).columns == ["k", "amount"]
