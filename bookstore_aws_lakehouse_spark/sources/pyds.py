@@ -341,6 +341,20 @@ class SnapshotStreamReader(DataSourceStreamReader):
         cap = options.get("maxversionspertrigger")
         self._max_versions = int(cap) if cap is not None else None
         self._last_end: int | None = None
+        # manifests are immutable once committed (created with O_EXCL), so
+        # caching them by version is always sound — without it every
+        # trigger's window loop re-reads each version's JSON (and the end
+        # version twice: once for its op check, once for its file list)
+        self._mcache: dict[int, dict] = {}
+
+    def _manifest(self, v: int) -> dict:
+        m = self._mcache.get(v)
+        if m is None:
+            m = _read_manifest_local(self._table, v)
+            if len(self._mcache) >= 512:  # bounded on high-churn tables
+                self._mcache.clear()
+            self._mcache[v] = m
+        return m
 
     def _versions(self) -> list[int]:
         mdir = os.path.join(_local(self._table), "_manifests")
@@ -380,7 +394,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     f"without duplicating already-streamed rows. Restart "
                     f"the stream with a fresh checkpoint (failOnDataLoss)."
                 )
-            base_files = set(_read_manifest_local(self._table, v0)["files"])
+            base_files = set(self._manifest(v0)["files"])
         floor = min(have) if have else 0
         for v in range(v0 + 1, v1 + 1):
             if v not in have:
@@ -401,14 +415,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # is the INITIAL SNAPSHOT (Delta streams it wholesale) —
                 # its op kind is irrelevant, its files emit exactly once
                 continue
-            op = _read_manifest_local(self._table, v).get("operation")
+            op = self._manifest(v).get("operation")
             if op not in self._APPEND_SAFE_OPS:
                 raise ValueError(
                     f"snapshot stream requires append-only history, but "
                     f"version {v} is {op!r} — stream from a later "
                     f"startingVersion or keep the table append-only"
                 )
-        end_m = _read_manifest_local(self._table, v1)
+        end_m = self._manifest(v1)
         end_schema = StructType.fromJson(end_m["schema"])
         cols = tuple(end_schema.fieldNames())
         mapping = end_m.get("column_mapping") or {}
@@ -645,12 +659,26 @@ class SnapshotWriter(DataSourceArrowWriter):
                 manifest["txn"] = merged
             if getattr(self, "_app", None):
                 manifest["app"] = self._app
+            # atomic claim+publish, same protocol as the engine's
+            # _claim_version: open("x") + dump would make the version
+            # name visible before its payload — a concurrent reader
+            # could open a half-written tip. Write-temp + link(2) is
+            # atomic and fails EEXIST on a lost race.
+            import uuid as _uuid
+
+            target = os.path.join(mdir, f"v{v}.json")
+            tmp = f"{target}.tmp-{_uuid.uuid4().hex[:12]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
             try:
-                with open(os.path.join(mdir, f"v{v}.json"), "x") as f:
-                    json.dump(manifest, f, sort_keys=True)
+                os.link(tmp, target)
                 return
             except FileExistsError:
                 continue  # lost the race: recompose against the new tip
+            finally:
+                os.unlink(tmp)
         raise RuntimeError("snapshot write lost 50 consecutive version races")
 
     def abort(self, messages) -> None:

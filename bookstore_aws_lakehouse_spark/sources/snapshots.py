@@ -125,12 +125,47 @@ class SnapshotConflictError(RuntimeError):
 
 
 def _claim_version(spark: SparkSession, table: str, manifest: dict, v: int) -> bool:
-    """Atomically claim ``v<v>.json`` via exclusive create. True on
-    success, False if the version already exists (lost the race)."""
-    fs, _, jvm = _fs(spark, table)
+    """Atomically claim AND publish ``v<v>.json``. True on success, False
+    if the version already exists (lost the race).
+
+    The claim must also be an atomic PUBLISH: the old exclusive-create-
+    then-write sequence made the version name visible (the claim) before
+    the payload landed, so a concurrent reader listing versions could
+    open the new tip and read zero/partial bytes — the concurrent-writer
+    fuzz caught exactly that (EOF on a half-written manifest). On a
+    local filesystem the payload is therefore written to a temp name and
+    hard-linked into place: ``link(2)`` is atomic, fails EEXIST when the
+    version is already claimed, and readers can only ever observe a
+    complete manifest. (Same protocol as the DataSource writer; Delta on
+    HDFS gets this from atomic no-overwrite rename.)"""
     manifest["version"] = v
     payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
-    target = jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v))
+    target_str = _manifest_path(table, v)
+    local = (
+        "/" + target_str[5:].lstrip("/")
+        if target_str.startswith("file:")
+        else (target_str if "://" not in target_str else None)
+    )
+    if local is not None:
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(local), exist_ok=True)
+        tmp = f"{local}.tmp-{uuid.uuid4().hex[:12]}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            _os.fsync(f.fileno())
+        try:
+            _os.link(tmp, local)
+        except FileExistsError:
+            return False
+        finally:
+            _os.unlink(tmp)
+        return True
+    # remote FS fallback: exclusive create (HDFS rename-based commit
+    # services are the production answer; this path is not the sandbox's)
+    fs, _, jvm = _fs(spark, table)
+    target = jvm.org.apache.hadoop.fs.Path(target_str)
     try:
         out = fs.create(target, False)  # overwrite=False: exclusive
     except Exception:
@@ -1764,15 +1799,33 @@ def checkpoint_history(spark: SparkSession, table: str) -> int:
         "upto": versions[-1],
         "rows": sorted(rows.values(), key=lambda r: r[0]),
     }
-    fs, _, jvm = _fs(spark, table)
-    target = jvm.org.apache.hadoop.fs.Path(
-        f"{table.rstrip('/')}/{_MANIFEST_DIR}/{_CHECKPOINT_NAME}"
+    target_str = f"{table.rstrip('/')}/{_MANIFEST_DIR}/{_CHECKPOINT_NAME}"
+    data = json.dumps(payload, sort_keys=True).encode("utf-8")
+    local = (
+        "/" + target_str[5:].lstrip("/")
+        if target_str.startswith("file:")
+        else (target_str if "://" not in target_str else None)
     )
-    out = fs.create(target, True)
-    try:
-        out.write(bytearray(json.dumps(payload, sort_keys=True).encode("utf-8")))
-    finally:
-        out.close()
+    if local is not None:
+        # atomic replace: a concurrent history() must read either the
+        # old checkpoint or the new one, never partial bytes (same
+        # atomic-publish rule as _claim_version; rename(2) overwrites)
+        import os as _os
+
+        tmp = f"{local}.tmp-{uuid.uuid4().hex[:12]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp, local)
+    else:
+        fs, _, jvm = _fs(spark, table)
+        target = jvm.org.apache.hadoop.fs.Path(target_str)
+        out = fs.create(target, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
     return versions[-1]
 
 
