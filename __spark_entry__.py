@@ -144,67 +144,24 @@ _PROBE_EXCLUDE = frozenset(
 #: rotation must drain the r2/r3 verification debt without non-changed
 #: entries jumping the queue (VERDICT r5 #1).
 _FORCE_REVERIFY: dict[str, int] = {
-    # r6: floor(l_quantity) before the bigint cast on both engines
-    # (ADVICE r5) — value-identical on the integral fixture quantities,
-    # verified at sf0.01 locally, but the plan+oracle text changed
-    "q9_product_profit": 6,
-    # r7: the partitioned upsert now clusters its write on the partition
-    # column AND the query harness changed (shared tempdir, checkpoint
-    # pinning) — locally green at sf0.01, but the executed path differs
-    # from what earned the r6 green
-    # r7: resize_media's pass-through guard broadened from
-    # NotImplementedError to Exception — decode behavior on the fixture
-    # is unchanged, but the UDF body differs
-    "multimodal_resize_real": 7,
-    # r8: the streaming snapshot sink's foreachBatch body moved into the
-    # snapshot_sink_batch factory (maintenance hook added) and
-    # snapshot_append now carries file stats forward — locally green at
-    # sf0.01, but the executed sink path differs from the r7 green
-    "stream_snapshot_rollup": 8,
-    # r8 (ADVICE fixes): incremental.py's semi/outer joins went
-    # null-safe and the MV watermark moved INTO the mart's manifest
-    # (app.mv_state) — both queries' executed refresh path changed
-    "snapshot_incremental_rollup": 8,
-    "snapshot_materialized_view_refresh": 8,
-    # r8: snapshot_update now validates SET-expression types pre-commit
-    "snapshot_update_roundtrip": 8,
-    # r8: the lakesnap stream reader's window loop restructured
-    # (failOnDataLoss on vacuumed versions) and _file_may_match learned
-    # the all-NULL-column case — reader paths differ from the r7 greens
-    "stream_snapshot_source_tail": 8,
-    "snapshot_python_datasource": 8,
-    # r8 (review-pass fixes, builder round 11): merge commits now pin the
-    # TABLE schema and refuse type-drifted deltas; delete_where/update
-    # gained optimistic-concurrency version claims; merge_when gained the
-    # multiple-source-rows guard and keys-only sources; restore merges
-    # txn watermarks; the native streaming sink records its batch id in
-    # the tip-inherited txn map; _commit re-inherits facts on a lost
-    # overwrite race. Same results on a quiet table (verified by three
-    # full local parity sweeps), but the executed paths differ from the
-    # rows' recorded greens.
-    "snapshot_merge_roundtrip": 8,
-    "snapshot_merge_partitioned_roundtrip": 8,
-    "snapshot_merge_when_roundtrip": 8,
-    "snapshot_scan_pruned": 8,
-    "snapshot_changes_feed": 8,
-    "snapshot_clone_divergence": 8,
-    "snapshot_constraint_enforcement": 8,
-    "snapshot_restore_roundtrip": 8,
-    "snapshot_history_audit": 8,
-    "stream_snapshot_native_sink": 8,
-    # r8 late: the continuous sinks' shared projection helper + default-
-    # checkpoint cleanup (writers/jobs review fixes) changed the
-    # executed sink path again after the r7 green
-    "stream_continuous_rollup": 8,
-    # r8 late (fifth review pass): asof_join's NULL semantics changed
-    # (NULL keys/times no longer match). The fixture carries no NULL
-    # keys so values are identical — but the operator CONTRACT changed,
-    # so the row re-earns its green. The split_bucket/langid expression
-    # rewrites from the same pass are value-identical by construction
-    # (230/230 local parity at sf0.01) and are deliberately NOT forced:
-    # forcing ~8 more rows would push r3-era rows out of the drain
-    # window, which the r7 verdict ranked above re-greening.
-    "asof_last_signup": 8,
+    # r9 (all 20 r8-era entries pruned: each held a green at-or-after its
+    # change round in CORRECTNESS_r08 — the mechanism self-cleaned).
+    # r9: remove_repeated_passages rebuilt as ONE aggregation over all
+    # chunks (the totals scan + second join are gone) — same values,
+    # materially different plan
+    "text_remove_boilerplate": 9,
+    # r9: apply_rollup_delta's NULL-sum contract changed (delta-touched
+    # groups where both sides are NULL now emit NULL, matching a rebuild)
+    "snapshot_incremental_rollup": 9,
+    # r9: the lakesnap stream reader caches immutable manifests across
+    # the window loop, and both stream rows gained in-query phase
+    # instrumentation — executed reader path differs from the r8 greens.
+    # (The atomic-publish commit protocol also changed for EVERY
+    # snapshot row this round — deliberately not forced: results are
+    # byte-identical, any snapshot green exercises it, and forcing ~30
+    # rows would crowd the r4 cohort out of the drain window.)
+    "stream_snapshot_source_tail": 9,
+    "stream_snapshot_native_sink": 9,
 }
 
 
