@@ -256,6 +256,8 @@ def main() -> None:
         "snapshot_asof_timestamp",
         "snapshot_vacuum_retention",
         "stream_snapshot_native_sink",
+        # r12: OPTIMIZE ZORDER BY — the multi-column pruning rewrite
+        "snapshot_zorder_prune",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

@@ -2752,3 +2752,65 @@ def q_snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_zorder_prune",
+    """
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 160 AND l_suppkey BETWEEN 2 AND 40
+    GROUP BY l_partkey
+    """,
+)
+def q_snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (sources/snapshots.py::snapshot_zorder):
+    lineitem committed orderkey-clustered (the natural arrival layout,
+    where per-file [min,max] on every OTHER key spans the whole domain),
+    then Z-order-rewritten on (l_partkey, l_suppkey). The aggregation
+    runs through TWO stats-pruned scans — one per zorder column — whose
+    intersection must equal the plain doubly-filtered answer the oracle
+    computes; the multi-dimensional file-skip contract itself (both
+    probes open strictly fewer files than the table holds) is asserted
+    in tests/test_snapshots.py::test_zorder_multi_column_pruning. The
+    rewrite is layout-only: content is value-identical at every step."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_scan,
+        snapshot_zorder,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="blhs_zorder_")
+    try:
+        table = f"{root}/lineitem_z"
+        snapshot_overwrite(
+            li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+                "l_orderkey"
+            ),
+            table,
+            stats_cols=["l_orderkey", "l_partkey", "l_suppkey"],
+        )
+        snapshot_zorder(
+            spark, table, ["l_partkey", "l_suppkey"], target_file_bytes=256_000
+        )
+        out = (
+            snapshot_scan(spark, table, "l_partkey", 100, 160)
+            .filter(F.col("l_suppkey").between(2, 40))
+            .groupBy("l_partkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("total_qty"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -2045,6 +2045,23 @@ def vacuum(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     for v in dropped:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v)), False)
+    # crash janitoring for the atomic-publish protocol: a writer that died
+    # between writing a ``v*.json.tmp-*`` payload and linking it is the
+    # only way a tmp file outlives its commit attempt — no live commit
+    # references one (readers filter on ``.json``). Age-gated (10 min by
+    # mtime) so a LIVE writer's microseconds-old tmp is never yanked
+    # between its write and its link. Not counted in the data-file total.
+    mdir = jvm.org.apache.hadoop.fs.Path(
+        f"{table.rstrip('/')}/{_MANIFEST_DIR}"
+    )
+    if fs.exists(mdir):
+        cutoff_ms = (time.time() - 600) * 1000
+        for st in fs.listStatus(mdir):
+            if (
+                ".tmp-" in st.getPath().getName()
+                and st.getModificationTime() < cutoff_ms
+            ):
+                fs.delete(st.getPath(), False)
     return len(doomed)
 
 
@@ -2794,6 +2811,127 @@ def snapshot_delete_dv(
             continue
     raise SnapshotConflictError(
         f"delete_dv on {table} lost 3 consecutive races — retry under lower "
+        f"write concurrency"
+    )
+
+
+def snapshot_zorder(
+    spark: SparkSession,
+    table: str,
+    zorder_cols: list[str],
+    target_file_bytes: int = 128 << 20,
+    bits: int = 8,
+) -> int:
+    """``OPTIMIZE t ZORDER BY (c1, c2, ...)`` — rewrite the table's data
+    files clustered on the Morton (Z-order) interleaving of the given
+    columns, so per-file min/max stats become tight on EVERY zorder
+    column at once and stats-pruned scans (:func:`snapshot_scan`, the
+    DataSource's pushed-filter pruning) skip files for predicates on any
+    of them. Linear clustering (``snapshot_optimize(cluster_col=...)``)
+    buys pruning on one column and destroys it on the rest; Z-order is
+    the multi-dimensional version Delta/Iceberg ship for exactly the
+    100 TB problem: a fact table queried by several independent keys.
+
+    Spark-first shape, no driver-side data: per column, equi-depth
+    bucket boundaries come from ``approxQuantile`` (one distributed
+    pass, Greenwald-Khanna); each row's bucket id is computed map-side
+    with a JVM higher-order ``aggregate`` over the broadcast-literal
+    boundary array; the Z-value interleaves the bucket bits with pure
+    integer arithmetic (shift/AND — whole-stage codegen); the rewrite is
+    ``repartitionByRange + sortWithinPartitions`` on the Z-value. Data
+    content is byte-identical (layout-only commit, op ``optimize``);
+    deletion vectors fold into the rewrite like OPTIMIZE. Stats are
+    re-collected for the union of previously-tracked columns and the
+    zorder columns. NULLs sort into bucket 0 (files holding a column's
+    NULLs keep ``has_null`` so NULL-probes stay correct).
+
+    Numeric columns only (``approxQuantile``'s domain) — the practical
+    Z-order case; raise otherwise rather than silently hash-bucketing.
+    """
+    if not zorder_cols or len(zorder_cols) > 4:
+        raise ValueError("zorder takes 1-4 columns")
+    if bits * len(zorder_cols) > 62:
+        raise ValueError("bits * n_cols must fit a signed 64-bit Z-value")
+    for _ in range(3):
+        versions = list_versions(spark, table)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot manifests under {table}")
+        manifest = _read_manifest(spark, table, versions[-1])
+        schema = StructType.fromJson(manifest["schema"])
+        numeric = {
+            f.name
+            for f in schema.fields
+            if f.dataType.simpleString()
+            in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or f.dataType.simpleString().startswith("decimal")
+        }
+        missing = [c for c in zorder_cols if c not in schema.names]
+        if missing:
+            raise ValueError(f"zorder column(s) {missing} not in {schema.names}")
+        non_num = [c for c in zorder_cols if c not in numeric]
+        if non_num:
+            raise ValueError(
+                f"zorder column(s) {non_num} are not numeric — Z-order "
+                f"bucketing uses approxQuantile; cast or derive a numeric "
+                f"sort key first"
+            )
+        if not manifest["files"]:
+            return versions[-1]
+        df = _read_data_files(spark, schema, manifest["files"], manifest)
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        # one distributed GK pass for ALL columns' boundaries
+        all_bnds = df.approxQuantile([str(c) for c in zorder_cols], probs, 0.001)
+        z = None
+        for ci, (col, bnds) in enumerate(zip(zorder_cols, all_bnds)):
+            uniq = sorted(set(bnds))
+            arr = F.array(*[F.lit(float(b)) for b in uniq])
+            bucket = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
+            )
+            # interleave: bit j of column ci lands at position j*k + ci
+            k = len(zorder_cols)
+            for j in range(bits):
+                contrib = F.shiftleft(
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1)), j * k + ci
+                ).cast("long")
+                z = contrib if z is None else z + contrib
+        fs, _, jvm = _fs(spark, table)
+        total_bytes = sum(
+            fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+            for f in manifest["files"]
+        )
+        n_out = max(1, -(-total_bytes // target_file_bytes))
+        packed = (
+            df.withColumn("_zval", z)
+            .repartitionByRange(n_out, F.col("_zval"))
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+        new_files = _write_data_files(packed, table, tip_manifest=manifest)
+        prev_stats = manifest.get("file_stats") or {}
+        stats_cols = sorted(set(_prev_stats_cols(prev_stats)) | set(zorder_cols))
+        file_stats = _collect_file_stats(
+            new_files, stats_cols, manifest.get("column_mapping") or {}
+        )
+        placeholder = spark.createDataFrame([], schema)
+        try:
+            return _commit(
+                placeholder,
+                table,
+                "optimize",
+                new_files,
+                file_stats,
+                expected_version=versions[-1] + 1,
+            )
+        except SnapshotConflictError:
+            _delete_files(spark, new_files)
+            continue
+    raise SnapshotConflictError(
+        f"zorder on {table} lost 3 consecutive races — retry under lower "
         f"write concurrency"
     )
 

@@ -2356,3 +2356,94 @@ def test_overwrite_refuses_logical_plus_physical_duplicate(spark, table):
         spark.createDataFrame([(9, 9.0)], "k int, amount double"), table
     )
     assert snapshot_read(spark, table).columns == ["k", "amount"]
+
+
+def test_vacuum_reclaims_crashed_commit_tmp_files(spark, table):
+    """A writer that dies between writing its manifest payload and the
+    atomic link leaves a ``v*.json.tmp-*`` orphan; vacuum reclaims aged
+    orphans (mtime > 10 min) but never a live writer's fresh tmp."""
+    import os
+    import time as _time
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import vacuum
+
+    snapshot_overwrite(_df(spark, [(1, "a")]), table)
+    snapshot_append(_df(spark, [(2, "b")]), table)
+    mdir = os.path.join(table, "_manifests")
+    old_tmp = os.path.join(mdir, "v3.json.tmp-deadbeef0000")
+    new_tmp = os.path.join(mdir, "v3.json.tmp-cafebabe0000")
+    for p in (old_tmp, new_tmp):
+        with open(p, "w") as f:
+            f.write("{}")
+    past = _time.time() - 3600
+    os.utime(old_tmp, (past, past))
+    vacuum(spark, table, keep_last=1)
+    assert not os.path.exists(old_tmp)   # aged orphan reclaimed
+    assert os.path.exists(new_tmp)       # fresh (possibly live) tmp kept
+    # the janitor never touched real manifests
+    assert snapshot_read(spark, table).count() == 2
+
+
+def test_zorder_multi_column_pruning(spark, table):
+    """OPTIMIZE ZORDER BY: after the rewrite, stats-pruned probes on
+    BOTH zorder columns must skip files (linear clustering can only
+    serve one), content must be byte-identical, and the commit is
+    layout-only time-travelable history."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_scan,
+        snapshot_zorder,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    snapshot_overwrite(
+        li.repartitionByRange(16, "l_orderkey").sortWithinPartitions("l_orderkey"),
+        table,
+        stats_cols=["l_orderkey", "l_partkey", "l_suppkey"],
+    )
+    v = snapshot_zorder(
+        spark, table, ["l_partkey", "l_suppkey"], target_file_bytes=64_000
+    )
+    m = _read_manifest(spark, table, v)
+    stats = m["file_stats"]
+
+    def surviving(col, lo, hi):
+        keep = 0
+        for f in m["files"]:
+            row = stats.get(f, {}).get(col)
+            if row is None or row[0] is None:
+                keep += row is None
+                continue
+            if row[0] <= hi and lo <= row[1]:
+                keep += 1
+        return keep
+
+    n = len(m["files"])
+    assert n >= 4
+    assert surviving("l_partkey", 100, 120) < n
+    assert surviving("l_suppkey", 5, 7) < n
+    # content identical across the layout rewrite; scan == filter
+    before = snapshot_read(spark, table, 1)
+    after = snapshot_read(spark, table, v)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+    got = snapshot_scan(spark, table, "l_suppkey", 5, 7).count()
+    assert got == after.filter("l_suppkey between 5 and 7").count()
+
+
+def test_zorder_guards(spark, table):
+    import pytest
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_zorder
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, "a")], "k int, s string"), table
+    )
+    with pytest.raises(ValueError, match="not numeric"):
+        snapshot_zorder(spark, table, ["s"])
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_zorder(spark, table, ["nope"])
+    with pytest.raises(ValueError, match="1-4"):
+        snapshot_zorder(spark, table, [])
