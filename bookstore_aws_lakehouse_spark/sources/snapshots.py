@@ -532,8 +532,17 @@ def _collect_file_stats(
                     usable = False
                     break
                 has_null = has_null or bool(st.null_count)
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                try:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                except Exception:
+                    # pyarrow can't decode min/max for every physical type
+                    # (ArrowNotImplementedError, e.g. an all-NULL column
+                    # stored as typeless) — skip the column conservatively
+                    # (absent stats = file may match anything) instead of
+                    # failing the whole commit
+                    usable = False
+                    break
             if not usable:
                 continue
             if lo is not None and not isinstance(lo, (str, int, float, bool)):
@@ -2847,6 +2856,14 @@ def snapshot_zorder(
 
     Numeric columns only (``approxQuantile``'s domain) — the practical
     Z-order case; raise otherwise rather than silently hash-bucketing.
+
+    Relation to ``writers.zorder_value`` / ``write_parquet_zordered``:
+    those interleave the RAW low bits of two non-negative int columns at
+    write time (no table format needed); this is the table-format
+    OPTIMIZE — equi-depth bucketing handles arbitrary numeric
+    distributions (skew, floats, negatives), takes 1-4 columns, folds
+    deletion vectors, re-collects manifest stats, and commits
+    layout-only history.
     """
     if not zorder_cols or len(zorder_cols) > 4:
         raise ValueError("zorder takes 1-4 columns")
@@ -2880,18 +2897,29 @@ def snapshot_zorder(
         df = _read_data_files(spark, schema, manifest["files"], manifest)
         n_buckets = 1 << bits
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        # one distributed GK pass for ALL columns' boundaries
-        all_bnds = df.approxQuantile([str(c) for c in zorder_cols], probs, 0.001)
+        # one distributed GK pass for ALL columns' boundaries; decimals
+        # are pre-cast (approxQuantile's numeric domain excludes them)
+        qdf = df.select(
+            *[F.col(c).cast("double").alias(f"_q{i}")
+              for i, c in enumerate(zorder_cols)]
+        )
+        all_bnds = qdf.approxQuantile(
+            [f"_q{i}" for i in range(len(zorder_cols))], probs, 0.001
+        )
         z = None
         for ci, (col, bnds) in enumerate(zip(zorder_cols, all_bnds)):
-            uniq = sorted(set(bnds))
-            arr = F.array(*[F.lit(float(b)) for b in uniq])
-            bucket = F.aggregate(
-                arr,
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
-            )
+            # all-NULL column (GK sees no values): every row buckets to 0
+            uniq = sorted({b for b in bnds if b is not None})
+            if not uniq:
+                bucket = F.lit(0)
+            else:
+                arr = F.array(*[F.lit(float(b)) for b in uniq])
+                bucket = F.aggregate(
+                    arr,
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
+                )
             # interleave: bit j of column ci lands at position j*k + ci
             k = len(zorder_cols)
             for j in range(bits):

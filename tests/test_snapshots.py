@@ -2447,3 +2447,24 @@ def test_zorder_guards(spark, table):
         snapshot_zorder(spark, table, ["nope"])
     with pytest.raises(ValueError, match="1-4"):
         snapshot_zorder(spark, table, [])
+
+
+def test_stats_collection_survives_undecodable_column_stats(spark, table):
+    """A column whose parquet min/max pyarrow cannot decode (e.g. an
+    all-NULL double) must be SKIPPED conservatively, never fail the
+    commit — found by zordering a table with an all-NULL column."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_zorder,
+    )
+
+    df = spark.sql(
+        "select id as k, cast(id*1.5 as decimal(10,2)) as d, "
+        "cast(NULL as double) as nn from range(1000)"
+    )
+    snapshot_overwrite(df.repartition(4), table, stats_cols=["k"])
+    v = snapshot_zorder(spark, table, ["d", "nn"], target_file_bytes=8_000)
+    assert snapshot_read(spark, table).count() == 1000
+    m = _read_manifest(spark, table, v)
+    # k's stats survive; the undecodable/unportable columns are absent
+    assert all("k" in st for st in m["file_stats"].values())
