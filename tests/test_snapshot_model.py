@@ -216,7 +216,8 @@ def test_concurrent_writers_serialize_without_lost_updates(spark, tmp_path, seed
             for _ in range(n_ops):
                 op = rng.choice(
                     ["append", "append", "delete_dv", "delete_cow",
-                     "update", "replace_where", "optimize", "purge_dv"]
+                     "update", "replace_where", "optimize", "purge_dv",
+                     "zorder"]
                 )
                 try:
                     if op == "append":
@@ -271,6 +272,12 @@ def test_concurrent_writers_serialize_without_lost_updates(spark, tmp_path, seed
                     elif op == "optimize":
                         v = snap.snapshot_optimize(
                             spark, table, target_file_bytes=1 << 30
+                        )
+                        logs[tid].append({"op": op, "version": v})
+                    elif op == "zorder":
+                        v = snap.snapshot_zorder(
+                            spark, table, ["k", "v"],
+                            target_file_bytes=1 << 20, bits=4,
                         )
                         logs[tid].append({"op": op, "version": v})
                     else:
