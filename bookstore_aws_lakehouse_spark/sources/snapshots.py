@@ -1838,6 +1838,68 @@ def checkpoint_history(spark: SparkSession, table: str) -> int:
     return versions[-1]
 
 
+def snapshot_files(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Per-file metadata table — Iceberg's ``t.files`` / Delta's
+    ``DESCRIBE DETAIL`` at file granularity, from the manifest + parquet
+    footers only (no data I/O, no distributed job): one row per data
+    file with size, footer row count, live rows (footer minus deletion-
+    vector cardinality), DV flag, and the recorded min/max/has_null per
+    stats column (as a ``stats`` map of ``col -> [min, max, has_null]``
+    strings). The operator's view for layout questions — which files are
+    tiny (OPTIMIZE?), which carry vectors (purge?), whether the
+    clustering actually produced disjoint ranges (zorder verification) —
+    all answered without touching data bytes."""
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {table} (have {versions})")
+    m = _read_manifest(spark, table, v)
+    stats = m.get("file_stats") or {}
+    card = (m.get("dv") or {}).get("cardinality") or {}
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        pq = None
+    fs, _, jvm = _fs(spark, table)
+    rows = []
+    for f in m["files"]:
+        try:
+            size = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+        except Exception:
+            size = None
+        n_rows = None
+        local = f[5:] if f.startswith("file:") else f
+        if pq is not None and "://" not in local:
+            try:
+                n_rows = pq.ParquetFile(local).metadata.num_rows
+            except OSError:
+                n_rows = None
+        dead = int(card.get(f, 0))
+        st = {
+            c: [str(x) for x in row_] for c, row_ in (stats.get(f) or {}).items()
+        }
+        rows.append(
+            (
+                f,
+                size,
+                n_rows,
+                (n_rows - dead) if n_rows is not None else None,
+                dead > 0,
+                st,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, size_bytes bigint, num_rows bigint, "
+        "num_live_rows bigint, has_deletion_vector boolean, "
+        "stats map<string, array<string>>",
+    )
+
+
 def history(spark: SparkSession, table: str) -> DataFrame:
     """Commit log as a DataFrame: (version, operation, n_files,
     committed_at_unix) — the DESCRIBE HISTORY analog. With a
@@ -2914,12 +2976,21 @@ def snapshot_zorder(
                 bucket = F.lit(0)
             else:
                 arr = F.array(*[F.lit(float(b)) for b in uniq])
-                bucket = F.aggregate(
+                raw = F.aggregate(
                     arr,
                     F.lit(0),
                     lambda acc, b: acc
                     + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
                 )
+                # SCALE the bucket id to span the full 2^bits range: a
+                # low-cardinality column (12 distinct values → 12 distinct
+                # buckets) would otherwise populate only its LOW bits,
+                # the interleave would give it no high-order influence,
+                # and file splits would ignore that dimension entirely —
+                # caught by the skewed-distribution pruning test.
+                bucket = F.floor(
+                    raw * F.lit((n_buckets - 1) / len(uniq))
+                ).cast("int")
             # interleave: bit j of column ci lands at position j*k + ci
             k = len(zorder_cols)
             for j in range(bits):

@@ -2468,3 +2468,75 @@ def test_stats_collection_survives_undecodable_column_stats(spark, table):
     m = _read_manifest(spark, table, v)
     # k's stats survive; the undecodable/unportable columns are absent
     assert all("k" in st for st in m["file_stats"].values())
+
+
+def test_snapshot_files_metadata_table(spark, table):
+    """The per-file metadata table answers layout questions from footers
+    and the manifest only: sizes, footer rows, DV-adjusted live rows,
+    and the recorded stats per file."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_dv,
+        snapshot_files,
+    )
+
+    snapshot_overwrite(
+        spark.range(0, 100)
+        .selectExpr("id as k", "cast(id as double) as v")
+        .repartition(4),
+        table,
+        stats_cols=["k"],
+    )
+    snapshot_delete_dv(spark, table, "k < 10")
+    out = snapshot_files(spark, table).collect()
+    assert len(out) == 4
+    assert sum(r.num_rows for r in out) == 100
+    assert sum(r.num_live_rows for r in out) == 90
+    assert any(r.has_deletion_vector for r in out)
+    for r in out:
+        assert r.size_bytes > 0
+        assert "k" in r.stats and len(r.stats["k"]) == 3
+    # time travel: version 1 has no vectors
+    v1 = snapshot_files(spark, table, version=1).collect()
+    assert sum(r.num_live_rows for r in v1) == 100
+    assert not any(r.has_deletion_vector for r in v1)
+
+
+def test_zorder_skewed_and_negative_distributions(spark, table):
+    """Equi-depth bucketing must keep the Z-curve balanced under skew and
+    handle negative values: content preserved exactly, and per-file
+    ranges on both columns still prune on the non-leading column."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_zorder,
+    )
+
+    # zipf-ish skew on a, negatives on b
+    df = spark.sql(
+        "select id as k, cast(pow(2, id % 12) as bigint) as a, "
+        "cast(id % 97 - 48 as bigint) as b, cast(id as double) as v "
+        "from range(20000)"
+    )
+    snapshot_overwrite(df.repartition(8), table, stats_cols=["k"])
+    ver = snapshot_zorder(spark, table, ["a", "b"], target_file_bytes=24_000)
+    m = _read_manifest(spark, table, ver)
+    stats = m["file_stats"]
+    n = len(m["files"])
+    assert n >= 4
+
+    def surviving(col, lo, hi):
+        keep = 0
+        for f in m["files"]:
+            row = stats.get(f, {}).get(col)
+            if row is None or row[0] is None:
+                keep += row is None
+                continue
+            if row[0] <= hi and lo <= row[1]:
+                keep += 1
+        return keep
+
+    assert surviving("b", -48, -40) < n  # negative range prunes
+    assert surviving("a", 1, 2) < n      # skewed column still prunes
+    before = snapshot_read(spark, table, 1)
+    after = snapshot_read(spark, table, ver)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
