@@ -2770,17 +2770,18 @@ def q_snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem committed orderkey-clustered (the natural arrival layout,
     where per-file [min,max] on every OTHER key spans the whole domain),
     then Z-order-rewritten on (l_partkey, l_suppkey). The aggregation
-    runs through TWO stats-pruned scans — one per zorder column — whose
-    intersection must equal the plain doubly-filtered answer the oracle
-    computes; the multi-dimensional file-skip contract itself (both
-    probes open strictly fewer files than the table holds) is asserted
+    runs through snapshot_scan_multi — BOTH ranges prune at file level,
+    so the skip factors multiply — and must equal the plain
+    doubly-filtered answer the oracle computes; the multi-dimensional
+    file-skip contract itself (each probe opens strictly fewer files
+    than the table holds, and the combined scan fewer still) is asserted
     in tests/test_snapshots.py::test_zorder_multi_column_pruning. The
     rewrite is layout-only: content is value-identical at every step."""
     import shutil
 
     from bookstore_aws_lakehouse_spark.sources.snapshots import (
         snapshot_overwrite,
-        snapshot_scan,
+        snapshot_scan_multi,
         snapshot_zorder,
     )
 
@@ -2801,8 +2802,11 @@ def q_snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, table, ["l_partkey", "l_suppkey"], target_file_bytes=256_000
         )
         out = (
-            snapshot_scan(spark, table, "l_partkey", 100, 160)
-            .filter(F.col("l_suppkey").between(2, 40))
+            snapshot_scan_multi(
+                spark,
+                table,
+                {"l_partkey": (100, 160), "l_suppkey": (2, 40)},
+            )
             .groupBy("l_partkey")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),

@@ -1480,6 +1480,58 @@ def snapshot_merge_partitioned(
     )
 
 
+def snapshot_scan_multi(
+    spark: SparkSession,
+    table: str,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned scan on SEVERAL column ranges at once — the consumer
+    the Z-ordered layout exists for: a file is opened only when its
+    recorded [min, max] intersects EVERY predicate's range, so pruning
+    factors multiply across dimensions (on a Z-ordered table each
+    predicate independently removes most files; a linear clustering can
+    only ever serve one). Result is exactly
+    ``snapshot_read(...).filter(AND of all ranges)`` — files without
+    stats are conservatively included, pruning is never a semantics
+    change. ``ranges`` maps column -> (lo, hi), both inclusive."""
+    from pyspark.sql import functions as F
+
+    if not ranges:
+        raise ValueError("ranges must name at least one column")
+    versions = list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {table} (have {versions})")
+    manifest = _read_manifest(spark, table, v)
+    stats = manifest.get("file_stats") or {}
+
+    def may_intersect(f: str) -> bool:
+        for column, (lo, hi) in ranges.items():
+            row = stats.get(f, {}).get(column)
+            if row is None:
+                continue  # no stats for this column: can't prune on it
+            fmin, fmax, _null = row
+            if fmin is None:
+                return False  # stats say the file is empty
+            try:
+                if not (fmin <= hi and lo <= fmax):
+                    return False
+            except TypeError:
+                continue  # cross-type compare: be conservative
+        return True
+
+    files = [f for f in manifest["files"] if may_intersect(f)]
+    schema = StructType.fromJson(manifest["schema"])
+    pred = None
+    for column, (lo, hi) in ranges.items():
+        c = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+        pred = c if pred is None else pred & c
+    return _read_data_files(spark, schema, files, manifest).filter(pred)
+
+
 def _prev_stats_cols(prev_stats: dict) -> list[str]:
     """Union of columns any file in a manifest has stats for — rewrites
     re-collect the same columns so pruning survives the operation."""

@@ -2540,3 +2540,54 @@ def test_zorder_skewed_and_negative_distributions(spark, table):
     after = snapshot_read(spark, table, ver)
     assert before.exceptAll(after).count() == 0
     assert after.exceptAll(before).count() == 0
+
+
+def test_scan_multi_prunes_on_every_dimension(spark, table):
+    """snapshot_scan_multi: file pruning factors multiply across
+    predicates on a Z-ordered table, and the result equals the plain
+    doubly-filtered read."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_scan_multi,
+        snapshot_zorder,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    snapshot_overwrite(
+        li.repartition(8), table, stats_cols=["l_partkey", "l_suppkey"]
+    )
+    v = snapshot_zorder(
+        spark, table, ["l_partkey", "l_suppkey"], target_file_bytes=64_000
+    )
+    m = _read_manifest(spark, table, v)
+    stats, n = m["file_stats"], len(m["files"])
+
+    def surviving(rngs):
+        keep = 0
+        for f in m["files"]:
+            ok = True
+            for col, (lo, hi) in rngs.items():
+                row = stats.get(f, {}).get(col)
+                if row is None or row[0] is None:
+                    ok = ok and row is None
+                    continue
+                if not (row[0] <= hi and lo <= row[1]):
+                    ok = False
+            keep += ok
+        return keep
+
+    both = surviving({"l_partkey": (100, 160), "l_suppkey": (2, 40)})
+    only_a = surviving({"l_partkey": (100, 160)})
+    only_b = surviving({"l_suppkey": (2, 40)})
+    assert only_a < n and only_b < n
+    assert both <= min(only_a, only_b)
+    got = snapshot_scan_multi(
+        spark, table, {"l_partkey": (100, 160), "l_suppkey": (2, 40)}
+    )
+    want = snapshot_read(spark, table).filter(
+        "l_partkey between 100 and 160 and l_suppkey between 2 and 40"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
