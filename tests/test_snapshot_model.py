@@ -202,6 +202,22 @@ def test_concurrent_writers_serialize_without_lost_updates(spark, tmp_path, seed
     )
     logs: list[list[dict]] = [[] for _ in range(n_threads)]
     errors: list[BaseException] = []
+    stop_reading = {"done": False}
+
+    def reader() -> None:
+        # a concurrent reader hammers the tip during the write storm: it
+        # must ALWAYS see a complete, parseable manifest and a readable
+        # table (the atomic-publish contract — the pre-fix protocol let
+        # this thread open a half-written tip and die with EOF). Row
+        # counts aren't asserted (any committed version is legal); not
+        # crashing and never seeing a malformed manifest IS the contract.
+        try:
+            while not stop_reading["done"]:
+                snap.snapshot_read(spark, table).count()
+                snap.list_versions(spark, table)
+                snap.history(spark, table).collect()
+        except BaseException as exc:
+            errors.append(exc)
 
     def writer(tid: int) -> None:
         rng = random.Random(seed * 101 + tid)
@@ -293,10 +309,14 @@ def test_concurrent_writers_serialize_without_lost_updates(spark, tmp_path, seed
     threads = [
         threading.Thread(target=writer, args=(tid,)) for tid in range(n_threads)
     ]
+    rd = threading.Thread(target=reader)
+    rd.start()
     for t in threads:
         t.start()
     for t in threads:
         t.join()
+    stop_reading["done"] = True
+    rd.join()
     assert not errors, errors
 
     # the version log must be contiguous: a skipped number means a claim
