@@ -2115,6 +2115,7 @@ def vacuum(
     table: str,
     keep_last: int = 1,
     retain_seconds: float | None = None,
+    orphan_age_seconds: float | None = None,
 ) -> int:
     """Drop expired versions and delete every data file no surviving
     version references (the VACUUM analog; bounds time-travel storage).
@@ -2126,7 +2127,19 @@ def vacuum(
     ``retain_seconds`` every version committed within that window of the
     newest commit's time also survives (Delta's ``RETAIN n HOURS`` —
     time-based, against the log's own clock so a paused table doesn't
-    expire everything on resume)."""
+    expire everything on resume).
+
+    ``orphan_age_seconds`` additionally reclaims UNTRACKED files — data
+    parquet / DV sidecars under the table that no manifest of any
+    surviving version references. Crash debris is the only way these
+    arise: a writer that died between ``_write_data_files`` and its
+    manifest link leaves a ``tx-`` directory no commit ever named, and
+    no version expiry can ever reclaim it (expiry only walks manifests).
+    Delta's VACUUM removes such untracked files past retention for the
+    same reason. Age-gated by mtime so an IN-FLIGHT commit's
+    just-written files are never yanked before its manifest lands —
+    choose a gate longer than the slowest write job (Delta's default is
+    7 days); ``None`` (the default) skips the orphan scan entirely."""
     if keep_last < 1:
         raise ValueError("vacuum must keep at least the latest version")
     versions = list_versions(spark, table)
@@ -2185,7 +2198,35 @@ def vacuum(
                 and st.getModificationTime() < cutoff_ms
             ):
                 fs.delete(st.getPath(), False)
-    return len(doomed)
+    n_deleted = len(doomed)
+    if orphan_age_seconds is not None:
+        # re-list AFTER the expiry deletes: the tracked set must reflect
+        # every manifest that still exists, including any version a
+        # concurrent writer committed while this vacuum ran (its fresh
+        # files are also mtime-protected — two independent guards)
+        tracked = set()
+        for v in list_versions(spark, table):
+            m = _read_manifest(spark, table, v)
+            tracked.update(_norm_uri(f) for f in m["files"])
+            tracked.update(
+                _norm_uri(s) for s in (m.get("dv") or {}).get("sidecars") or []
+            )
+        orphan_cutoff_ms = (time.time() - orphan_age_seconds) * 1000
+        for sub in (_DATA_DIR, _DV_DIR):
+            root = jvm.org.apache.hadoop.fs.Path(f"{table.rstrip('/')}/{sub}")
+            if not fs.exists(root):
+                continue
+            it = fs.listFiles(root, True)  # recursive: tx-*/part-*
+            while it.hasNext():
+                st = it.next()
+                p = st.getPath()
+                if _norm_uri(p.toString()) in tracked:
+                    continue
+                if st.getModificationTime() >= orphan_cutoff_ms:
+                    continue  # could be an in-flight commit's file
+                fs.delete(p, False)
+                n_deleted += 1
+    return n_deleted
 
 
 # ---- bloom-filter file index: point-lookup skipping -----------------------

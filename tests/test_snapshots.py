@@ -2384,6 +2384,62 @@ def test_vacuum_reclaims_crashed_commit_tmp_files(spark, table):
     assert snapshot_read(spark, table).count() == 2
 
 
+def test_vacuum_reclaims_crash_orphaned_data_files(spark, table):
+    """A writer that dies between ``_write_data_files`` and its manifest
+    link leaves a ``tx-`` directory no manifest ever named — version
+    expiry walks manifests only, so nothing can reclaim it. The opt-in
+    ``orphan_age_seconds`` scan removes aged untracked data files; a
+    fresh (possibly in-flight) tx dir and every tracked file survive,
+    and the default (``None``) never scans at all."""
+    import os
+    import shutil
+    import time as _time
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+    )
+
+    snapshot_overwrite(_df(spark, [(1, "a")]), table)
+    snapshot_append(_df(spark, [(2, "b")]), table)
+    ddir = os.path.join(table, "data")
+    src = os.path.join(
+        ddir, next(d for d in os.listdir(ddir) if d.startswith("tx-"))
+    )
+    orphan_dir = os.path.join(ddir, "tx-crashdead0000")
+    fresh_dir = os.path.join(ddir, "tx-crashfresh000")
+    shutil.copytree(src, orphan_dir)
+    shutil.copytree(src, fresh_dir)
+    past = _time.time() - 7200
+    for root, _dirs, files in os.walk(orphan_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (past, past))
+    now = _time.time()
+    for root, _dirs, files in os.walk(fresh_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (now, now))
+
+    def _parquets(d):
+        return [
+            f
+            for f in (os.listdir(d) if os.path.isdir(d) else [])
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+
+    # default: no orphan scan — crash debris untouched
+    vacuum(spark, table, keep_last=10)
+    assert _parquets(orphan_dir)
+    # opt-in: aged orphans reclaimed, fresh ones age-protected
+    assert vacuum(spark, table, keep_last=10, orphan_age_seconds=3600) >= 1
+    assert not _parquets(orphan_dir)
+    assert _parquets(fresh_dir)
+    # table content and every tracked file intact
+    assert sorted(r.k for r in snapshot_read(spark, table).collect()) == [1, 2]
+    for v in list_versions(spark, table):
+        for f in _read_manifest(spark, table, v)["files"]:
+            local = "/" + f[5:].lstrip("/") if f.startswith("file:") else f
+            assert os.path.exists(local)
+
+
 def test_zorder_multi_column_pruning(spark, table):
     """OPTIMIZE ZORDER BY: after the rewrite, stats-pruned probes on
     BOTH zorder columns must skip files (linear clustering can only
