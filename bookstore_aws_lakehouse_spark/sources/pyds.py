@@ -524,6 +524,10 @@ class SnapshotWriter(DataSourceArrowWriter):
                 f"in {self._table}'s data files (retired or renamed-frozen); "
                 f"pick different names"
             )
+        # plan-time mapping: the files are written with THESE physical
+        # names; overwrite's committed mapping must describe them (not a
+        # racer's claim-time mapping the files don't satisfy)
+        self._mapping = mapping
         # files store PHYSICAL names (frozen at column birth)
         self._physical_renames = {
             l: p
@@ -629,20 +633,21 @@ class SnapshotWriter(DataSourceArrowWriter):
                     # idempotent append re-apply after a DS write
                     if tip.get(key):
                         manifest[key] = tip[key]
-                if self._overwrite and manifest.get("column_mapping"):
-                    # mirror the engine's _commit: an overwrite that drops
-                    # a renamed column must drop its mapping entry too, or
-                    # the stale {gone_logical: physical} pair keeps blocking
-                    # unrelated new column names via the clash guards
+                if self._overwrite:
+                    # commit the mapping the files were WRITTEN with,
+                    # pruned to the written schema (engine _commit's
+                    # overwrite rule): inheriting the claim-time tip's
+                    # would let a rename racing this job install a
+                    # mapping the parquet files don't satisfy, and an
+                    # overwrite that drops a renamed column must drop
+                    # its stale {gone_logical: physical} entry too
                     names = set(self._schema.fieldNames())
                     pruned = {
-                        l: p
-                        for l, p in manifest["column_mapping"].items()
-                        if l in names
+                        l: p for l, p in self._mapping.items() if l in names
                     }
                     if pruned:
                         manifest["column_mapping"] = pruned
-                    else:
+                    elif manifest.get("column_mapping"):
                         del manifest["column_mapping"]
                 if not self._overwrite:
                     for key in ("file_stats", "file_blooms"):

@@ -377,9 +377,22 @@ def _commit(
     app: dict | None = None,
     dv: dict | None = None,
     txn: tuple[str, int] | None = None,
+    column_mapping: dict | None = None,
+    constraints_validated: dict | None = None,
 ) -> int:
+    """``column_mapping``: explicit logical→physical map describing how
+    THIS commit's files store their columns (a per-file fact, like
+    stats). Schema-replacing commits pass the mapping their files were
+    actually written with — inheriting the claim-time tip's instead
+    would let a racing rename land a mapping the files don't satisfy
+    (logical names resolving to physical columns the parquet lacks).
+    ``constraints_validated``: the constraint set the caller validated
+    ``df`` against; when the inherited tip constraints differ (a racing
+    ADD CONSTRAINT), the commit re-validates before claiming so no
+    unchecked rows ride in."""
     committed_schema = schema or df.schema
     arg_constraints, arg_blooms, arg_dv = constraints, file_blooms, dv
+    arg_mapping = column_mapping
     attempts = 1 if expected_version is not None else _MAX_COMMIT_RETRIES
     for _attempt in range(attempts):
         constraints, file_blooms, dv = arg_constraints, arg_blooms, arg_dv
@@ -405,6 +418,15 @@ def _commit(
             tip_m = {}
         if constraints is None:
             constraints = tip_m.get("constraints") or {}
+            if (
+                constraints_validated is not None
+                and constraints != constraints_validated
+            ):
+                # a racer's ADD/DROP CONSTRAINT landed after the caller
+                # validated df — the inherited set binds this commit, so
+                # re-check before claiming (raises on violation; the
+                # caller's except path reclaims its files)
+                _validate_constraints(df, constraints)
         if file_blooms is None:
             prev = tip_m.get("file_blooms") or {}
             inherited = {f: prev[f] for f in files if f in prev}
@@ -436,10 +458,11 @@ def _commit(
         # the vanished logical's physical equalled a committed column).
         # Genuine retirement happens in snapshot_drop_column only.
         prev_map = tip_m.get("column_mapping") or {}
-        if prev_map or tip_m.get("retired_physical"):
+        src_map = arg_mapping if arg_mapping is not None else prev_map
+        if src_map or tip_m.get("retired_physical"):
             names = set(committed_schema.names)
             column_mapping = {
-                l: p for l, p in prev_map.items() if l in names
+                l: p for l, p in src_map.items() if l in names
             }
             retired_physical = list(tip_m.get("retired_physical") or [])
         manifest = {
@@ -720,21 +743,43 @@ def snapshot_overwrite(
             seen = _read_manifest(spark, table, versions0[-1]).get("txn") or {}
             if int(seen.get(txn_app_id, -1)) >= int(txn_version):
                 return versions0[-1]
-    _validate_constraints(df, _tip_constraints(spark, table))
-    mapping, _retired = _tip_column_mapping(spark, table)
-    files = _write_data_files(df, table, schema_replacing=True)
+    versions_pre = list_versions(spark, table)
+    tip_pre = (
+        _read_manifest(spark, table, versions_pre[-1]) if versions_pre else {}
+    )
+    cons_seen = tip_pre.get("constraints") or {}
+    _validate_constraints(df, cons_seen)
+    mapping = tip_pre.get("column_mapping") or {}
+    files = _write_data_files(
+        df, table, schema_replacing=True, tip_manifest=tip_pre
+    )
     stats = (
         _collect_file_stats(files, stats_cols, mapping) if stats_cols else None
     )
-    return _commit(
-        df,
-        table,
-        "overwrite",
-        files,
-        stats,
-        app=app,
-        txn=(txn_app_id, int(txn_version)) if txn_app_id is not None else None,
-    )
+    try:
+        return _commit(
+            df,
+            table,
+            "overwrite",
+            files,
+            stats,
+            app=app,
+            txn=(txn_app_id, int(txn_version))
+            if txn_app_id is not None
+            else None,
+            # the mapping these files were WRITTEN with (restricted to the
+            # committed schema): a racing rename landing between the write
+            # and the claim must not install a mapping the parquet files
+            # don't satisfy — overwrite replaces the whole schema, so the
+            # racer's rename is superseded, not half-applied
+            column_mapping={l: p for l, p in mapping.items() if l in df.columns},
+            constraints_validated=cons_seen,
+        )
+    except SnapshotConstraintError:
+        # a racing ADD CONSTRAINT rejected this content mid-commit: the
+        # files are referenced by no manifest — reclaim them
+        _delete_files(spark, files)
+        raise
 
 
 def _merged_append_schema(
@@ -813,14 +858,49 @@ def snapshot_append(
             )
             if int(seen.get(txn_app_id, -1)) >= int(txn_version):
                 return versions0[-1]  # already applied: exactly-once no-op
-    _validate_constraints(df, _tip_constraints(spark, table))
-    new_files = _write_data_files(df, table)
+    versions_pre = list_versions(spark, table)
+    tip_pre = (
+        _read_manifest(spark, table, versions_pre[-1]) if versions_pre else {}
+    )
+    cons_seen = tip_pre.get("constraints") or {}
+    _validate_constraints(df, cons_seen)
+    new_files = _write_data_files(df, table, tip_manifest=tip_pre)
+    map_pre = tip_pre.get("column_mapping") or {}
+    ret_pre = tip_pre.get("retired_physical") or []
     new_stats_cache: dict[tuple[str, ...], dict | None] = {}
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = list_versions(spark, table)
         prev_manifest = (
             _read_manifest(spark, table, versions[-1]) if versions else {}
         )
+        # Delta-style concurrent-METADATA detection: the delta files were
+        # written with the pre-write tip's column mapping and retired set;
+        # a racer's rename/drop landing since would make the committed
+        # mapping disagree with the files' physical column names (wrong-
+        # column reads, or a dropped column's data resurrecting through a
+        # re-used physical name). Abort loudly — the caller re-runs the
+        # append and writes against the new metadata. (Delta raises
+        # ConcurrentMetadataUpdate for exactly this interleaving.)
+        if (
+            (prev_manifest.get("column_mapping") or {}) != map_pre
+            or (prev_manifest.get("retired_physical") or []) != ret_pre
+        ):
+            _delete_files(spark, new_files)
+            raise SnapshotConflictError(
+                f"a concurrent column rename/drop changed {table}'s column "
+                f"metadata while this append was writing — re-run the append"
+            )
+        cons_now = prev_manifest.get("constraints") or {}
+        if cons_now != cons_seen:
+            # a racer's ADD CONSTRAINT binds our delta too: the commit
+            # inherits the new constraint set, so rows this append never
+            # validated must not ride in unchecked
+            try:
+                _validate_constraints(df, cons_now)
+            except Exception:
+                _delete_files(spark, new_files)
+                raise
+            cons_seen = cons_now
         prev = prev_manifest.get("files", [])
         prev_stats = prev_manifest.get("file_stats") or {}
         schema = df.schema
@@ -1043,17 +1123,24 @@ def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
     from bookstore_aws_lakehouse_spark.sources.writers import _anti_join_null_safe
 
     spark = df.sparkSession
-    _validate_constraints(df, _tip_constraints(spark, table))
+    cons_seen = _tip_constraints(spark, table)
+    _validate_constraints(df, cons_seen)
     keys = list(key_cols)
     for _ in range(3):
         versions = list_versions(spark, table)
         if not versions:
             files = _write_data_files(df, table)
             try:
-                return _commit(df, table, "merge", files, expected_version=1)
+                return _commit(
+                    df, table, "merge", files, expected_version=1,
+                    constraints_validated=cons_seen,
+                )
             except SnapshotConflictError:
                 _delete_files(spark, files)  # racer created v1: re-merge
                 continue
+            except SnapshotConstraintError:
+                _delete_files(spark, files)
+                raise
         existing = snapshot_read(spark, table, version=versions[-1])
         keep = _anti_join_null_safe(existing, df.select(*keys), keys)
         merged = keep.unionByName(df.select(keep.columns))
@@ -1078,12 +1165,19 @@ def snapshot_merge(df: DataFrame, table: str, key_cols: list[str]) -> int:
                 files,
                 expected_version=versions[-1] + 1,
                 schema=existing.schema,
+                # a racing ADD CONSTRAINT is re-checked against the delta
+                # at claim time (the racer's own commit validated the
+                # kept rows; the delta is the unvalidated remainder)
+                constraints_validated=cons_seen,
             )
         except SnapshotConflictError:
             # merged content was computed against a superseded snapshot:
             # discard the orphaned files and recompute against the new tip
             _delete_files(spark, files)
             continue
+        except SnapshotConstraintError:
+            _delete_files(spark, files)
+            raise
     raise SnapshotConflictError(
         f"merge into {table} lost 3 consecutive races — retry under lower "
         f"write concurrency"
@@ -1356,7 +1450,8 @@ def snapshot_merge_partitioned(
     )
 
     spark = df.sparkSession
-    _validate_constraints(df, _tip_constraints(spark, table))
+    cons_seen = _tip_constraints(spark, table)
+    _validate_constraints(df, cons_seen)
     keys = list(key_cols)
     df = df.localCheckpoint()  # evaluated for values, keys, and the union
     # EXPLICIT partition count: a bare repartition(col) is AQE-coalescable
@@ -1448,7 +1543,15 @@ def snapshot_merge_partitioned(
                 file_stats,
                 expected_version=versions[-1] + 1,
                 schema=schema,
+                # racing ADD CONSTRAINT: re-check the delta at claim time
+                # (the rebase path never sees one — constraint ops are not
+                # in _REBASEABLE_OPS, so those races recompute through
+                # here)
+                constraints_validated=cons_seen,
             )
+        except SnapshotConstraintError:
+            _delete_files(spark, new_files)
+            raise
         except SnapshotConflictError:
             # computed against a superseded snapshot. If every racing
             # commit is provably disjoint (kept our touched files, added
@@ -1664,12 +1767,22 @@ def snapshot_replace_where(
             f"{lo!r} AND {hi!r} (or with NULL {column}) — the replacement "
             f"must lie entirely inside the replaced range"
         )
-    _validate_constraints(df, _tip_constraints(spark, table))
+    cons_seen = _tip_constraints(spark, table)
+    _validate_constraints(df, cons_seen)
     for _ in range(3):
         versions = list_versions(spark, table)
         if not versions:
             raise FileNotFoundError(f"no snapshot manifests under {table}")
         manifest = _read_manifest(spark, table, versions[-1])
+        cons_now = manifest.get("constraints") or {}
+        if cons_now != cons_seen:
+            # a racing ADD CONSTRAINT landed since the pre-loop check: the
+            # commit below inherits the new set, so the replacement rows
+            # must be re-validated (the commit's own df is an empty
+            # placeholder — the check has to happen here). Survivor rows
+            # were validated by the constraint-add's full-table pass.
+            _validate_constraints(df, cons_now)
+            cons_seen = cons_now
         prev_stats = manifest.get("file_stats") or {}
         touched, carried = [], []
         for f in manifest["files"]:

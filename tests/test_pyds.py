@@ -656,3 +656,45 @@ def test_pyds_overwrite_prunes_stale_column_mapping(spark, tmp_path):
         spark.range(5, 7).selectExpr("id as k", "id * 2 as total"), table
     )
     assert snapshot_read(spark, table).count() == 7
+
+
+def test_pyds_overwrite_racing_rename_commits_write_time_mapping(
+    spark, tmp_path
+):
+    """Protocol-level race: a rename landing between the DS writer's plan
+    (physical names frozen into the tasks) and its driver-side commit
+    must not install the racer's mapping — the parquet files satisfy the
+    PLAN-time mapping, so that is what the manifest must carry (engine
+    snapshot_overwrite rule)."""
+    import pyarrow as pa
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import SnapshotWriter
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        list_versions,
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_rename_column,
+    )
+    from pyspark.sql.types import StructType
+
+    table = str(tmp_path / "t")
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0)], "k int, amount double"), table
+    )
+    snapshot_rename_column(spark, table, "amount", "price")  # phys: amount
+    schema = StructType.fromDDL("k int, price double")
+    w = SnapshotWriter({"path": table}, schema, overwrite=True)
+    msg = w.write(
+        iter([pa.record_batch({"k": pa.array([7], pa.int32()),
+                               "price": pa.array([70.0])})])
+    )
+    # the race: a rename commits between the task writes and the commit
+    snapshot_rename_column(spark, table, "price", "cost")
+    w.commit([msg])
+    tip = _read_manifest(spark, table, list_versions(spark, table)[-1])
+    mapping = tip.get("column_mapping") or {}
+    assert mapping.get("price") == "amount"  # write-time mapping
+    assert "cost" not in mapping             # racer's rename superseded
+    out = snapshot_read(spark, table).collect()
+    assert [(r.k, r.price) for r in out] == [(7, 70.0)]  # not NULL

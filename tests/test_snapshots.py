@@ -2647,3 +2647,153 @@ def test_scan_multi_prunes_on_every_dimension(spark, table):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# ---- concurrent-METADATA races (Delta's ConcurrentMetadataUpdate class) ----
+#
+# The commuting-ops fuzz can never see these: a rename/drop/add-constraint
+# landing between an op's data-file write and its manifest claim changes
+# what the committed manifest MEANS for files written under the old
+# metadata. Each test injects the racer deterministically at the exact
+# write→claim window via a _write_data_files hook.
+
+
+def _race_after_write(monkeypatch, racer):
+    """Run ``racer()`` once, immediately after the next engine data-file
+    write returns — i.e. inside the write→claim window."""
+    import bookstore_aws_lakehouse_spark.sources.snapshots as S
+
+    real = S._write_data_files
+    fired = {}
+
+    def hooked(df_, table_, **kw):
+        files = real(df_, table_, **kw)
+        if not fired:
+            fired["x"] = True
+            racer()
+        return files
+
+    monkeypatch.setattr(S, "_write_data_files", hooked)
+
+
+def _all_data_files_tracked(spark, table):
+    import os
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        list_versions,
+    )
+
+    tracked = set()
+    for v in list_versions(spark, table):
+        for f in _read_manifest(spark, table, v)["files"]:
+            tracked.add("/" + f[5:].lstrip("/") if f.startswith("file:") else f)
+    on_disk = set()
+    ddir = os.path.join(table, "data")
+    for root, _d, files in os.walk(ddir):
+        for f in files:
+            if f.endswith(".parquet") or f.startswith("part-"):
+                on_disk.add(os.path.join(root, f))
+    return on_disk <= tracked
+
+
+def test_append_racing_rename_aborts_not_corrupts(spark, table, monkeypatch):
+    """A rename landing in an append's write→claim window would make the
+    committed mapping disagree with the appended files' physical columns
+    (wrong-column / resurrected reads). The append must abort loudly —
+    Delta's ConcurrentMetadataUpdate — and leave no orphan files."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        SnapshotConflictError,
+        snapshot_rename_column,
+    )
+
+    df0 = spark.createDataFrame([(1, 10.0)], "k int, amount double")
+    snapshot_overwrite(df0, table)
+    _race_after_write(
+        monkeypatch,
+        lambda: snapshot_rename_column(spark, table, "amount", "price"),
+    )
+    delta = spark.createDataFrame([(2, 20.0)], "k int, amount double")
+    with pytest.raises(SnapshotConflictError, match="rename/drop"):
+        snapshot_append(delta, table, merge_schema=True)
+    assert _all_data_files_tracked(spark, table)
+    # the caller's documented recovery — re-run against the new metadata —
+    # works and reads back in the RIGHT column
+    retry = spark.createDataFrame([(2, 20.0)], "k int, price double")
+    snapshot_append(retry, table)
+    rows = {r.k: r.price for r in snapshot_read(spark, table).collect()}
+    assert rows == {1: 10.0, 2: 20.0}
+
+
+def test_append_racing_add_constraint_revalidates(spark, table, monkeypatch):
+    """An ADD CONSTRAINT landing in the append's write→claim window binds
+    the append's rows: the commit inherits the new set, so unvalidated
+    violating rows must be rejected (and their files reclaimed), never
+    committed unchecked."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        snapshot_add_constraint,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0)], "k int, amount double"), table
+    )
+    _race_after_write(
+        monkeypatch,
+        lambda: snapshot_add_constraint(spark, table, "pos", "amount >= 0"),
+    )
+    bad = spark.createDataFrame([(2, -5.0)], "k int, amount double")
+    with pytest.raises(SnapshotConstraintError, match="pos"):
+        snapshot_append(bad, table)
+    assert _all_data_files_tracked(spark, table)
+    assert sorted(r.k for r in snapshot_read(spark, table).collect()) == [1]
+
+
+def test_overwrite_racing_rename_commits_write_time_mapping(
+    spark, table, monkeypatch
+):
+    """An overwrite's files are written with the pre-race mapping's
+    physical names; the commit must carry THAT mapping, not the racing
+    rename's — inheriting the claim-time tip's would resolve the logical
+    column to a physical name the new parquet files don't contain
+    (silent NULLs)."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_rename_column,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0)], "k int, amount double"), table
+    )
+    snapshot_rename_column(spark, table, "amount", "price")  # phys: amount
+    _race_after_write(
+        monkeypatch,
+        lambda: snapshot_rename_column(spark, table, "price", "cost"),
+    )
+    snapshot_overwrite(
+        spark.createDataFrame([(7, 70.0)], "k int, price double"), table
+    )
+    out = snapshot_read(spark, table).collect()
+    assert [(r.k, r.price) for r in out] == [(7, 70.0)]  # not NULL
+
+
+def test_merge_racing_add_constraint_revalidates(spark, table, monkeypatch):
+    """MERGE's delta was validated against the pre-race constraint set;
+    a racing ADD CONSTRAINT must be re-checked against the delta at
+    claim time (the racer's own commit validated the kept rows)."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        SnapshotConstraintError,
+        snapshot_add_constraint,
+    )
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, 10.0)], "k int, amount double"), table
+    )
+    _race_after_write(
+        monkeypatch,
+        lambda: snapshot_add_constraint(spark, table, "pos", "amount >= 0"),
+    )
+    bad = spark.createDataFrame([(2, -5.0)], "k int, amount double")
+    with pytest.raises(SnapshotConstraintError, match="pos"):
+        snapshot_merge(bad, table, ["k"])
+    assert _all_data_files_tracked(spark, table)
+    assert sorted(r.k for r in snapshot_read(spark, table).collect()) == [1]
