@@ -353,3 +353,128 @@ def _assert_same_frames(got: pd.DataFrame, model: pd.DataFrame, step: str):
     pd.testing.assert_frame_equal(
         g, w, check_dtype=False, check_exact=False, rtol=1e-9, obj=step
     )
+
+
+@pytest.mark.parametrize("seed", [7, 91])
+def test_metadata_races_abort_or_serialize(spark, tmp_path, seed):
+    """Randomized metadata-vs-data race fuzz: one thread flips column
+    renames (and toggles an always-true CHECK constraint) while two
+    appender threads write under whatever column name they last saw,
+    retrying on the Delta-style ConcurrentMetadataUpdate abort
+    (SnapshotConflictError) or the schema-mismatch refusal. Invariants:
+    versions stay contiguous, EVERY committed version stays readable
+    (a mapping the files don't satisfy would throw or NULL here), final
+    content is exactly init ∪ committed appends with the appended
+    values, aborted appends leave neither rows nor orphan files."""
+    import os
+    import threading
+
+    n_appends, n_flips = 6, 6
+    table = str(tmp_path / f"mfuzz_{seed}")
+    init = [(i, float(i)) for i in range(8)]
+    snap.snapshot_overwrite(
+        spark.createDataFrame(init, "k bigint, v double").repartition(2), table
+    )
+    logs: list[list[dict]] = [[], []]
+    aborted: list[list[list]] = [[], []]
+    errors: list[BaseException] = []
+
+    def renamer() -> None:
+        rng = random.Random(seed)
+        pairs = [("v", "w"), ("w", "v")]
+        try:
+            for i in range(n_flips):
+                frm, to = pairs[i % 2]
+                for _ in range(10):
+                    try:
+                        snap.snapshot_rename_column(spark, table, frm, to)
+                        break
+                    except snap.SnapshotConflictError:
+                        continue
+                if rng.random() < 0.5:
+                    try:
+                        snap.snapshot_add_constraint(
+                            spark, table, "k_pos", "k >= 0"
+                        )
+                    except (snap.SnapshotConflictError, ValueError):
+                        pass
+                else:
+                    try:
+                        snap.snapshot_drop_constraint(spark, table, "k_pos")
+                    except (snap.SnapshotConflictError, ValueError, KeyError):
+                        pass
+        except BaseException as exc:
+            errors.append(exc)
+
+    def appender(tid: int) -> None:
+        rng = random.Random(seed * 13 + tid)
+        next_k = 10_000 * (tid + 1)
+        try:
+            for _ in range(n_appends):
+                rows = [
+                    [next_k + j, round(rng.uniform(0, 100), 3)]
+                    for j in range(rng.randint(1, 3))
+                ]
+                next_k += 100
+                committed = False
+                for _attempt in range(10):
+                    # discover the CURRENT value-column name from the tip
+                    vs = snap.list_versions(spark, table)
+                    tip = snap._read_manifest(spark, table, vs[-1])
+                    vcol = next(
+                        f["name"]
+                        for f in tip["schema"]["fields"]
+                        if f["name"] != "k"
+                    )
+                    df = spark.createDataFrame(
+                        [tuple(r) for r in rows], f"k bigint, {vcol} double"
+                    )
+                    try:
+                        v = snap.snapshot_append(df, table)
+                        logs[tid].append({"rows": rows, "version": v})
+                        committed = True
+                        break
+                    except (snap.SnapshotConflictError, ValueError):
+                        continue  # metadata moved underneath — re-discover
+                if not committed:
+                    aborted[tid].append(rows)
+        except BaseException as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=renamer),
+        threading.Thread(target=appender, args=(0,)),
+        threading.Thread(target=appender, args=(1,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    versions = snap.list_versions(spark, table)
+    assert versions == list(range(1, versions[-1] + 1)), versions
+    # every committed version must still read cleanly — a manifest whose
+    # mapping the files don't satisfy throws (or NULLs) right here
+    for v in versions:
+        snap.snapshot_read(spark, table, v).count()
+
+    committed_rows = [r for log in logs for e in log for r in e["rows"]]
+    assert committed_rows, "no append ever committed — no race was exercised"
+    final = snap.snapshot_read(spark, table)
+    vcol = next(c for c in final.columns if c != "k")
+    got = {(r["k"], r[vcol]) for r in final.toPandas().to_dict("records")}
+    want = set(init) | {(k, val) for k, val in committed_rows}
+    assert got == want
+    aborted_ks = {r[0] for ab in aborted for rows in ab for r in rows}
+    assert not ({k for k, _ in got} & aborted_ks)
+
+    # aborted appends reclaimed their files: nothing on disk untracked
+    tracked = set()
+    for v in versions:
+        for f in snap._read_manifest(spark, table, v)["files"]:
+            tracked.add("/" + f[5:].lstrip("/") if f.startswith("file:") else f)
+    for root, _d, files in os.walk(os.path.join(table, "data")):
+        for f in files:
+            if f.endswith(".parquet") or f.startswith("part-"):
+                assert os.path.join(root, f) in tracked, f
