@@ -2797,3 +2797,59 @@ def test_merge_racing_add_constraint_revalidates(spark, table, monkeypatch):
         snapshot_merge(bad, table, ["k"])
     assert _all_data_files_tracked(spark, table)
     assert sorted(r.k for r in snapshot_read(spark, table).collect()) == [1]
+
+
+_scan_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),   # a
+        st.integers(min_value=-50, max_value=50),   # b
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # c
+    ),
+    min_size=1,
+    max_size=40,
+)
+_range = st.tuples(
+    st.integers(min_value=-60, max_value=60), st.integers(min_value=-60, max_value=60)
+).map(lambda t: (min(t), max(t)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_scan_rows, ra=_range, rb=_range, use_c=st.booleans())
+def test_scan_multi_pruning_never_changes_semantics(
+    spark, tmp_path_factory, rows, ra, rb, use_c
+):
+    """Property: snapshot_scan_multi over ANY data layout and range set
+    equals the plain read + conjunctive filter — file pruning on
+    recorded stats (including NULLable and all-NULL columns) is a pure
+    optimization, never a semantics change."""
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_scan_multi,
+        snapshot_zorder,
+    )
+
+    table = str(tmp_path_factory.mktemp("scanprop") / "t")
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    snapshot_overwrite(
+        df.repartition(4), table, stats_cols=["a", "b", "c"]
+    )
+    snapshot_zorder(spark, table, ["a", "b"], target_file_bytes=4_000, bits=4)
+    ranges = {"a": ra, "b": rb}
+    if use_c:
+        ranges["c"] = (-2, 3)
+    pred = None
+    for col, (lo, hi) in ranges.items():
+        c = (F.col(col) >= lo) & (F.col(col) <= hi)
+        pred = c if pred is None else pred & c
+    want = sorted(
+        map(tuple, snapshot_read(spark, table).filter(pred).collect())
+    )
+    got = sorted(
+        map(tuple, snapshot_scan_multi(spark, table, ranges).collect())
+    )
+    assert got == want
