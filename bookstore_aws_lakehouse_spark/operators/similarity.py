@@ -802,3 +802,68 @@ def ivfpq_residual_multiprobe(
         tiebreak=[id_col],
         rank_name="rank",
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication of a training corpus by embedding similarity: cluster
+    vectors into coarse cells (`ivf_assign`, broadcast centroids), then
+    WITHIN each cell drop every vector whose cosine to a LOWER-id
+    cell-mate is ≥ ``threshold``; the lowest id of each near-duplicate
+    group survives as its representative. Matches the paper's rule
+    exactly: x is dropped iff max cosine over {y in cell(x), y < x} ≥ θ
+    — y's own fate does not matter, so one keyed pass decides every row
+    (no iteration). Cross-cell near-duplicates are NOT compared — the
+    documented recall trade the clustering buys its speed with.
+
+    Scale shape: the only self-join is keyed on the cell id, so the
+    pair count is Σ|cell|² — bounded by the clustering granularity,
+    never the all-pairs |corpus|²; norms are hoisted once per row; the
+    dropped-id side is distinct-id-sized and broadcasts back onto the
+    assignment. NULL embeddings are excluded from the output (they can
+    neither cluster nor score — same rule as the LSH paths).
+
+    Output: one row per non-NULL input vector —
+    (``id_col``, centroid_id, kept boolean)."""
+    cells = ivf_assign(
+        df.filter(F.col(vec_col).isNotNull()),
+        centroids,
+        id_col,
+        vec_col,
+        keep_vec=True,
+    ).select(
+        F.col(id_col), F.col("centroid_id"), F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), "centroid_id",
+        F.col(vec_col).alias("vec_a"), F.col("_n").alias("_na"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), "centroid_id",
+        F.col(vec_col).alias("vec_b"), F.col("_n").alias("_nb"),
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _cosine_prenormed(
+                F.col("vec_a"), F.col("vec_b"), F.col("_na"), F.col("_nb")
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        cells.select(id_col, "centroid_id")
+        .join(F.broadcast(dropped), id_col, "left")
+        .select(id_col, "centroid_id", F.col("_dup").isNull().alias("kept"))
+    )

@@ -1092,3 +1092,52 @@ def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_floor"
         ),
     )
+
+
+@golden(
+    "semantic_dedup",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    ranked AS (
+      SELECT e.vec_id, cent.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_COS.format(a="e.v", b="cent.cv")} DESC,
+                                         cent.centroid_id) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    cells AS (
+      SELECT r.vec_id, r.centroid_id, e.v
+      FROM ranked r JOIN e ON r.vec_id = e.vec_id
+      WHERE r.rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.v", b="b.v")} >= 0.4
+    )
+    SELECT c.vec_id, c.centroid_id, (d.vec_id IS NULL) AS kept
+    FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py::semantic_dedup): coarse IVF
+    cells over the corpus embeddings, then each vector is dropped iff a
+    lower-id cell-mate sits within cosine θ — the lowest id of every
+    near-duplicate group survives. The self-join is keyed on the cell
+    id (Σ|cell|² pairs, never |corpus|²) — the 100 TB curation shape
+    from the paper. θ=0.4 because the fixture embeddings are random
+    (max pairwise cosine ≈ 0.51, same rationale as embedding_near_dup);
+    production corpora use 0.9+. The oracle replays the cell argmax,
+    the in-cell pair scan, and the drop rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    from bookstore_aws_lakehouse_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(emb, centroids, threshold=0.4).select(
+        "vec_id", "centroid_id", "kept"
+    )

@@ -423,3 +423,44 @@ def test_pandas_cosine_handles_nulls_and_zero_norms(spark):
     assert got[1] == (1.0, 1.0)
     assert got[2] == (None, None)
     assert got[3] == (None, None)
+
+
+def test_semantic_dedup_keeps_lowest_id_representative(spark):
+    """SemDeDup drop rule: within a cell, a vector is dropped iff a
+    LOWER-id cell-mate sits within θ — so of a planted near-duplicate
+    group the lowest id survives, a dropped vector's own fate never
+    shields a later one, and cross-cell near-dups are untouched."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two well-separated cells on axes e0 / e1
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id int, embedding array<double>",
+    )
+    rows = [
+        # cell 0: 10 and 11 are near-dups of each other; 12 only of 11.
+        # 11 drops (vs 10), 12 drops too (vs 11, even though 11 dropped)
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.999, 0.01, 0.0, 0.04]),
+        (12, [0.97, 0.0, 0.24, 0.0]),   # cos(12,11)≈0.97 ≥ θ; cos(12,10)=0.97
+        (13, [0.7, 0.0, -0.7, 0.1]),    # same cell, far from all: kept
+        # cell 1: near-dup of vec 10 in DIRECTION? no — e1-aligned pair
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 0.995, 0.1, 0.0]),   # dropped vs 20
+        # NULL embedding: excluded from the output entirely
+        (30, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r.vec_id: (r.centroid_id, r.kept)
+        for r in semantic_dedup(df, cents, threshold=0.95).collect()
+    }
+    assert 30 not in out
+    assert out[10] == (0, True)
+    assert out[11] == (0, False)
+    assert out[12] == (0, False)   # dropped by 11 even though 11 dropped
+    assert out[13] == (0, True)
+    assert out[20] == (1, True)
+    assert out[21] == (1, False)
