@@ -258,6 +258,8 @@ def main() -> None:
         "stream_snapshot_native_sink",
         # r12: OPTIMIZE ZORDER BY — the multi-column pruning rewrite
         "snapshot_zorder_prune",
+        # r12: SemDeDup — cell-keyed embedding dedup
+        "semantic_dedup",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
