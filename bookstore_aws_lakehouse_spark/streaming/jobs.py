@@ -213,11 +213,16 @@ def stateful_user_stats(stream: DataFrame, timeout: str = "NoTimeout") -> DataFr
         n, cents, mx = state.get if state.exists else (0, 0, None)
         for pdf in batches:
             n += len(pdf)
+            # NULL values are skipped like SQL's sum()/max() (count(*)
+            # still counts the row) — astype(int64) on a NaN would
+            # otherwise crash the worker, and max() would poison mx NaN
+            vals = pdf["value"].dropna()
             # round() before int: values are 2-dp floats; truncation would
             # lose a cent on values like 9.64 -> 963.9999
-            cents += int(pd.Series(pdf["value"] * 100).round().astype("int64").sum())
-            batch_max = float(pdf["value"].max())
-            mx = batch_max if mx is None else max(mx, batch_max)
+            cents += int(pd.Series(vals * 100).round().astype("int64").sum())
+            if len(vals):
+                batch_max = float(vals.max())
+                mx = batch_max if mx is None else max(mx, batch_max)
         state.update((n, cents, mx))
         yield pd.DataFrame(
             {
@@ -481,11 +486,14 @@ def transform_with_state_user_stats(stream: DataFrame) -> DataFrame:
             )
             for pdf in rows:
                 n += len(pdf)
+                # same NULL contract as stateful_user_stats: skip like SQL
+                vals = pdf["value"].dropna()
                 cents += int(
-                    pd.Series(pdf["value"] * 100).round().astype("int64").sum()
+                    pd.Series(vals * 100).round().astype("int64").sum()
                 )
-                batch_max = float(pdf["value"].max())
-                mx = batch_max if mx is None else max(mx, batch_max)
+                if len(vals):
+                    batch_max = float(vals.max())
+                    mx = batch_max if mx is None else max(mx, batch_max)
             self._stats.update((n, cents, mx))
             yield pd.DataFrame(
                 {

@@ -233,3 +233,62 @@ def test_transform_with_state_blocked_loudly_without_protobuf(spark, sf_smoke):
             transform_with_state_user_stats(stream)
     else:  # pragma: no cover - environment-dependent branch
         assert transform_with_state_user_stats(stream).isStreaming
+
+
+def test_stateful_user_stats_skips_null_values(spark, tmp_path):
+    """NULL `value` rows must be SKIPPED like SQL's sum()/max() (count(*)
+    still counts the row): before the fix, astype(int64) on the NaN
+    crashed the Python worker, and an all-NULL user would have poisoned
+    max_value with NaN instead of NULL."""
+    from pyspark.sql import Window
+
+    from bookstore_aws_lakehouse_spark.streaming.jobs import (
+        run_available_now,
+        read_events_stream,
+        stateful_user_stats,
+    )
+
+    ns = 1_600_000_000_000_000_000
+    rows = [
+        (1, ns, 1, "view", 1.25, "{}"),
+        (2, ns + 10**9, 1, "view", None, "{}"),
+        (3, ns + 2 * 10**9, 1, "view", 3.10, "{}"),
+        # user 2: ALL values NULL -> cents 0, max_value NULL, n_events 2
+        (4, ns + 3 * 10**9, 2, "view", None, "{}"),
+        (5, ns + 4 * 10**9, 2, "view", None, "{}"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # a single FILE like the fixture (the file stream source does not
+    # descend into a directory-shaped events.parquet)
+    sf_dir = tmp_path / "sf_nulls"
+    sf_dir.mkdir()
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.int64()),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        str(sf_dir / "events.parquet"),
+    )
+    sf_dir = str(sf_dir)
+
+    stream = read_events_stream(spark, sf_dir)
+    stats = stateful_user_stats(stream)
+    run_available_now(stats, "t_userstats_nulls", output_mode="update")
+    out = spark.table("t_userstats_nulls")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value_cents"], r["max_value"])
+        for r in out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert final == {1: (3, 435, 3.10), 2: (2, 0, None)}
