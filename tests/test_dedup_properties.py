@@ -1,0 +1,103 @@
+"""Randomized cross-check of the n-gram dedup front end against a pure-
+Python mirror.
+
+``jaccard_pairs`` is the 100 TB-critical candidate generator (inverted-
+index self-join); the oracle rows pin it on the fixture corpus, and the
+edge-case tests pin hand-picked shapes — this adds randomized corpora
+(unicode, empty strings, NULLs, shared fragments, repeated tokens) checked
+pair-for-pair against an independent reimplementation of the DECLARED
+semantics: split on a single space (empty tokens kept), k-token shingles
+de-duplicated per doc, document-frequency filter BEFORE the pair join,
+integer cross-multiplied threshold.
+"""
+
+from __future__ import annotations
+
+import random
+
+from bookstore_aws_lakehouse_spark.operators.dedup import jaccard_pairs
+
+VOCAB = [
+    "the", "quick", "brown", "fox", "héllo", "wörld", "日本", "语言",
+    "a", "b", "", "x,y", "tok1", "tok2", "tok3", "zebra",
+]
+
+
+def _mk_corpus(rng: random.Random, n_docs: int) -> list[tuple[int, str | None]]:
+    base = [
+        " ".join(rng.choices(VOCAB, k=rng.randint(1, 12))) for _ in range(max(2, n_docs // 4))
+    ]
+    docs: list[tuple[int, str | None]] = []
+    for i in range(n_docs):
+        r = rng.random()
+        if r < 0.1:
+            docs.append((i, None))
+        elif r < 0.2:
+            docs.append((i, rng.choice(["", " ", "one"])))
+        elif r < 0.6:
+            # near-duplicate of a base doc: append / drop a token
+            toks = rng.choice(base).split(" ")
+            if rng.random() < 0.5 and len(toks) > 1:
+                toks = toks[:-1]
+            else:
+                toks = toks + [rng.choice(VOCAB)]
+            docs.append((i, " ".join(toks)))
+        else:
+            docs.append((i, " ".join(rng.choices(VOCAB, k=rng.randint(1, 12)))))
+    return docs
+
+
+def _mirror_pairs(
+    docs: list[tuple[int, str | None]], k: int, threshold: float, max_df: int | None
+) -> dict[tuple[int, int], tuple[int, int, int]]:
+    """(id_a, id_b) -> (n_shared, n_a, n_b) per the declared semantics."""
+    sets: dict[int, set[str]] = {}
+    for i, text in docs:
+        if text is None:
+            continue
+        toks = text.split(" ")  # empty tokens kept, like F.split(c, " ")
+        if len(toks) < k:
+            continue
+        sh = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        if sh:
+            sets[i] = sh
+    if max_df is not None:
+        df_count: dict[str, int] = {}
+        for sh in sets.values():
+            for s in sh:
+                df_count[s] = df_count.get(s, 0) + 1
+        sets = {
+            i: {s for s in sh if df_count[s] <= max_df} for i, sh in sets.items()
+        }
+        sets = {i: sh for i, sh in sets.items() if sh}
+    t_ppm = int(round(threshold * 1_000_000))
+    out: dict[tuple[int, int], tuple[int, int, int]] = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter * 1_000_000 >= t_ppm * union:
+                out[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    return out
+
+
+def test_jaccard_pairs_matches_python_mirror_on_random_corpora(spark):
+    rng = random.Random(20260815)
+    for trial, max_df in [(0, None), (1, 3), (2, None)]:
+        docs = _mk_corpus(rng, 30)
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+            for r in jaccard_pairs(
+                df, "doc_id", "text", shingle_k=3, threshold=0.3, max_df=max_df
+            ).collect()
+        }
+        want = _mirror_pairs(docs, k=3, threshold=0.3, max_df=max_df)
+        assert got == want, (
+            f"trial {trial} (max_df={max_df}): "
+            f"extra={set(got) - set(want)} missing={set(want) - set(got)}"
+        )
