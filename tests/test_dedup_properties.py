@@ -101,3 +101,85 @@ def test_jaccard_pairs_matches_python_mirror_on_random_corpora(spark):
             f"trial {trial} (max_df={max_df}): "
             f"extra={set(got) - set(want)} missing={set(want) - set(got)}"
         )
+
+
+def test_containment_pairs_matches_python_mirror(spark):
+    from bookstore_aws_lakehouse_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(99)
+    docs = _mk_corpus(rng, 30)
+    # plant a strict containment: doc 100 embeds doc 101's text
+    docs.append((101, "alpha beta gamma delta epsilon"))
+    docs.append((100, "pre alpha beta gamma delta epsilon post and more words"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_sub"], r["id_super"]): (r["n_shared"], r["n_sub"])
+        for r in containment_pairs(
+            df, "doc_id", "text", shingle_k=3, threshold=0.5, max_df=None
+        ).collect()
+    }
+    # mirror: directed containment from the same shingle sets
+    sets: dict[int, set[str]] = {}
+    for i, text in docs:
+        if text is None:
+            continue
+        toks = text.split(" ")
+        if len(toks) < 3:
+            continue
+        sets[i] = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter and inter * 1_000_000 >= 500_000 * len(sets[a]):
+                want[(a, b)] = (inter, len(sets[a]))
+    assert got == want
+    assert (101, 100) in got  # the planted embedding is found
+
+
+def _md5_h64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_simhash_pairs_matches_bruteforce_mirror(spark):
+    """Pigeonhole chunk banding claims result-identity with the all-pairs
+    Hamming scan — check both the signature math (md5 bit votes over ALL
+    token occurrences, ties -> 0 bit) and the banding identity."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_pairs,
+    )
+
+    rng = random.Random(7)
+    docs = [d for d in _mk_corpus(rng, 25) if d[1] is not None]
+    # near-identical pair: one token appended
+    docs.append((200, "red green blue cyan magenta yellow black white"))
+    docs.append((201, "red green blue cyan magenta yellow black white extra"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    sigs: dict[int, int] = {}
+    for i, text in docs:
+        toks = text.split(" ")  # duplicates kept: every occurrence votes
+        votes = [0] * SIMHASH_BITS
+        for t in toks:
+            h = _md5_h64(t)
+            for b in range(SIMHASH_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sigs[i] = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+    want = {}
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert (200, 201) in got
