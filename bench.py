@@ -377,29 +377,9 @@ def main() -> None:
     # code regression; solo≈run ⇒ real, go bisect.
     adjudication: dict[str, dict] = {}
     if common_vs_prev:
-        suspects = [
-            q
-            for q in sorted(set(prev_q) & set(timings))
-            if prev_q[q] >= 0.3 and timings[q] / prev_q[q] > 1.3
-        ]
-        for q in suspects:
-            runs = []
-            meter.window()
-            for _ in range(n_runs):
-                t0 = time.monotonic()
-                GOLDEN[q](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(time.monotonic() - t0)
-            solo = round(sorted(runs)[len(runs) // 2], 3)
-            adjudication[q] = {
-                "prev_s": prev_q[q],
-                "run_s": timings[q],
-                "solo_s": solo,
-                "run_ratio": round(timings[q] / prev_q[q], 2),
-                "solo_ratio": round(solo / prev_q[q], 2),
-                "ext_busy": meter.window(),
-            }
+        adjudication = _adjudicate(
+            spark, sf_dir, GOLDEN, prev_q, timings, meter, n_runs
+        )
 
     def _git_head() -> str | None:
         try:
@@ -443,7 +423,16 @@ def main() -> None:
             prev_store = json.load(f)
     except (OSError, ValueError):
         prev_store = {}
-    prev_store[str(detail["sf"])] = timings
+    # Baseline hygiene: a row whose solo re-measure came in FASTER than
+    # its in-run p50 was inflated by session state or co-tenant load —
+    # record the solo number as the next-run baseline (it's what a clean
+    # rerun would see). Recording the inflated p50 would soften every
+    # future ratio at this sf.
+    baseline = dict(timings)
+    for q, a in adjudication.items():
+        if a.get("solo_s") is not None and a["solo_s"] < baseline.get(q, a["solo_s"]):
+            baseline[q] = a["solo_s"]
+    prev_store[str(detail["sf"])] = baseline
     with open(prev_path, "w") as f:
         json.dump(prev_store, f, indent=1, sort_keys=True)
 
@@ -467,6 +456,57 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _adjudicate(
+    spark,
+    sf_dir: str,
+    GOLDEN: dict,
+    prev_q: dict,
+    timings: dict,
+    meter: "_LoadMeter",
+    n_runs: int,
+) -> dict[str, dict]:
+    """Re-measure every shared row that regressed >1.3× vs the previous
+    record SOLO (median-of-n, warm, own load window). Rows the bench
+    synthesizes itself (e.g. etl_top100_books_cold) have no registry
+    entry to re-run — and a "cold" row re-measured warm would be a
+    different quantity anyway — so they get a no-solo marker instead of
+    crashing the bench."""
+    adjudication: dict[str, dict] = {}
+    suspects = [
+        q
+        for q in sorted(set(prev_q) & set(timings))
+        if prev_q[q] >= 0.3 and timings[q] / prev_q[q] > 1.3
+    ]
+    for q in suspects:
+        if q not in GOLDEN:
+            adjudication[q] = {
+                "prev_s": prev_q[q],
+                "run_s": timings[q],
+                "solo_s": None,
+                "run_ratio": round(timings[q] / prev_q[q], 2),
+                "note": "bench-synthesized row; solo re-measure not applicable",
+            }
+            continue
+        runs = []
+        meter.window()
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            GOLDEN[q](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.monotonic() - t0)
+        solo = round(sorted(runs)[len(runs) // 2], 3)
+        adjudication[q] = {
+            "prev_s": prev_q[q],
+            "run_s": timings[q],
+            "solo_s": solo,
+            "run_ratio": round(timings[q] / prev_q[q], 2),
+            "solo_ratio": round(solo / prev_q[q], 2),
+            "ext_busy": meter.window(),
+        }
+    return adjudication
 
 
 def mutate_docs(docs, c: int):

@@ -87,6 +87,15 @@ def rollup_delta(
     w_new = new_rows.select(*groups, *sum_cols, F.lit(1).alias("_w"))
     aggs = [F.sum("_w").cast("bigint").alias("d_count")] + [
         F.sum(F.col(c) * F.col("_w")).alias(f"d_{c}") for c in sum_cols
+    ] + [
+        # non-NULL-value count delta per sum column: the one extra bigint
+        # that lets the merge distinguish "sum became 0" from "sum became
+        # NULL" (SUM over zero non-NULL inputs is NULL; mart+delta
+        # addition alone cannot see that when cancellation lands on 0)
+        F.sum(F.when(F.col(c).isNotNull(), F.col("_w")).otherwise(0))
+        .cast("bigint")
+        .alias(f"d_nn_{c}")
+        for c in sum_cols
     ]
     return w_old.unionByName(w_new).groupBy(groups).agg(*aggs)
 
@@ -103,7 +112,18 @@ def apply_rollup_delta(
     refreshed count reaches zero (fully-deleted groups must disappear,
     and brand-new groups must appear — both fall out of the outer join).
     ``sum_col_map`` maps the mart's sum column → the delta's source
-    column (d_<source>)."""
+    column (d_<source>).
+
+    NULL-sum semantics: when the mart carries ``nn_<source>`` (the
+    non-NULL-value count, as :func:`materialized_rollup_build` stores
+    it) and the delta carries ``d_nn_<source>`` (rollup_delta always
+    does), the merged sum is EXACT SQL: NULL iff the refreshed non-NULL
+    count is zero. Without the nn column the merge falls back to
+    addition-with-NULL-guards, which is rebuild-exact except for one
+    unreachable-without-nn case: a group whose last non-NULL value is
+    removed while NULL-value rows remain reads 0 instead of NULL
+    (cancellation to 0 and collapse to all-NULL are indistinguishable
+    from sums alone)."""
     groups = list(group_cols)
     # null-safe outer join: a NULL-valued group key is a single group (as
     # GROUP BY produced it) — plain equality would keep the stale mart row
@@ -117,6 +137,25 @@ def apply_rollup_delta(
     ] + [n.alias(count_col)]
     delta_present = F.col("d_count").isNotNull()
     for mart_col, src in sum_col_map.items():
+        nn, d_nn = f"nn_{src}", f"d_nn_{src}"
+        if nn in mart.columns and d_nn in delta.columns:
+            # exact mode: NULL iff zero non-NULL values remain — one
+            # formula covers touched, untouched, new, and collapsed
+            # groups (an untouched group's stored sum is NULL exactly
+            # when its nn is 0, so coalesce(mart,0) is safe)
+            new_nn = F.coalesce(mart[nn], F.lit(0)) + F.coalesce(
+                F.col(d_nn), F.lit(0)
+            )
+            out_cols.append(
+                F.when(new_nn == 0, F.lit(None))
+                .otherwise(
+                    F.coalesce(F.col(mart_col), F.lit(0))
+                    + F.coalesce(F.col(f"d_{src}"), F.lit(0))
+                )
+                .alias(mart_col)
+            )
+            out_cols.append(new_nn.cast("bigint").alias(nn))
+            continue
         out_cols.append(
             # a group the delta never touched keeps its stored sum
             # VERBATIM — including SQL's SUM-of-all-NULLs = NULL; blanket
@@ -199,9 +238,17 @@ def materialized_rollup_build(
     if not versions:
         raise FileNotFoundError(f"no snapshot manifests under {source_table}")
     as_of = versions[-1]
-    aggs = [F.count(F.lit(1)).cast("bigint").alias(count_col)] + [
-        F.sum(c).alias(f"sum_{c}") for c in sum_cols
-    ]
+    aggs = (
+        [F.count(F.lit(1)).cast("bigint").alias(count_col)]
+        + [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        + [
+            # per-sum-column non-NULL count: lets REFRESH keep exact SQL
+            # NULL-sum semantics (see apply_rollup_delta) — without it, a
+            # group collapsing to all-NULL values would read 0, not NULL
+            F.count(c).cast("bigint").alias(f"nn_{c}")
+            for c in sum_cols
+        ]
+    )
     mart = snapshot_read(spark, source_table, as_of).groupBy(
         list(group_cols)
     ).agg(*aggs)

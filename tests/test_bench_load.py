@@ -40,3 +40,54 @@ def test_meter_idle_near_zero():
     # co-tenant hosts may genuinely be busy; just bound the sane range
     frac = m.window()
     assert 0.0 <= frac <= 1.0
+
+
+class _StubMeter:
+    def window(self):
+        return 0.0
+
+
+def test_adjudication_skips_bench_synthesized_rows():
+    """Regression: the solo re-measure used to KeyError on rows the bench
+    synthesizes itself (etl_top100_books_cold is in timings/prev but not
+    in the query registry), crashing the whole bench at the end of a
+    90-query run. Such rows must get a no-solo marker instead."""
+    prev_q = {"etl_top100_books_cold": 4.0, "fast_row": 0.1}
+    timings = {"etl_top100_books_cold": 8.0, "fast_row": 0.2}
+    adj = bench._adjudicate(
+        None, "/nonexistent", {}, prev_q, timings, _StubMeter(), n_runs=1
+    )
+    assert adj["etl_top100_books_cold"]["solo_s"] is None
+    assert adj["etl_top100_books_cold"]["run_ratio"] == 2.0
+    assert "fast_row" not in adj  # below the 0.3 s floor
+
+
+def test_adjudication_solo_remeasures_registry_rows():
+    calls = []
+
+    class _FakeDF:
+        @property
+        def write(self):
+            return self
+
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def save(self):
+            calls.append(1)
+
+    golden = {"slow_row": lambda spark, sf: _FakeDF()}
+    adj = bench._adjudicate(
+        None,
+        "/x",
+        golden,
+        {"slow_row": 1.0},
+        {"slow_row": 2.0},
+        _StubMeter(),
+        n_runs=3,
+    )
+    assert len(calls) == 3
+    assert adj["slow_row"]["solo_ratio"] is not None

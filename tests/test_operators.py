@@ -610,3 +610,72 @@ def test_rollup_delta_new_group_allnull_sum_is_null(spark):
     assert got["a"] == (3, None)      # touched, both sides NULL
     assert got["new"] == (2, None)    # brand-new group, all-NULL source
     assert got["new2"] == (1, 3.0)    # brand-new group, real sum
+
+
+def test_rollup_delta_collapse_to_allnull_reads_null_with_nn(spark):
+    """The one divergence sums alone cannot see: a group whose LAST
+    non-NULL value is removed while NULL-value rows remain. The delta's
+    sum cancels the stored sum to exactly 0, but a from-scratch rebuild
+    reads SUM(all NULLs) = NULL. With the mart carrying nn_<src>
+    (non-NULL value count — materialized_rollup_build stores it) and the
+    delta carrying d_nn_<src> (rollup_delta always emits it), the merge
+    must emit NULL; without nn columns the documented fallback reads 0."""
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        apply_rollup_delta,
+        rollup_delta,
+    )
+
+    # group "a": one real value 5.0 and one NULL-value row
+    old_rows = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    # the 5.0 row is deleted; a NULL-value row is inserted
+    new_rows = spark.createDataFrame([("a", None)], "g string, v double")
+    delta = rollup_delta(old_rows, new_rows, ["g"], ["v"])
+    row = delta.collect()[0]
+    assert (row.d_count, row.d_v, row.d_nn_v) == (0, -5.0, -1)
+
+    mart_exact = spark.createDataFrame(
+        [("a", 2, 5.0, 1)], "g string, n_rows bigint, sum_v double, nn_v bigint"
+    )
+    got = apply_rollup_delta(
+        mart_exact, delta, ["g"], "n_rows", {"sum_v": "v"}
+    ).collect()[0]
+    assert (got.n_rows, got.sum_v, got.nn_v) == (2, None, 0)
+
+    # legacy mart (no nn column): falls back to addition — reads 0.0,
+    # the documented residual divergence
+    mart_legacy = spark.createDataFrame(
+        [("a", 2, 5.0)], "g string, n_rows bigint, sum_v double"
+    )
+    got = apply_rollup_delta(
+        mart_legacy, delta, ["g"], "n_rows", {"sum_v": "v"}
+    ).collect()[0]
+    assert got.sum_v == 0.0
+
+
+def test_rollup_exact_mode_untouched_and_new_groups(spark):
+    """Exact mode's single formula must still cover the earlier ADVICE
+    cases: untouched all-NULL groups stay NULL, brand-new all-NULL
+    groups read NULL, brand-new real groups read their sum — and the nn
+    column rides the refreshed mart for the NEXT refresh."""
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        apply_rollup_delta,
+    )
+
+    mart = spark.createDataFrame(
+        [("a", 2, None, 0), ("b", 1, 7.0, 1)],
+        "g string, n_rows bigint, sum_v double, nn_v bigint",
+    )
+    delta = spark.createDataFrame(
+        [("new", 2, None, 0), ("new2", 1, 3.0, 1), ("b", 1, 2.0, 1)],
+        "g string, d_count bigint, d_v double, d_nn_v bigint",
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_v, r.nn_v)
+        for r in apply_rollup_delta(
+            mart, delta, ["g"], "n_rows", {"sum_v": "v"}
+        ).collect()
+    }
+    assert got["a"] == (2, None, 0)     # untouched, all-NULL
+    assert got["new"] == (2, None, 0)   # new, all-NULL source
+    assert got["new2"] == (1, 3.0, 1)   # new, real sum
+    assert got["b"] == (2, 9.0, 2)      # touched: sums and nn both add
