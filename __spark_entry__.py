@@ -150,9 +150,12 @@ _FORCE_REVERIFY: dict[str, int] = {
     # chunks (the totals scan + second join are gone) — same values,
     # materially different plan
     "text_remove_boilerplate": 9,
-    # r9: apply_rollup_delta's NULL-sum contract changed (delta-touched
-    # groups where both sides are NULL now emit NULL, matching a rebuild)
+    # r9: apply_rollup_delta's NULL-sum contract changed twice this
+    # round (both-NULL emits NULL; then exact nn_<col> non-NULL-count
+    # tracking — rollup_delta emits d_nn_, the MV mart stores nn_), and
+    # materialized_rollup_build/refresh now carry the nn column end-to-end
     "snapshot_incremental_rollup": 9,
+    "snapshot_materialized_view_refresh": 9,
     # r9: the lakesnap stream reader caches immutable manifests across
     # the window loop, and both stream rows gained in-query phase
     # instrumentation — executed reader path differs from the r8 greens.
