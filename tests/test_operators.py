@@ -679,3 +679,90 @@ def test_rollup_exact_mode_untouched_and_new_groups(spark):
     assert got["new"] == (2, None, 0)   # new, all-NULL source
     assert got["new2"] == (1, 3.0, 1)   # new, real sum
     assert got["b"] == (2, 9.0, 2)      # touched: sums and nn both add
+
+
+def test_rollup_ivm_rebuild_parity_fuzz(spark):
+    """Randomized rebuild-parity fuzz for the IVM pair: two CHAINED
+    refresh rounds of random deletes/updates/inserts (updates may
+    migrate a row's group; keys and values both draw NULL) must leave
+    the incrementally-maintained mart EXACTLY equal — including SQL
+    NULL-sum semantics and the propagated nn_ column — to a
+    from-scratch GROUP BY of the final state. Chaining matters: round
+    2's exact-mode merge consumes the nn column round 1 emitted."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.incremental import (
+        apply_rollup_delta,
+        rollup_delta,
+    )
+
+    schema = "id bigint, g string, v double"
+
+    def rebuild(state):
+        return {
+            r.g: (r.n_rows, r.sum_v, r.nn_v)
+            for r in spark.createDataFrame(
+                [(i, g, v) for i, (g, v) in state.items()], schema
+            )
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("v").alias("sum_v"),
+                F.count("v").cast("bigint").alias("nn_v"),
+            )
+            .collect()
+        }
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+
+        def draw():
+            # integer-valued doubles: float addition stays exact, so the
+            # comparison below is == not approx
+            g = rng.choice([None, "a", "b", "c", "d"])
+            v = rng.choice([None, None, float(rng.randint(-9, 9))])
+            return g, v
+
+        state = {i: draw() for i in range(35)}
+        next_id = 35
+        mart = spark.createDataFrame(
+            [(i, g, v) for i, (g, v) in state.items()], schema
+        ).groupBy("g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+            F.count("v").cast("bigint").alias("nn_v"),
+        )
+
+        for _ in range(2):
+            ids = sorted(state)
+            deleted = set(rng.sample(ids, k=len(ids) // 4))
+            updated = set(
+                rng.sample(sorted(set(ids) - deleted), k=len(ids) // 4)
+            )
+            inserts = {next_id + j: draw() for j in range(6)}
+            next_id += 6
+            old_rows = [(i, *state[i]) for i in sorted(deleted | updated)]
+            new_state = {
+                i: (draw() if i in updated else gv)
+                for i, gv in state.items()
+                if i not in deleted
+            }
+            new_state.update(inserts)
+            new_rows = [
+                (i, *new_state[i]) for i in sorted(updated | set(inserts))
+            ]
+            delta = rollup_delta(
+                spark.createDataFrame(old_rows, schema),
+                spark.createDataFrame(new_rows, schema),
+                ["g"],
+                ["v"],
+            )
+            mart = apply_rollup_delta(
+                mart, delta, ["g"], "n_rows", {"sum_v": "v"}
+            ).localCheckpoint(eager=True)
+            state = new_state
+
+        got = {r.g: (r.n_rows, r.sum_v, r.nn_v) for r in mart.collect()}
+        assert got == rebuild(state), f"seed {seed}: IVM != rebuild"
