@@ -831,15 +831,27 @@ def semantic_dedup(
 
     Output: one row per non-NULL input vector —
     (``id_col``, centroid_id, kept boolean)."""
-    cells = ivf_assign(
-        df.filter(F.col(vec_col).isNotNull()),
-        centroids,
-        id_col,
-        vec_col,
-        keep_vec=True,
-    ).select(
-        F.col(id_col), F.col("centroid_id"), F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("_n"),
+    from pyspark import StorageLevel
+
+    cells = (
+        ivf_assign(
+            df.filter(F.col(vec_col).isNotNull()),
+            centroids,
+            id_col,
+            vec_col,
+            keep_vec=True,
+        )
+        .select(
+            F.col(id_col), F.col("centroid_id"), F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("_n"),
+        )
+        # the assignment feeds THREE consumers (both pair-join sides and
+        # the output spine); unpinned, the |corpus|×|centroids| argmax —
+        # the operator's dominant cost — re-executes per consumer.
+        # MEMORY_AND_DISK persist runs it once; blocks are LRU-evictable
+        # (a production run over a 100 TB corpus would write the
+        # assignment to a table and dedup from that).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = cells.select(
         F.col(id_col).alias("id_a"), "centroid_id",

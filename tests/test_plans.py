@@ -426,3 +426,25 @@ def test_remove_repeated_passages_single_rebuild_pass(spark, sf_smoke):
     # the 4 HashAggregates are count_distinct's expansion of the df agg
     assert aggs.get("ObjectHashAggregate", 0) + aggs.get("SortAggregate", 0) == 2, aggs
     assert sum(aggs.values()) <= 6, aggs
+
+
+def test_semantic_dedup_assignment_runs_once(spark, sf_smoke):
+    """SemDeDup feeds the cell assignment to three consumers (both
+    pair-join sides + the output spine). The |corpus|×|centroids|
+    argmax is the dominant cost, so it must be pinned and reused —
+    three InMemoryTableScans over one cached relation — and the in-cell
+    pair scan must be a keyed equi-join, never a cartesian."""
+    import re
+
+    plan = plan_of(GOLDEN["semantic_dedup"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3
+    # the only nested loop allowed is ivf_assign's deliberate Cross
+    # broadcast-centroid scan (inside the cached relation) — the pair
+    # join itself is an equi-join on centroid_id, which Spark plans as
+    # SortMergeJoin cold and BroadcastHashJoin once cached stats show
+    # the pinned cells frame is small; either is keyed, neither loops
+    # tree lines carry the join type ("BroadcastNestedLoopJoin Cross
+    # BuildRight"); detail headers don't name one and never match
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", m.group(0)
