@@ -2776,9 +2776,17 @@ def q_snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-skip contract itself (each probe opens strictly fewer files
     than the table holds, and the combined scan fewer still) is asserted
     in tests/test_snapshots.py::test_zorder_multi_column_pruning. The
-    rewrite is layout-only: content is value-identical at every step."""
-    import shutil
+    rewrite is layout-only: content is value-identical at every step.
 
+    Phase timings (build / zorder / scan) land in
+    queries_streaming.PHASE_TIMINGS for the bench detail — the row's
+    wall-time is dominated by the two full-table writes (the natural-
+    layout build and the Z-order rewrite), so a scan-side regression
+    would otherwise hide inside write noise."""
+    import shutil
+    import time as _time
+
+    from bookstore_aws_lakehouse_spark.queries_streaming import PHASE_TIMINGS
     from bookstore_aws_lakehouse_spark.sources.snapshots import (
         snapshot_overwrite,
         snapshot_scan_multi,
@@ -2791,6 +2799,7 @@ def q_snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="blhs_zorder_")
     try:
         table = f"{root}/lineitem_z"
+        t0 = _time.monotonic()
         snapshot_overwrite(
             li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
                 "l_orderkey"
@@ -2798,9 +2807,11 @@ def q_snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             table,
             stats_cols=["l_orderkey", "l_partkey", "l_suppkey"],
         )
+        t1 = _time.monotonic()
         snapshot_zorder(
             spark, table, ["l_partkey", "l_suppkey"], target_file_bytes=256_000
         )
+        t2 = _time.monotonic()
         out = (
             snapshot_scan_multi(
                 spark,
@@ -2815,6 +2826,12 @@ def q_snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_qty"),
             )
         )
-        return out.localCheckpoint(eager=True)
+        res = out.localCheckpoint(eager=True)
+        PHASE_TIMINGS["snapshot_zorder_prune"] = {
+            "build_s": round(t1 - t0, 3),
+            "zorder_s": round(t2 - t1, 3),
+            "scan_s": round(_time.monotonic() - t2, 3),
+        }
+        return res
     finally:
         shutil.rmtree(root, ignore_errors=True)
