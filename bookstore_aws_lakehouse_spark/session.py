@@ -26,6 +26,10 @@ DEFAULT_CONF: dict[str, str] = {
     # parquet scan efficiency
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # timestamps as INT64 micros, not legacy INT96: INT96 chunks carry no
+    # parquet min/max statistics, killing row-group AND file-level
+    # pruning on every temporal column (Delta/Iceberg write INT64 too)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # pin size(NULL) = NULL explicitly: Spark 4 defaults to it, but on the
     # permitted pyspark>=3.5 the legacy default returns -1, which would
     # silently diverge every size()/split()-on-NULL expression from the

@@ -121,9 +121,30 @@ def _bounds_for(filters: Sequence[Filter]) -> dict[str, dict]:
     return out
 
 
+def _stat_norm(v):
+    """Canonical JSON-portable form for a stats/probe value — mirror of
+    sources/snapshots.py::_stat_norm (this module is self-contained by
+    design); keep the two definitions bit-identical. Timestamps/dates
+    become fixed-width UTC-naive ISO strings whose lexicographic order
+    equals chronological order."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).isoformat(
+            timespec="microseconds"
+        )
+    return v
+
+
 def _file_may_match(stats_entry: dict, bounds: dict[str, dict]) -> bool:
     """Conservative: a file survives unless some column's stats PROVE the
-    pushed predicate can't match. Missing stats for a column → survive."""
+    pushed predicate can't match. Missing stats for a column → survive.
+    Probe values are normalized to the stats' canonical form
+    (timestamps/dates ride the manifest as ISO strings)."""
     for col, b in bounds.items():
         row = stats_entry.get(col)
         if row is None:
@@ -139,11 +160,11 @@ def _file_may_match(stats_entry: dict, bounds: dict[str, dict]) -> bool:
             return False
         try:
             if b["values"]:
-                if not any(lo <= v <= hi for v in b["values"]):
+                if not any(lo <= _stat_norm(v) <= hi for v in b["values"]):
                     return False
-            if b["lo"] is not None and hi < b["lo"]:
+            if b["lo"] is not None and hi < _stat_norm(b["lo"]):
                 return False
-            if b["hi"] is not None and lo > b["hi"]:
+            if b["hi"] is not None and lo > _stat_norm(b["hi"]):
                 return False
         except TypeError:  # cross-type compare: be conservative
             continue

@@ -292,6 +292,12 @@ def _write_data_files(
         if renames:
             df = df.withColumnsRenamed(renames)
     tx_dir = f"{table.rstrip('/')}/{subdir}/tx-{uuid.uuid4().hex[:12]}"
+    # timestamps as INT64 micros, not Spark's legacy INT96: INT96 column
+    # chunks carry NO parquet min/max statistics, so every temporal
+    # column would silently lose file-level pruning (stats collection
+    # skips it and scans degrade to conservative full reads). INT64 is
+    # what Delta/Iceberg write; pyarrow reads it back as timestamp[us].
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     df.write.mode("error").parquet(tx_dir)
     files = _list_parquet_files(spark, tx_dir)
     try:
@@ -515,6 +521,31 @@ def _commit(
     )
 
 
+def _stat_norm(v):
+    """Canonical JSON-portable form for a stats/probe value. Numerics,
+    strings and bools pass through; datetimes and dates become a FIXED-
+    WIDTH UTC-naive ISO string (``YYYY-MM-DDTHH:MM:SS.ffffff`` — dates
+    midnight-extended) whose lexicographic order equals chronological
+    order, so every ``<=`` pruning comparison keeps working across the
+    manifest JSON round-trip. The same function normalizes PROBE values
+    at the compare sites: stats and probes must land in the identical
+    canonical form or boundary-equality probes would mis-prune (a
+    tz-aware "…+00:00" string sorts after its naive twin).
+    Mirrored in sources/pyds.py (self-contained by design) — keep the
+    two definitions bit-identical."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).isoformat(
+            timespec="microseconds"
+        )
+    return v
+
+
 def _collect_file_stats(
     files: list[str], columns: list[str], mapping: dict | None = None
 ) -> dict | None:
@@ -568,8 +599,9 @@ def _collect_file_stats(
                     break
             if not usable:
                 continue
+            lo, hi = _stat_norm(lo), _stat_norm(hi)
             if lo is not None and not isinstance(lo, (str, int, float, bool)):
-                continue  # not JSON-portable (dates/binary): skip this col
+                continue  # not JSON-portable (binary etc.): skip this col
             per_col[logical] = [lo, hi, has_null]
         out[uri] = per_col
     return out
@@ -586,7 +618,7 @@ def _file_may_contain(stats_row, values: list, want_null: bool) -> bool:
         return False
     for v in values:
         try:
-            if lo <= v <= hi:
+            if lo <= _stat_norm(v) <= hi:
                 return True
         except TypeError:  # cross-type compare: be conservative
             return True
@@ -1091,6 +1123,9 @@ def snapshot_scan(
         raise ValueError(f"version {v} not in {table} (have {versions})")
     manifest = _read_manifest(spark, table, v)
     stats = manifest.get("file_stats") or {}
+    # probes meet stats in the stats' canonical form (timestamps/dates
+    # are ISO strings in the manifest)
+    plo, phi = _stat_norm(lo), _stat_norm(hi)
 
     def may_intersect(f: str) -> bool:
         row = stats.get(f, {}).get(column)
@@ -1100,7 +1135,7 @@ def snapshot_scan(
         if fmin is None:  # stats say the file is empty
             return False
         try:
-            return fmin <= hi and lo <= fmax
+            return fmin <= phi and plo <= fmax
         except TypeError:
             return True  # cross-type compare: be conservative
     files = [f for f in manifest["files"] if may_intersect(f)]
@@ -1611,8 +1646,14 @@ def snapshot_scan_multi(
     manifest = _read_manifest(spark, table, v)
     stats = manifest.get("file_stats") or {}
 
+    # probes meet stats in the stats' canonical form (timestamps/dates
+    # are ISO strings in the manifest)
+    norm_ranges = {
+        c: (_stat_norm(lo), _stat_norm(hi)) for c, (lo, hi) in ranges.items()
+    }
+
     def may_intersect(f: str) -> bool:
-        for column, (lo, hi) in ranges.items():
+        for column, (lo, hi) in norm_ranges.items():
             row = stats.get(f, {}).get(column)
             if row is None:
                 continue  # no stats for this column: can't prune on it
@@ -1690,7 +1731,10 @@ def snapshot_delete(
             if row is not None and row[0] is not None:
                 fmin, fmax, _null = row
                 try:
-                    disjoint = not (fmin <= hi and lo <= fmax)
+                    # probes meet stats in canonical form (_stat_norm)
+                    disjoint = not (
+                        fmin <= _stat_norm(hi) and _stat_norm(lo) <= fmax
+                    )
                 except TypeError:
                     disjoint = False
                 (carried if disjoint else touched).append(f)
@@ -1790,7 +1834,10 @@ def snapshot_replace_where(
             if row is not None and row[0] is not None:
                 fmin, fmax, _null = row
                 try:
-                    disjoint = not (fmin <= hi and lo <= fmax)
+                    # probes meet stats in canonical form (_stat_norm)
+                    disjoint = not (
+                        fmin <= _stat_norm(hi) and _stat_norm(lo) <= fmax
+                    )
                 except TypeError:
                     disjoint = False
                 (carried if disjoint else touched).append(f)
@@ -3122,8 +3169,10 @@ def snapshot_zorder(
     zorder columns. NULLs sort into bucket 0 (files holding a column's
     NULLs keep ``has_null`` so NULL-probes stay correct).
 
-    Numeric columns only (``approxQuantile``'s domain) — the practical
-    Z-order case; raise otherwise rather than silently hash-bucketing.
+    Numeric, timestamp and date columns (temporal columns bucket on
+    their epoch seconds, and their per-file stats ride the manifest as
+    canonical ISO strings — ``_stat_norm``); raise on anything else
+    rather than silently hash-bucketing.
 
     Relation to ``writers.zorder_value`` / ``write_parquet_zordered``:
     those interleave the RAW low bits of two non-negative int columns at
@@ -3143,23 +3192,42 @@ def snapshot_zorder(
             raise FileNotFoundError(f"no snapshot manifests under {table}")
         manifest = _read_manifest(spark, table, versions[-1])
         schema = StructType.fromJson(manifest["schema"])
-        numeric = {
-            f.name
-            for f in schema.fields
-            if f.dataType.simpleString()
-            in ("tinyint", "smallint", "int", "bigint", "float", "double")
-            or f.dataType.simpleString().startswith("decimal")
+        dtype_of = {f.name: f.dataType.simpleString() for f in schema.fields}
+        orderable = {
+            name
+            for name, dt in dtype_of.items()
+            if dt
+            in (
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+                # timestamps/dates bucket on their epoch seconds — the
+                # single most common Z-order dimension in practice (an
+                # events fact queried by time AND entity); their file
+                # stats ride the manifest as canonical ISO strings
+                # (_stat_norm), so the pruned scans work end-to-end
+                "timestamp", "timestamp_ntz", "date",
+            )
+            or dt.startswith("decimal")
         }
         missing = [c for c in zorder_cols if c not in schema.names]
         if missing:
             raise ValueError(f"zorder column(s) {missing} not in {schema.names}")
-        non_num = [c for c in zorder_cols if c not in numeric]
+        non_num = [c for c in zorder_cols if c not in orderable]
         if non_num:
             raise ValueError(
-                f"zorder column(s) {non_num} are not numeric — Z-order "
-                f"bucketing uses approxQuantile; cast or derive a numeric "
-                f"sort key first"
+                f"zorder column(s) {non_num} are not numeric/temporal — "
+                f"Z-order bucketing uses approxQuantile; cast or derive a "
+                f"numeric sort key first"
             )
+
+        def _as_num(c: str):
+            col = F.col(c)
+            if dtype_of[c] in ("date", "timestamp_ntz"):
+                # neither casts to double directly; the hop goes through
+                # session-TZ timestamp. Bucket QUALITY could wobble at a
+                # DST fold under a non-UTC session TZ, but never
+                # correctness — stats are re-collected from actual values
+                col = col.cast("timestamp")
+            return col.cast("double")  # timestamp → epoch seconds
         if not manifest["files"]:
             return versions[-1]
         df = _read_data_files(spark, schema, manifest["files"], manifest)
@@ -3168,8 +3236,7 @@ def snapshot_zorder(
         # one distributed GK pass for ALL columns' boundaries; decimals
         # are pre-cast (approxQuantile's numeric domain excludes them)
         qdf = df.select(
-            *[F.col(c).cast("double").alias(f"_q{i}")
-              for i, c in enumerate(zorder_cols)]
+            *[_as_num(c).alias(f"_q{i}") for i, c in enumerate(zorder_cols)]
         )
         all_bnds = qdf.approxQuantile(
             [f"_q{i}" for i in range(len(zorder_cols))], probs, 0.001
@@ -3186,7 +3253,7 @@ def snapshot_zorder(
                     arr,
                     F.lit(0),
                     lambda acc, b: acc
-                    + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
+                    + F.when(_as_num(col) >= b, 1).otherwise(0),
                 )
                 # SCALE the bucket id to span the full 2^bits range: a
                 # low-cardinality column (12 distinct values → 12 distinct

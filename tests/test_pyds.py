@@ -698,3 +698,72 @@ def test_pyds_overwrite_racing_rename_commits_write_time_mapping(
     assert "cost" not in mapping             # racer's rename superseded
     out = snapshot_read(spark, table).collect()
     assert [(r.k, r.price) for r in out] == [(7, 70.0)]  # not NULL
+
+
+def test_reader_prunes_files_on_timestamp_filters(spark, tmp_path):
+    """Temporal pruning through the DataSource: timestamp file stats
+    ride the manifest as canonical ISO strings (_stat_norm), and pushed
+    datetime filters are normalized to the same form — a time-band
+    filter must skip files, a boundary-equality probe (== one file's
+    recorded min) must keep its file, and the format read must equal
+    snapshot_read + filter."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_overwrite,
+    )
+
+    table = str(tmp_path / "tz")
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), float(i)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    snapshot_overwrite(
+        df.repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+        table,
+        stats_cols=["ts"],
+    )
+    schema = snapshot_read(spark, table).schema
+
+    r = SnapshotReader({"path": table}, schema)
+    assert len(r.partitions()) == 4
+
+    # band inside the first quarter: 3 of 4 files must be skipped
+    r = SnapshotReader({"path": table}, schema)
+    r.pushFilters(
+        [
+            GreaterThan(("ts",), base + dt.timedelta(hours=10)),
+            LessThan(("ts",), base + dt.timedelta(hours=40)),
+        ]
+    )
+    assert len(r.partitions()) == 1
+
+    # boundary equality: probing a file's exact min must keep that file
+    r = SnapshotReader({"path": table}, schema)
+    r.pushFilters([EqualTo(("ts",), base + dt.timedelta(hours=100))])
+    assert len(r.partitions()) == 1
+
+    register_snapshot_datasource(spark)
+    got = (
+        spark.read.format("lakesnap")
+        .option("path", table)
+        .load()
+        .filter(
+            (F.col("ts") >= F.lit(base + dt.timedelta(hours=10)))
+            & (F.col("ts") <= F.lit(base + dt.timedelta(hours=40)))
+        )
+        .collect()
+    )
+    want = (
+        snapshot_read(spark, table)
+        .filter(
+            (F.col("ts") >= F.lit(base + dt.timedelta(hours=10)))
+            & (F.col("ts") <= F.lit(base + dt.timedelta(hours=40)))
+        )
+        .collect()
+    )
+    assert sorted((r.k, r.ts) for r in got) == sorted((r.k, r.ts) for r in want)
+    assert len(want) == 31

@@ -2853,3 +2853,123 @@ def test_scan_multi_pruning_never_changes_semantics(
         map(tuple, snapshot_scan_multi(spark, table, ranges).collect())
     )
     assert got == want
+
+
+def test_stat_norm_canonical_ordering():
+    """_stat_norm: tz-aware and naive UTC twins land on the SAME string
+    (boundary-equality probes must not mis-prune), dates midnight-extend
+    to the fixed-width form, and lexicographic order of the canonical
+    strings equals chronological order."""
+    import datetime as dt
+
+    from bookstore_aws_lakehouse_spark.sources.pyds import (
+        _stat_norm as pyds_norm,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import _stat_norm
+
+    aware = dt.datetime(2026, 8, 15, 4, 30, 0, 500, tzinfo=dt.timezone.utc)
+    naive = dt.datetime(2026, 8, 15, 4, 30, 0, 500)
+    assert _stat_norm(aware) == _stat_norm(naive) == "2026-08-15T04:30:00.000500"
+    assert _stat_norm(dt.date(2026, 8, 15)) == "2026-08-15T00:00:00.000000"
+    seq = [
+        dt.datetime(2026, 8, 15, 4, 30, 0, 499),
+        dt.datetime(2026, 8, 15, 4, 30, 0, 500),
+        dt.datetime(2026, 8, 15, 4, 30, 1),
+        dt.datetime(2026, 8, 16),
+        dt.datetime(2027, 1, 1),
+    ]
+    canon = [_stat_norm(v) for v in seq]
+    assert canon == sorted(canon)
+    # mirror contract: the pyds copy is bit-identical in behavior
+    for v in seq + [dt.date(2026, 8, 15), aware, 7, 1.5, "x", None]:
+        assert pyds_norm(v) == _stat_norm(v)
+    assert _stat_norm(None) is None and _stat_norm(7) == 7
+
+
+def test_zorder_on_timestamp_column_prunes_and_preserves(spark, table):
+    """OPTIMIZE ZORDER BY (ts, user_id) on an events fact — the single
+    most common real Z-order shape (time + entity). Temporal file stats
+    ride the manifest as canonical ISO strings; datetime probes through
+    snapshot_scan_multi must (a) return exactly read+filter — including
+    a lo==hi probe equal to one row's timestamp, the boundary-equality
+    case a sloppier normalization would mis-prune — and (b) skip files
+    on BOTH dimensions."""
+    import datetime as dt
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        _stat_norm,
+        snapshot_read,
+        snapshot_scan_multi,
+        snapshot_zorder,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    snapshot_overwrite(
+        ev.repartitionByRange(12, "event_id").sortWithinPartitions("event_id"),
+        table,
+        stats_cols=["event_id"],
+    )
+    v = snapshot_zorder(
+        spark, table, ["ts", "user_id"], target_file_bytes=32_000
+    )
+    m = _read_manifest(spark, table, v)
+    stats = m["file_stats"]
+    n = len(m["files"])
+    assert n >= 4
+    ts_rows = [stats[f]["ts"] for f in m["files"] if "ts" in stats.get(f, {})]
+    assert ts_rows and all(isinstance(r[0], str) for r in ts_rows)
+
+    # probe window: the middle third of the time domain × a user band
+    all_ts = sorted(r.ts for r in ev.select("ts").collect() if r.ts is not None)
+    # a band fully inside the lower half of the time domain — a probe
+    # straddling the global median can never prune a 2-dim Z layout
+    lo_ts, hi_ts = all_ts[len(all_ts) // 3], all_ts[(len(all_ts) * 43) // 100]
+    got = snapshot_scan_multi(
+        spark, table, {"ts": (lo_ts, hi_ts), "user_id": (5, 40)}
+    )
+    exp = snapshot_read(spark, table).filter(
+        (F.col("ts") >= F.lit(lo_ts))
+        & (F.col("ts") <= F.lit(hi_ts))
+        & (F.col("user_id") >= 5)
+        & (F.col("user_id") <= 40)
+    )
+    key = lambda r: (r.event_id, r.ts, r.user_id)  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(exp.collect(), key=key)
+
+    # both dimensions prune (canonical-form compare, same as the scan's)
+    def surviving(col, lo, hi):
+        lo, hi = _stat_norm(lo), _stat_norm(hi)
+        keep = 0
+        for f in m["files"]:
+            row = stats.get(f, {}).get(col)
+            if row is None:
+                keep += 1
+            elif row[0] is not None and row[0] <= hi and lo <= row[1]:
+                keep += 1
+        return keep
+
+    assert surviving("ts", lo_ts, hi_ts) < n
+    assert surviving("user_id", 5, 40) < n
+
+    # boundary equality: a point probe at one row's exact timestamp must
+    # return that row (a file whose min/max equals the probe must not be
+    # pruned by string-form skew)
+    pin = all_ts[len(all_ts) // 4]
+    got_pin = snapshot_scan_multi(spark, table, {"ts": (pin, pin)}).collect()
+    exp_pin = (
+        snapshot_read(spark, table).filter(F.col("ts") == F.lit(pin)).collect()
+    )
+    assert len(got_pin) == len(exp_pin) >= 1
+
+
+def test_zorder_refuses_string_column(spark, table):
+    from bookstore_aws_lakehouse_spark.sources.snapshots import snapshot_zorder
+
+    snapshot_overwrite(
+        spark.createDataFrame([(1, "a")], "k int, s string"), table
+    )
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        snapshot_zorder(spark, table, ["s"])
