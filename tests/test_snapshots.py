@@ -2973,3 +2973,70 @@ def test_zorder_refuses_string_column(spark, table):
     )
     with pytest.raises(ValueError, match="numeric/temporal"):
         snapshot_zorder(spark, table, ["s"])
+
+
+_ts_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),    # a
+        st.one_of(                                   # hours from epoch, NULLable
+            st.none(), st.integers(min_value=0, max_value=2000)
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+_ts_range = st.tuples(
+    st.integers(min_value=-100, max_value=2100),
+    st.integers(min_value=-100, max_value=2100),
+).map(lambda t: (min(t), max(t)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_ts_rows, ra=_range, rt=_ts_range)
+def test_scan_multi_temporal_pruning_never_changes_semantics(
+    spark, tmp_path_factory, rows, ra, rt
+):
+    """Property (temporal twin of the numeric test above): a Z-ordered
+    (int, timestamp) layout probed with random datetime ranges — stats
+    in canonical ISO form, probes normalized at the compare site —
+    always equals the plain read + filter, NULL timestamps included."""
+    import datetime as dt
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_overwrite,
+        snapshot_read,
+        snapshot_scan_multi,
+        snapshot_zorder,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    table = str(tmp_path_factory.mktemp("scants") / "t")
+    df = spark.createDataFrame(
+        [
+            (a, None if h is None else base + dt.timedelta(hours=h))
+            for a, h in rows
+        ],
+        "a int, ts timestamp",
+    )
+    snapshot_overwrite(df.repartition(4), table, stats_cols=["a", "ts"])
+    snapshot_zorder(spark, table, ["a", "ts"], target_file_bytes=4_000, bits=4)
+    lo_ts = base + dt.timedelta(hours=rt[0])
+    hi_ts = base + dt.timedelta(hours=rt[1])
+    ranges = {"a": ra, "ts": (lo_ts, hi_ts)}
+    pred = (
+        (F.col("a") >= ra[0])
+        & (F.col("a") <= ra[1])
+        & (F.col("ts") >= F.lit(lo_ts))
+        & (F.col("ts") <= F.lit(hi_ts))
+    )
+    want = sorted(
+        map(tuple, snapshot_read(spark, table).filter(pred).collect())
+    )
+    got = sorted(
+        map(tuple, snapshot_scan_multi(spark, table, ranges).collect())
+    )
+    assert got == want
