@@ -3040,3 +3040,50 @@ def test_scan_multi_temporal_pruning_never_changes_semantics(
         map(tuple, snapshot_scan_multi(spark, table, ranges).collect())
     )
     assert got == want
+
+
+def test_point_lookup_on_timestamp_column_prunes_both_layers(spark, table):
+    """snapshot_point_lookup on a TIMESTAMP key: min/max stats (ISO
+    canonical) and the bloom index (JVM-hashed via lit(ts).cast) must
+    both participate — a present needle returns its rows, an absent
+    in-range needle is bloom-pruned to zero files read, and an
+    out-of-range needle is stats-pruned."""
+    import datetime as dt
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _point_lookup_files,
+        snapshot_bloom_index,
+        snapshot_point_lookup,
+    )
+
+    base = dt.datetime(2026, 3, 1)
+    rows = [(i, base + dt.timedelta(hours=2 * i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp")
+    snapshot_overwrite(
+        df.repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+        table,
+        stats_cols=["ts"],
+    )
+    snapshot_bloom_index(spark, table, "ts")
+
+    present = base + dt.timedelta(hours=2 * 77)
+    got = snapshot_point_lookup(spark, table, "ts", present).collect()
+    assert [r.k for r in got] == [77]
+    files, all_files, _, _ = _point_lookup_files(
+        spark, table, "ts", present, None
+    )
+    assert len(files) < len(all_files)  # stats alone prune to one band
+
+    # in-range but absent (odd hour): the bloom layer must prove it out
+    absent = base + dt.timedelta(hours=2 * 77 + 1)
+    files, all_files, _, _ = _point_lookup_files(
+        spark, table, "ts", absent, None
+    )
+    assert files == []
+    assert snapshot_point_lookup(spark, table, "ts", absent).collect() == []
+
+    # out of range entirely: stats prune every file
+    files, _, _, _ = _point_lookup_files(
+        spark, table, "ts", base - dt.timedelta(days=30), None
+    )
+    assert files == []
