@@ -247,8 +247,9 @@ WHERE a.doc_id < b.doc_id
 
 @golden("dedup_simhash_pairs", _simhash_sql())
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash near-dup pairs (Hamming ≤ 3); per-token md5 bits vote
-    ±1. The oracle recomputes every vote."""
+    """60-bit SimHash near-dup pairs (Hamming ≤ 3); per-token md5 bits vote
+    ±1. The oracle recomputes every vote. 15-bit pigeonhole chunks keep
+    candidate generation near-linear (VERDICT r9 #1)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 

@@ -156,9 +156,21 @@ def test_simhash_pairs_matches_bruteforce_mirror(spark):
 
     rng = random.Random(7)
     docs = [d for d in _mk_corpus(rng, 25) if d[1] is not None]
-    # near-identical pair: one token appended
-    docs.append((200, "red green blue cyan magenta yellow black white"))
-    docs.append((201, "red green blue cyan magenta yellow black white extra"))
+    # near-identical pair: one token appended. The base repeats 30 words
+    # twice (60 tokens) so per-bit vote margins are wide enough that ONE
+    # appended token flips ≤ 3 of the 60 signature bits (verified: this
+    # exact pair lands at Hamming 3) — on a short doc most bits sit at a
+    # vote tie and a single token flips far more than max_hamming of them.
+    base = " ".join(
+        (
+            "red green blue cyan magenta yellow black white orange purple "
+            "brown pink gray silver gold teal navy maroon olive lime "
+            "aqua coral ivory khaki lavender plum salmon tan violet wheat"
+        ).split()
+        * 2
+    )
+    docs.append((200, base))
+    docs.append((201, base + " extra"))
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
@@ -183,3 +195,53 @@ def test_simhash_pairs_matches_bruteforce_mirror(spark):
                 want[(a, b)] = d
     assert got == want
     assert (200, 201) in got
+
+
+def test_saturated_bucket_cap_preserves_exact_dups(spark):
+    """The oversized-bucket cap (VERDICT r9 #1) bounds candidate volume by
+    splitting saturated buckets on subkey bits drawn from OUTSIDE the
+    bucket's key. Contract: identical signatures share every subkey, so
+    exact-duplicate pairs are NEVER lost, even with a cap small enough
+    that every bucket saturates."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        minhash_band_pairs,
+        simhash_pairs,
+    )
+
+    # 30 identical docs: every (chunk, chunk_val) bucket holds ≥30 rows,
+    # so max_bucket=5 forces the split path on every bucket
+    docs = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = simhash_pairs(df, "doc_id", "text", max_hamming=3, max_bucket=5)
+    assert got.filter("hamming = 0").count() == 30 * 29 // 2
+
+    mh = minhash_band_pairs(df, "doc_id", "text", max_bucket=5)
+    assert mh.count() == 30 * 29 // 2
+    # identical docs agree on every band
+    assert mh.filter("n_shared_bands = 4").count() == 30 * 29 // 2
+
+
+def test_saturated_bucket_cap_splits_mixed_corpus(spark):
+    """On a mixed corpus a tiny cap must (a) keep results a SUBSET of the
+    uncapped result (the split only removes candidates, never invents
+    pairs), and (b) still find exact dups planted inside the saturated
+    buckets."""
+    import random
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import simhash_pairs
+
+    rng = random.Random(11)
+    docs = [d for d in _mk_corpus(rng, 20) if d[1] is not None]
+    docs.append((300, "the quick brown fox jumps over the lazy dog today"))
+    docs.append((301, "the quick brown fox jumps over the lazy dog today"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(df, "doc_id", "text", max_bucket=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(df, "doc_id", "text", max_bucket=2).collect()
+    }
+    assert capped <= full
+    assert (300, 301) in capped
