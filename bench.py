@@ -362,8 +362,15 @@ def main() -> None:
         prev_q: dict = {}
         try:
             with open(prev_path) as f:
-                prev_q = json.load(f).get(sf_key) or {}
-        except (OSError, ValueError):
+                raw_prev = json.load(f).get(sf_key) or {}
+            # entries are {"s": seconds, "src": "run"|"solo"} since r10
+            # (ADVICE r9: per-entry provenance); bare floats are the
+            # pre-provenance format — accept both
+            prev_q = {
+                q: (v["s"] if isinstance(v, dict) else v)
+                for q, v in raw_prev.items()
+            }
+        except (OSError, ValueError, KeyError, TypeError):
             pass
         if not prev_q:
             with open(detail_path) as f:
@@ -442,15 +449,25 @@ def main() -> None:
             prev_store = json.load(f)
     except (OSError, ValueError):
         prev_store = {}
-    # Baseline hygiene: a row whose solo re-measure came in FASTER than
-    # its in-run p50 was inflated by session state or co-tenant load —
-    # record the solo number as the next-run baseline (it's what a clean
-    # rerun would see). Recording the inflated p50 would soften every
-    # future ratio at this sf.
-    baseline = dict(timings)
+    # Baseline hygiene (ADVICE r9): every entry carries provenance
+    # ({"s": seconds, "src": "run"|"solo"}). The DEFAULT baseline is the
+    # in-run p50 — methodology-consistent round over round, so a row
+    # with an inherent fresh-vs-aged delta settles at its aged in-run
+    # level instead of exceeding the 1.3× trigger against a fresh solo
+    # number every future run (the perpetual re-adjudication treadmill
+    # the old always-adopt-solo rule created). The solo number replaces
+    # it ONLY when the in-run measurement was provably load-inflated
+    # (its own window saw >10% external CPU) and solo came in faster —
+    # there the in-run p50 would soften every future ratio at this sf.
+    baseline = {q: {"s": v, "src": "run"} for q, v in timings.items()}
     for q, a in adjudication.items():
-        if a.get("solo_s") is not None and a["solo_s"] < baseline.get(q, a["solo_s"]):
-            baseline[q] = a["solo_s"]
+        solo = a.get("solo_s")
+        if (
+            solo is not None
+            and solo < timings.get(q, solo)
+            and query_ext_load.get(q, 0.0) > 0.1
+        ):
+            baseline[q] = {"s": solo, "src": "solo"}
     prev_store[str(detail["sf"])] = baseline
     with open(prev_path, "w") as f:
         json.dump(prev_store, f, indent=1, sort_keys=True)

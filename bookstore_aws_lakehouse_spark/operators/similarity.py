@@ -831,8 +831,6 @@ def semantic_dedup(
 
     Output: one row per non-NULL input vector —
     (``id_col``, centroid_id, kept boolean)."""
-    from pyspark import StorageLevel
-
     cells = (
         ivf_assign(
             df.filter(F.col(vec_col).isNotNull()),
@@ -847,11 +845,16 @@ def semantic_dedup(
         )
         # the assignment feeds THREE consumers (both pair-join sides and
         # the output spine); unpinned, the |corpus|×|centroids| argmax —
-        # the operator's dominant cost — re-executes per consumer.
-        # MEMORY_AND_DISK persist runs it once; blocks are LRU-evictable
-        # (a production run over a 100 TB corpus would write the
-        # assignment to a table and dedup from that).
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # the operator's dominant cost — re-executes per consumer. An
+        # eager localCheckpoint runs it exactly once AND scopes the
+        # blocks to the returned DataFrame's lifetime: the ContextCleaner
+        # frees them on GC, unlike an explicit persist, which sits in the
+        # CacheManager until unpersist/session stop and inflated
+        # long-lived sessions (ADVICE r9). Executor-local blocks — not
+        # fault-tolerant to executor loss; a production run over a
+        # 100 TB corpus would write the assignment to a table and dedup
+        # from that.
+        .localCheckpoint(eager=True)
     )
     a = cells.select(
         F.col(id_col).alias("id_a"), "centroid_id",

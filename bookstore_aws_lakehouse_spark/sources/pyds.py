@@ -126,12 +126,14 @@ def _stat_norm(v):
     sources/snapshots.py::_stat_norm (this module is self-contained by
     design); keep the two definitions bit-identical. Timestamps/dates
     become fixed-width UTC-naive ISO strings whose lexicographic order
-    equals chronological order."""
+    equals chronological order. A NAIVE datetime is treated as
+    HOST-LOCAL (``astimezone()`` on a naive value attaches the host
+    zone) to match PySpark's ``TimestampType.toInternal`` mktime
+    semantics — see the snapshots.py twin for the full rationale."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(timespec="microseconds")
     if isinstance(v, _dt.date):
         return _dt.datetime(v.year, v.month, v.day).isoformat(

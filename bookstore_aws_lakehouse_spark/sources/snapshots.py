@@ -297,8 +297,19 @@ def _write_data_files(
     # column would silently lose file-level pruning (stats collection
     # skips it and scans degrade to conservative full reads). INT64 is
     # what Delta/Iceberg write; pyarrow reads it back as timestamp[us].
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    df.write.mode("error").parquet(tx_dir)
+    # Scoped to THIS write (save + restore): a bare conf.set would
+    # permanently override a user's explicit INT96 choice for every
+    # subsequent non-snapshot write in the session (ADVICE r9).
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(_TS_KEY, None)
+    spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("error").parquet(tx_dir)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(_TS_KEY)
+        else:
+            spark.conf.set(_TS_KEY, prev_ts)
     files = _list_parquet_files(spark, tx_dir)
     try:
         import pyarrow.parquet as pq
@@ -531,13 +542,22 @@ def _stat_norm(v):
     at the compare sites: stats and probes must land in the identical
     canonical form or boundary-equality probes would mis-prune (a
     tz-aware "…+00:00" string sorts after its naive twin).
+
+    A NAIVE datetime is treated as HOST-LOCAL, because that is what the
+    actual filter does: PySpark's ``TimestampType.toInternal`` converts a
+    naive literal via ``time.mktime`` (host zone), so on a non-UTC host a
+    naive probe passed through as-UTC would disagree with the filter by
+    the UTC offset and silently skip files containing matching rows.
+    ``astimezone()`` on a naive value attaches the host zone — the exact
+    mktime semantic. Footer stats are never naive (pyarrow returns
+    tz-aware UTC for Spark's TIMESTAMP_MICROS), so this branch only ever
+    sees user probe values.
     Mirrored in sources/pyds.py (self-contained by design) — keep the
     two definitions bit-identical."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(timespec="microseconds")
     if isinstance(v, _dt.date):
         return _dt.datetime(v.year, v.month, v.day).isoformat(

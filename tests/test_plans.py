@@ -432,13 +432,15 @@ def test_semantic_dedup_assignment_runs_once(spark, sf_smoke):
     """SemDeDup feeds the cell assignment to three consumers (both
     pair-join sides + the output spine). The |corpus|×|centroids|
     argmax is the dominant cost, so it must be pinned and reused —
-    three InMemoryTableScans over one cached relation — and the in-cell
-    pair scan must be a keyed equi-join, never a cartesian."""
+    an eager localCheckpoint (ADVICE r9: GC-scoped blocks, unlike a
+    CacheManager persist that outlives the call) scanned three times as
+    an ExistingRDD — and the in-cell pair scan must be a keyed
+    equi-join, never a cartesian."""
     import re
 
     plan = plan_of(GOLDEN["semantic_dedup"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
-    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("Scan ExistingRDD") >= 3
     # the only nested loop allowed is ivf_assign's deliberate Cross
     # broadcast-centroid scan (inside the cached relation) — the pair
     # join itself is an equi-join on centroid_id, which Spark plans as

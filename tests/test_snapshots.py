@@ -2856,10 +2856,10 @@ def test_scan_multi_pruning_never_changes_semantics(
 
 
 def test_stat_norm_canonical_ordering():
-    """_stat_norm: tz-aware and naive UTC twins land on the SAME string
-    (boundary-equality probes must not mis-prune), dates midnight-extend
-    to the fixed-width form, and lexicographic order of the canonical
-    strings equals chronological order."""
+    """_stat_norm: tz-aware and (host-UTC) naive twins land on the SAME
+    string (boundary-equality probes must not mis-prune), dates
+    midnight-extend to the fixed-width form, and lexicographic order of
+    the canonical strings equals chronological order."""
     import datetime as dt
 
     from bookstore_aws_lakehouse_spark.sources.pyds import (
@@ -2868,7 +2868,7 @@ def test_stat_norm_canonical_ordering():
     from bookstore_aws_lakehouse_spark.sources.snapshots import _stat_norm
 
     aware = dt.datetime(2026, 8, 15, 4, 30, 0, 500, tzinfo=dt.timezone.utc)
-    naive = dt.datetime(2026, 8, 15, 4, 30, 0, 500)
+    naive = dt.datetime(2026, 8, 15, 4, 30, 0, 500)  # container host TZ is UTC
     assert _stat_norm(aware) == _stat_norm(naive) == "2026-08-15T04:30:00.000500"
     assert _stat_norm(dt.date(2026, 8, 15)) == "2026-08-15T00:00:00.000000"
     seq = [
@@ -2884,6 +2884,43 @@ def test_stat_norm_canonical_ordering():
     for v in seq + [dt.date(2026, 8, 15), aware, 7, 1.5, "x", None]:
         assert pyds_norm(v) == _stat_norm(v)
     assert _stat_norm(None) is None and _stat_norm(7) == 7
+
+
+def test_stat_norm_naive_datetime_is_host_local():
+    """ADVICE r9 (medium): a NAIVE probe datetime must normalize to the
+    same UTC instant PySpark's TimestampType.toInternal produces (mktime
+    → host zone), not pass through as-UTC — on a non-UTC host the old
+    pass-through made the prune bound and the actual filter disagree by
+    the UTC offset, silently skipping files with matching rows."""
+    import datetime as dt
+    import os
+    import time
+
+    from bookstore_aws_lakehouse_spark.sources import pyds, snapshots
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        naive = dt.datetime(2024, 1, 1, 12, 0, 0)  # EST, no DST ambiguity
+        # the instant the actual filter evaluates: mktime semantics
+        epoch = time.mktime(naive.timetuple())
+        want = dt.datetime.fromtimestamp(epoch, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        assert want == dt.datetime(2024, 1, 1, 17, 0, 0)  # UTC-5
+        for mod in (snapshots, pyds):
+            assert mod._stat_norm(naive) == want.isoformat(
+                timespec="microseconds"
+            )
+            # a tz-aware twin of the same instant normalizes identically
+            assert mod._stat_norm(naive.astimezone()) == mod._stat_norm(naive)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
 
 
 def test_zorder_on_timestamp_column_prunes_and_preserves(spark, table):
