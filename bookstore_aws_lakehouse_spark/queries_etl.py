@@ -2835,3 +2835,104 @@ def q_snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
+    "snapshot_zorder_time_prune",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(1 AS BOOLEAN) AS pruned
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                 AND TIMESTAMP '2024-01-12 23:59:59.999999'
+      AND user_id BETWEEN 10 AND 40
+    GROUP BY user_id
+    """,
+)
+def q_snapshot_zorder_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal Z-order pruning (VERDICT r9 #2 — the r9 feature's own
+    driver row): events committed user_id-HASH-distributed, the layout
+    where per-file [min,max] on BOTH query dimensions span the whole
+    domain (every file covers the full month and most user ids — no
+    stats-based skip is possible), then Z-order-rewritten on
+    (ts, user_id). Temporal stats ride the manifest as canonical
+    fixed-width ISO strings (INT64-micros parquet footers →
+    ``_stat_norm``); the scan probes with PYTHON DATETIME bounds through
+    ``snapshot_scan_multi``, exercising the probe-normalization path
+    end-to-end. The driver-checked ``pruned`` flag asserts the scan
+    opened strictly fewer files than the table holds, recomputed here
+    from the manifest with the same intersect rule the scan uses; result
+    values must equal the plain doubly-filtered oracle."""
+    import datetime as _dt
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        _stat_norm,
+        list_versions,
+        snapshot_overwrite,
+        snapshot_scan_multi,
+        snapshot_zorder,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    lo = _dt.datetime(2024, 1, 10)
+    hi = _dt.datetime(2024, 1, 12, 23, 59, 59, 999999)
+    root = tempfile.mkdtemp(prefix="blhs_zorder_time_")
+    try:
+        table = f"{root}/events_z"
+        snapshot_overwrite(
+            ev.repartition(8, "user_id"), table, stats_cols=["ts", "user_id"]
+        )
+        # size the rewrite to ~12 files at ANY fixture SF (a fixed byte
+        # target yields 1 file at sf0.001 — nothing to prune — or
+        # hundreds at sf0.1 — manifest bloat); production would pass a
+        # real 128 MB-class target
+        m0 = _read_manifest(spark, table, list_versions(spark, table)[-1])
+        total_bytes = sum(
+            os.path.getsize(f[5:] if f.startswith("file:") else f)
+            for f in m0["files"]
+            if "://" not in (f[5:] if f.startswith("file:") else f)
+        )
+        snapshot_zorder(
+            spark,
+            table,
+            ["ts", "user_id"],
+            target_file_bytes=max(4_000, total_bytes // 12),
+        )
+        m = _read_manifest(spark, table, list_versions(spark, table)[-1])
+        stats = m.get("file_stats") or {}
+        probes = {"ts": (_stat_norm(lo), _stat_norm(hi)), "user_id": (10, 40)}
+
+        def _may_intersect(f: str) -> bool:
+            for col, (plo, phi) in probes.items():
+                row = stats.get(f, {}).get(col)
+                if row is None:
+                    continue
+                fmin, fmax = row[0], row[1]
+                if fmin is None or not (fmin <= phi and plo <= fmax):
+                    return False
+            return True
+
+        opened = [f for f in m["files"] if _may_intersect(f)]
+        pruned = len(m["files"]) >= 4 and len(opened) < len(m["files"])
+        out = (
+            snapshot_scan_multi(
+                spark, table, {"ts": (lo, hi), "user_id": (10, 40)}
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select("*", F.lit(pruned).alias("pruned"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -416,3 +416,41 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window_topn_per_group). Deterministic tiebreak on c_name because
     per-group LIMIT without a total order is engine-dependent."""
     return _sql(spark, sf_dir, _SQL_LATERAL_TOPN)
+
+
+def _dashboard_catalog_sql() -> str:
+    from bookstore_aws_lakehouse_spark.catalog import DASHBOARD_VIEWS
+
+    parts = [
+        f"SELECT '{name}' AS view_name, CAST(count(*) AS BIGINT) AS n_rows "
+        f"FROM ({sql})"
+        for name, sql in sorted(DASHBOARD_VIEWS.items())
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@golden("dashboard_catalog", _dashboard_catalog_sql())
+def q_dashboard_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-endpoint facade (SURVEY §3.3, VERDICT r9 #8): the reference's
+    four Tableau dashboard queries (`tableau/Tableau-Visualizations.twb`,
+    Custom SQL relations re-issuing `external-table-queries.sql:13-42`)
+    registered as NAMED CATALOG VIEWS (`catalog.register_dashboard_views`)
+    and then consumed the way a BI client would — `spark.sql` against the
+    view names, never the underlying tables. The row per view carries its
+    result cardinality; the four views' full contents are value-verified
+    by their own oracle rows (`sql_top100_books`, `sql_drilldown`, ...) —
+    this row pins the catalog layer itself: names resolve, views execute,
+    cardinalities match the oracle's replay of the same SQL."""
+    import functools
+
+    from bookstore_aws_lakehouse_spark.catalog import register_dashboard_views
+
+    names = register_dashboard_views(spark, sf_dir)
+    counts = [
+        spark.sql(
+            f"SELECT '{name}' AS view_name, CAST(count(*) AS BIGINT) AS n_rows "
+            f"FROM {name}"
+        )
+        for name in sorted(names)
+    ]
+    return functools.reduce(DataFrame.unionAll, counts)

@@ -35,13 +35,20 @@ def test_query_names_nonempty(eng):
 
 
 def test_dashboard_views(spark, sf_smoke):
+    """BI facade (SURVEY §3.3): ALL FOUR dashboard views must resolve and
+    execute through the session catalog via spark.sql — the surface a BI
+    client (Thrift Server in production) would attach to."""
     from bookstore_aws_lakehouse_spark.catalog import register_dashboard_views
 
     names = register_dashboard_views(spark, sf_smoke)
     assert len(names) == 4
-    top = spark.table("dash_top100_books")
-    assert top.count() > 0
+    for name in names:
+        df = spark.sql(f"SELECT * FROM {name}")
+        assert df.columns, name
+        assert df.count() > 0, name
     assert spark.table("dash_top10_countries").count() == 10
+    # re-registration is idempotent (CREATE OR REPLACE)
+    assert register_dashboard_views(spark, sf_smoke) == names
 
 
 def test_ctas_via_sql(spark, sf_smoke):

