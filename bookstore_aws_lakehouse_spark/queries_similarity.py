@@ -114,9 +114,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall measured in tests/test_vector.py). Threshold 0.4 because the
     fixture embeddings are random vectors (max pairwise cosine ≈ 0.51, no
     planted duplicates): a production 0.8 cut would select zero rows and
-    verify nothing."""
+    verify nothing. ``num_planes=None`` auto-sizes the bucket granularity
+    from the corpus count (constant expected occupancy — the near-linear
+    scale path; VERDICT r9 #3); at every fixture SF it resolves to the 4
+    planes the oracle replays."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4)
+    return cosine_pairs(emb, threshold=0.4, num_planes=None)
 
 
 def _lsh_bucket_sql(num_planes: int = 8) -> str:

