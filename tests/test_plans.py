@@ -432,15 +432,41 @@ def test_semantic_dedup_assignment_runs_once(spark, sf_smoke):
     """SemDeDup feeds the cell assignment to three consumers (both
     pair-join sides + the output spine). The |corpus|×|centroids|
     argmax is the dominant cost, so it must be pinned and reused —
-    an eager localCheckpoint (ADVICE r9: GC-scoped blocks, unlike a
-    CacheManager persist that outlives the call) scanned three times as
-    an ExistingRDD — and the in-cell pair scan must be a keyed
-    equi-join, never a cartesian."""
+    a LAZY persist scanned three times as an InMemoryRelation (not a
+    localCheckpoint: ExistingRDD loses the size stats and forces the
+    pair join to sort-merge, measured 3.1×; lazy so the CacheManager's
+    plan-keyed dedup keeps same-corpus invocations on one materialized
+    assignment) — and the in-cell pair scan must be a keyed equi-join,
+    never a cartesian. The ADVICE r9 accumulation leak is bounded by
+    evicting the previous cache when the corpus CHANGES."""
     import re
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        _SEMDEDUP_CACHE,
+        semantic_dedup,
+    )
 
     plan = plan_of(GOLDEN["semantic_dedup"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
-    assert plan.count("Scan ExistingRDD") >= 3
+    assert plan.count("InMemoryTableScan") >= 3
+    # bounded accumulation: a same-corpus re-invocation keeps the ONE
+    # registered cache; a different-corpus invocation evicts and replaces
+    GOLDEN["semantic_dedup"](spark, sf_smoke).collect()
+    assert len(_SEMDEDUP_CACHE) == 1
+    kept = _SEMDEDUP_CACHE[-1]
+    from pyspark.sql import functions as F
+
+    emb2 = (
+        spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+        .limit(40)
+        .select((F.col("vec_id") + 1).alias("vec_id"), "embedding", "label")
+    )
+    cents2 = emb2.limit(2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    semantic_dedup(emb2, cents2, threshold=0.4).collect()
+    assert len(_SEMDEDUP_CACHE) == 1
+    assert _SEMDEDUP_CACHE[-1] is not kept
     # the only nested loop allowed is ivf_assign's deliberate Cross
     # broadcast-centroid scan (inside the cached relation) — the pair
     # join itself is an equi-join on centroid_id, which Spark plans as
