@@ -278,6 +278,10 @@ def main() -> None:
         "snapshot_zorder_prune",
         # r12: SemDeDup — cell-keyed embedding dedup
         "semantic_dedup",
+        # r13: temporal Z-order pruning (datetime-probed scan_multi) and
+        # the BI dashboard-view facade
+        "snapshot_zorder_time_prune",
+        "dashboard_catalog",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
