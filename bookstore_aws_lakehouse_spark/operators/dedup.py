@@ -481,6 +481,98 @@ def simhash_pairs(
     )
 
 
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer, Schwarzschild & Aiken, SIGMOD 2003 — the
+    MOSS fingerprinter): positional k-gram rolling hashes, then the MIN
+    hash of every ``window`` consecutive positions; the distinct minima
+    are the document's fingerprint set (long form: one (id, fp) row per
+    distinct fingerprint).
+
+    Why it exists next to the full shingle index (``_shingle_shared``):
+    winnowing SUBSAMPLES the postings deterministically at expected
+    density 2/(window+1), so the inverted index shrinks ~(window+1)/2×
+    — at 100 TB that is the difference between shuffling every shingle
+    and shuffling a guaranteed-sufficient fraction — while keeping the
+    paper's detection guarantee: any shared token run of length
+    ≥ window + k - 1 between two documents produces ≥ 1 SHARED
+    fingerprint (both windows covering the run select the same minimum).
+    Pinned by tests/test_dedup_properties.py.
+
+    All expressions are JVM higher-order functions over the token array
+    (one projection — no shuffle until the caller aggregates); hashes are
+    the engine's portable md5-60bit, so the DuckDB twin replays the
+    pipeline value-for-value. Docs with fewer than k tokens have no
+    fingerprints; docs with 1 ≤ m < window hashes contribute the single
+    minimum of what they have (the standard short-doc variant)."""
+    from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
+
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    hs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15),
+                16,
+                10,
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    m = F.size(hs)
+    fps = (
+        F.when(
+            m >= window,
+            F.transform(
+                F.sequence(F.lit(1), m - (window - 1)),
+                lambda j: F.array_min(F.slice(hs, j, window)),
+            ),
+        )
+        .when(m >= 1, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def winnowed_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Overlap candidates from winnowed fingerprints: pairs sharing
+    ≥ ``min_shared`` fingerprints, via the same inverted-index self-join
+    shape as the shingle family — but over the ~(window+1)/2× smaller
+    winnowed postings. ``max_df`` drops ubiquitous fingerprints (a
+    stop-phrase minimum) before the join, the hot-key guard."""
+    fps = winnowed_fingerprints(df, id_col, text_col, k, window)
+    if max_df is not None:
+        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        fps = fps.join(counts.filter(F.col("_df") <= max_df), "fp").select(
+            F.col(id_col), "fp"
+        )
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -17,6 +17,7 @@ from bookstore_aws_lakehouse_spark.operators.dedup import (
     jaccard_pairs,
     minhash_band_pairs,
     simhash_pairs,
+    winnowed_pairs,
 )
 from bookstore_aws_lakehouse_spark.registry import golden
 
@@ -463,3 +464,48 @@ def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv_a.unionByName(surv_b).select(
         F.col("batch").cast("int").alias("batch"), "doc_id", "text"
     )
+
+
+_WINNOW_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         [{_H64.format(expr="array_to_string(t[i:i+2], ' ')")}
+          FOR i IN generate_series(1, len(t) - 2)] AS h
+  FROM toks WHERE len(t) >= 3
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(h) >= 4
+                  THEN [list_min(h[j:j+3]) FOR j IN generate_series(1, len(h) - 3)]
+                  ELSE [list_min(h)] END) AS fp
+    FROM hs WHERE len(h) >= 1
+  )
+),
+keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100),
+fpf AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@golden("dedup_winnowed_pairs", _WINNOW_SQL)
+def q_dedup_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003, the MOSS fingerprinter;
+    operators/dedup.py::winnowed_pairs): positional 3-gram rolling
+    hashes, min of every 4-hash window, distinct minima as the doc's
+    fingerprint set — a DETERMINISTIC ~2/(w+1) subsample of the shingle
+    postings that still guarantees detection of any shared run of
+    ≥ window+k-1 = 6 tokens. The inverted-index self-join is therefore
+    ~2.5× smaller than the full-shingle one at the same floor — the
+    100 TB version of the n-gram overlap family. The oracle replays
+    hashing, winnow minima, the df≤100 hot-fingerprint guard and the
+    shared-count threshold value-for-value."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowed_pairs(docs, "doc_id", "text", k=3, window=4, min_shared=2)

@@ -245,3 +245,62 @@ def test_saturated_bucket_cap_splits_mixed_corpus(spark):
     }
     assert capped <= full
     assert (300, 301) in capped
+
+
+def test_winnowing_guarantee_and_mirror(spark):
+    """Winnowing contract (Schleimer et al. 2003): (a) any shared token
+    run of length ≥ window + k - 1 produces ≥ 1 shared fingerprint —
+    both docs' windows covering the run select the same minimum; (b) the
+    Spark pipeline matches an independent pure-Python mirror
+    fingerprint-for-fingerprint; (c) density: winnowed fingerprints are
+    a strict subsample of the positional k-gram hashes."""
+    import hashlib
+    import random
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        winnowed_fingerprints,
+        winnowed_pairs,
+    )
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def mirror(text, k=3, w=4):
+        t = text.split(" ")
+        if len(t) < k:
+            return set()
+        hs = [h64(" ".join(t[i : i + k])) for i in range(len(t) - k + 1)]
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    rng = random.Random(42)
+    docs = [d for d in _mk_corpus(rng, 20) if d[1] is not None]
+    # planted shared run of exactly window + k - 1 = 6 tokens inside
+    # otherwise-disjoint documents
+    run = "aurora borealis shimmers over frozen tundra"
+    docs.append((400, "alpha beta gamma " + run + " delta epsilon"))
+    docs.append((401, "one two three four " + run + " five six seven"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    got = {}
+    for r in winnowed_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, text in docs:
+        assert got.get(i, set()) == mirror(text), i
+    assert got[400] & got[401], "guarantee: 6-token shared run -> shared fp"
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowed_pairs(
+            df, "doc_id", "text", min_shared=1, max_df=None
+        ).collect()
+    }
+    assert (400, 401) in pairs
+    # mirror the pair counts too
+    ids = sorted(got)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            n = len(got[a] & got[b])
+            assert pairs.get((a, b), 0) == n, (a, b)
