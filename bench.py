@@ -278,10 +278,11 @@ def main() -> None:
         "snapshot_zorder_prune",
         # r12: SemDeDup — cell-keyed embedding dedup
         "semantic_dedup",
-        # r13: temporal Z-order pruning (datetime-probed scan_multi) and
-        # the BI dashboard-view facade
+        # r13: temporal Z-order pruning (datetime-probed scan_multi), the
+        # BI dashboard-view facade, and the winnowed overlap index
         "snapshot_zorder_time_prune",
         "dashboard_catalog",
+        "dedup_winnowed_pairs",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
@@ -717,6 +718,10 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
         "ann_ivfpq_residual_multiprobe",
         "embedding_near_dup",
         "semantic_dedup",
+        # r13: winnowing — the subsampled overlap index; postings are a
+        # ~2/(w+1) deterministic sample of the shingle index, so growth
+        # should track (or beat) dedup_ngram_jaccard's
+        "dedup_winnowed_pairs",
     ]
     factor = 10
     tmp = tempfile.mkdtemp(prefix="bench_growth_")
