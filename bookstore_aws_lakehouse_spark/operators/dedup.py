@@ -525,19 +525,28 @@ def winnowed_fingerprints(
             ).cast("bigint"),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    m = F.size(hs)
+    # MATERIALIZE the positional hashes as a column before the window
+    # pass: expression trees inline every reference, so slicing `hs`
+    # inside the per-window lambda would re-run the md5 transform for
+    # EVERY window position — O(positions²) hashing per document
+    # (measured: the 10× corpus ran minutes instead of seconds). A bound
+    # column reference evaluates once per row; Catalyst's CollapseProject
+    # keeps multi-referenced non-cheap projections separate.
+    base = ensure_parallelism(df).select(F.col(id_col), hs.alias("_hs"))
+    hcol = F.col("_hs")
+    m = F.size(hcol)
     fps = (
         F.when(
             m >= window,
             F.transform(
                 F.sequence(F.lit(1), m - (window - 1)),
-                lambda j: F.array_min(F.slice(hs, j, window)),
+                lambda j: F.array_min(F.slice(hcol, j, window)),
             ),
         )
-        .when(m >= 1, F.array(F.array_min(hs)))
+        .when(m >= 1, F.array(F.array_min(hcol)))
         .otherwise(F.array().cast("array<bigint>"))
     )
-    return ensure_parallelism(df).select(
+    return base.select(
         F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
     )
 
