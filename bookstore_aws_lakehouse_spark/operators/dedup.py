@@ -112,16 +112,14 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
-def shingles(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct k-token shingles of a document (array<string>).
-
-    Docs shorter than k tokens have NO shingles: the guard matters because
-    Spark's ``sequence(1, n-k+1)`` auto-descends when the end is below the
-    start (yielding [1,0,-1] → slice(…, 0, …) errors), whereas DuckDB's
-    ``generate_series`` returns empty — the guard pins the empty-list
-    semantic on both engines.
-    """
-    toks = tokenize(text_col)
+def _shingles_of_tokens(toks: Column, k: int) -> Column:
+    """Distinct k-token shingles from a BOUND token-array column. The
+    column must be materialized (projected) by the caller: expression
+    trees inline every reference, so passing a raw ``split(...)``
+    expression here would re-tokenize the document for EVERY shingle
+    position inside the transform lambda — O(positions × tokens) work
+    per document (the winnowing implementation hit the array-sized
+    version of this and ran quadratic; see ``winnowed_fingerprints``)."""
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -132,6 +130,23 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles of a document (array<string>).
+
+    Docs shorter than k tokens have NO shingles: the guard matters because
+    Spark's ``sequence(1, n-k+1)`` auto-descends when the end is below the
+    start (yielding [1,0,-1] → slice(…, 0, …) errors), whereas DuckDB's
+    ``generate_series`` returns empty — the guard pins the empty-list
+    semantic on both engines.
+
+    NOTE: convenience form — it inlines ``tokenize`` into the transform,
+    re-splitting the text per shingle position. Fine for one-off column
+    use; the hot inverted-index paths project the token array first and
+    call ``_shingles_of_tokens`` (see that docstring).
+    """
+    return _shingles_of_tokens(tokenize(text_col), k)
 
 
 #: Mersenne prime 2^31-1: universal-hash modulus; keeps every product
@@ -160,8 +175,15 @@ def _minhash_wide(
     row explosion, one shuffle of (doc, h) rows, map-side combinable."""
     from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
 
-    sh = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), tokenize(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(_shingles_of_tokens(F.col("_toks"), shingle_k)).alias(
+                "shingle"
+            ),
+        )
     )
     hashed = sh.select(F.col(id_col), (md5_hash64(F.col("shingle")) % MINHASH_P).alias("h"))
     mins = []
@@ -267,8 +289,15 @@ def _shingle_shared(
     ~10^-4 — acceptable for candidate generation.)"""
     from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
 
-    sh = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), tokenize(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(_shingles_of_tokens(F.col("_toks"), shingle_k)).alias(
+                "shingle"
+            ),
+        )
     )
     sh = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("shingle_h"))
     if max_df is not None:
@@ -512,7 +541,18 @@ def winnowed_fingerprints(
     minimum of what they have (the standard short-doc variant)."""
     from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
 
-    toks = tokenize(text_col)
+    # MATERIALIZE each intermediate array (_toks, then _hs) as a column
+    # before the pass that slices it: expression trees inline every
+    # reference, so slicing a raw transform/split expression inside a
+    # lambda re-runs it for EVERY position — O(positions²) work per
+    # document (measured: the 10× corpus ran minutes instead of seconds
+    # before the _hs projection). Bound references evaluate once per
+    # row; Catalyst's CollapseProject keeps multi-referenced non-cheap
+    # projections separate.
+    tok_base = ensure_parallelism(df).select(
+        F.col(id_col), tokenize(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     hs = F.when(
         n >= k,
@@ -525,14 +565,7 @@ def winnowed_fingerprints(
             ).cast("bigint"),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    # MATERIALIZE the positional hashes as a column before the window
-    # pass: expression trees inline every reference, so slicing `hs`
-    # inside the per-window lambda would re-run the md5 transform for
-    # EVERY window position — O(positions²) hashing per document
-    # (measured: the 10× corpus ran minutes instead of seconds). A bound
-    # column reference evaluates once per row; Catalyst's CollapseProject
-    # keeps multi-referenced non-cheap projections separate.
-    base = ensure_parallelism(df).select(F.col(id_col), hs.alias("_hs"))
+    base = tok_base.select(F.col(id_col), hs.alias("_hs"))
     hcol = F.col("_hs")
     m = F.size(hcol)
     fps = (

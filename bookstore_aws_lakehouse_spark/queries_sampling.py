@@ -150,13 +150,22 @@ def q_dataset_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles with ANY train document are flagged as contaminated
     (benchmark-leakage detection). Same inverted-index shape as the dedup
     family — the shingle join prunes everything that cannot leak."""
-    from bookstore_aws_lakehouse_spark.operators.dedup import shingles
+    from bookstore_aws_lakehouse_spark.operators.dedup import _shingles_of_tokens
+    from bookstore_aws_lakehouse_spark.operators.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     split = train_test_split(docs, "doc_id", test_fraction=0.2)
-    sh = split.select(
-        "doc_id", "split", F.explode(shingles("text", 3)).alias("shingle")
-    ).distinct()
+    sh = (
+        # project the token array first — see _shingles_of_tokens: an
+        # inlined split would re-tokenize per shingle position
+        split.select("doc_id", "split", tokenize("text").alias("_toks"))
+        .select(
+            "doc_id",
+            "split",
+            F.explode(_shingles_of_tokens(F.col("_toks"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
     te = sh.filter(F.col("split") == "test").select(
         F.col("doc_id"), F.col("shingle")
     )
