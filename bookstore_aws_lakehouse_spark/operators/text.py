@@ -84,18 +84,22 @@ def with_quality_features(
 ) -> DataFrame:
     """Quality-scoring features: token count, mean token length, stopword
     ratio, distinct-token ratio (repetition detector). All derivable from
-    one Project — no shuffle, fully codegen'd."""
-    toks = tokenize(text_col)
-    n = F.size(toks)
-    return df.withColumns(
+    one map stage — no shuffle, fully codegen'd. The token array and its
+    size are materialized once (expression references inline — unstaged,
+    every feature re-tokenized the document; the r10 winnowing lesson)."""
+    staged = df.withColumn("_toks", tokenize(text_col)).withColumn(
+        "_n", F.size("_toks")
+    )
+    n = F.col("_n")
+    return staged.withColumns(
         {
             "n_tokens": n,
             # tokens are single-space separated: chars = len - (n-1) spaces
             "mean_token_len": (F.length(text_col) - (n - 1)) / n,
             "stopword_ratio": stopword_count(text_col, stopwords) / n,
-            "distinct_ratio": F.size(F.array_distinct(toks)) / n,
+            "distinct_ratio": F.size(F.array_distinct(F.col("_toks"))) / n,
         }
-    )
+    ).drop("_toks", "_n")
 
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:
@@ -127,8 +131,15 @@ def with_repetition_signals(
     Per-row higher-order expressions only — the top-frequency scan is
     O(distinct × total) per DOCUMENT (bounded by doc length, independent
     of corpus size), and nothing shuffles: at 100 TB this is one map
-    stage like every other quality feature."""
-    grams = word_ngrams(text_col, n)
+    stage like every other quality feature.
+
+    The n-gram array is MATERIALIZED as a column before the scan:
+    expression trees inline every reference, so `filter(grams, ...)`
+    inside the per-distinct lambda would otherwise re-tokenize and
+    re-zip the document for every distinct n-gram — same asymptotics,
+    a needless ~3× constant (the r10 winnowing lesson)."""
+    staged = df.withColumn("_grams", word_ngrams(text_col, n))
+    grams = F.col("_grams")
     total = F.size(grams)
     distinct = F.array_distinct(grams)
     top = F.array_max(
@@ -137,21 +148,23 @@ def with_repetition_signals(
         )
     )
     safe_total = F.nullif(total.cast("double"), F.lit(0.0))
-    return df.withColumns(
+    return staged.withColumns(
         {
             "n_ngrams": total,
             "dup_ngram_frac": (total - F.size(distinct)) / safe_total,
             "top_ngram_frac": top / safe_total,
         }
-    )
+    ).drop("_grams")
 
 
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count marker-token hits per language, take the
     argmax (deterministic tie order = LANG_MARKERS insertion order), fall
-    back to 'unknown' when nothing matches."""
-    toks = tokenize(text_col)
-    out = df
+    back to 'unknown' when nothing matches. Tokenizes once into a staged
+    column — per-language filters over an inlined split would re-tokenize
+    the document |languages| times (the r10 winnowing lesson)."""
+    toks = F.col("_lang_toks")
+    out = df.withColumn("_lang_toks", tokenize(text_col))
     for lang, markers in LANG_MARKERS.items():
         out = out.withColumn(
             f"_hits_{lang}", F.size(F.filter(toks, lambda t: t.isin(list(markers))))
@@ -168,7 +181,7 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
             (best > 0) & (F.col(f"_hits_{lang}") == best), F.lit(lang)
         ).otherwise(guess)
     return out.withColumn("lang_guess", guess).drop(
-        *[f"_hits_{lang}" for lang in LANG_MARKERS]
+        "_lang_toks", *[f"_hits_{lang}" for lang in LANG_MARKERS]
     )
 
 
@@ -201,11 +214,18 @@ def embed_documents_stub(
     if dim & (dim - 1) != 0:
         raise ValueError("dim must be a power of two (sign bit is h >> log2(dim))")
     shift = dim.bit_length() - 1
-    # hash each token ONCE into an array, then fold the precomputed
-    # hashes per dimension — the inlined alternative evaluates md5+conv
-    # 2·dim times per token (32× the work at dim=16) and builds the kind
-    # of giant codegen tree that costs more than the data
-    toks_h = F.transform(tokenize(text_col), lambda t: md5_hash64(t))
+    # hash each token ONCE into a MATERIALIZED column, then fold the
+    # precomputed hashes per dimension. Both halves matter: the inlined
+    # per-dimension alternative evaluates md5+conv 2·dim times per token
+    # (32× at dim=16) and builds a giant codegen tree; and because
+    # expression trees inline every REFERENCE, using the transform
+    # expression directly in the `dim` aggregates below would re-hash all
+    # tokens once per dimension anyway (the r10 winnowing lesson) — the
+    # projection is what makes "hash once" actually true.
+    staged = df.withColumn(
+        "_toks_h", F.transform(tokenize(text_col), lambda t: md5_hash64(t))
+    )
+    toks_h = F.col("_toks_h")
     components = []
     for d in range(dim):
         # Σ over tokens hashing to dimension d: sign = the next hash bit
@@ -220,7 +240,7 @@ def embed_documents_stub(
             ).otherwise(0),
         )
         components.append((contrib / EMBED_SCALE).cast("float"))
-    return df.withColumn("embedding", F.array(*components))
+    return staged.withColumn("embedding", F.array(*components)).drop("_toks_h")
 
 
 def remove_repeated_passages(
@@ -261,11 +281,14 @@ def remove_repeated_passages(
     chunk = F.array_join(
         F.slice(F.col("_toks"), F.col("_b") * block + 1, block), " "
     )
+    # two-step select so the block join+slice runs once per row — md5
+    # hashes the BOUND column, not a second inlined copy of the slice
     chunks = e.select(
         F.col(id_col),
         F.col("_b").cast("int").alias("_b"),
         chunk.alias("_chunk"),
-        F.md5(chunk).alias("_chunk_md5"),
+    ).select(
+        id_col, "_b", "_chunk", F.md5(F.col("_chunk")).alias("_chunk_md5")
     )
     dfreq = chunks.groupBy("_chunk_md5").agg(
         F.count_distinct(id_col).alias("_nd")
