@@ -304,3 +304,55 @@ def test_winnowing_guarantee_and_mirror(spark):
             a, b = ids[x], ids[y]
             n = len(got[a] & got[b])
             assert pairs.get((a, b), 0) == n, (a, b)
+
+
+def test_cap_invariants_randomized(spark):
+    """Randomized sweep of the saturated-bucket cap invariants across
+    corpora and cap sizes (hypothesis-style, but seeded loops — each
+    example costs two Spark jobs, so a small deterministic matrix beats
+    hypothesis' default example count):
+
+    1. capped result ⊆ uncapped result (the split only removes
+       candidates, never invents pairs);
+    2. every exact-duplicate (hamming-0 / all-bands) pair survives ANY
+       cap — identical signatures share every subkey by construction;
+    3. max_bucket=None reproduces the uncapped result exactly.
+    """
+    import random
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        minhash_band_pairs,
+        simhash_pairs,
+    )
+
+    for seed, cap in [(1, 1), (2, 3), (3, 7)]:
+        rng = random.Random(seed)
+        docs = [d for d in _mk_corpus(rng, 18) if d[1] is not None]
+        # planted exact-duplicate family (3 copies)
+        dup = " ".join(rng.choices(VOCAB, k=10))
+        docs += [(500, dup), (501, dup), (502, dup)]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(df, "doc_id", "text", max_bucket=None).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(df, "doc_id", "text", max_bucket=cap).collect()
+        }
+        assert capped <= full, (seed, cap)
+        for pair in [(500, 501), (500, 502), (501, 502)]:
+            assert pair in capped, (seed, cap, pair)
+
+        mh_full = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_band_pairs(df, "doc_id", "text", max_bucket=None).collect()
+        }
+        mh_capped = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_band_pairs(df, "doc_id", "text", max_bucket=cap).collect()
+        }
+        assert mh_capped <= mh_full, (seed, cap)
+        for pair in [(500, 501), (500, 502), (501, 502)]:
+            assert pair in mh_capped, (seed, cap, pair)
