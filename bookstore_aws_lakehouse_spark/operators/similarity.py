@@ -629,17 +629,18 @@ def vector_residuals(
     coarse centroid and subtract it — ``r = x − c(x)`` — the transform
     that makes PQ codebooks dramatically tighter (residuals cluster
     around the origin instead of spreading across cells; Jégou et al.'s
-    IVFADC). One broadcast-centroid assignment + one map-side zip_with;
-    output (id, centroid_id, vec_col=residual as array<double>)."""
-    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
+    IVFADC). ``keep_vec=True`` carries the vector THROUGH the argmax, so
+    the subtraction is one broadcast join + map-side zip_with — the old
+    form re-joined the corpus to its own assignment on ``id_col``, a
+    corpus-sized shuffle of BOTH sides that existed only to fetch a
+    payload the assignment already had (r10). Output:
+    (id, centroid_id, vec_col=residual as array<double>)."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col, keep_vec=True)
     cent = centroids.select(
         "centroid_id", F.col(vec_col).cast("array<double>").alias("_cv")
     )
     return (
-        df.join(assigned, id_col)
-        .join(F.broadcast(cent), "centroid_id")
+        assigned.join(F.broadcast(cent), "centroid_id")
         .select(
             id_col,
             "centroid_id",
@@ -682,7 +683,16 @@ def ivfpq_residual_search(
     Output: (query_id, ``id_col``, adc, rank), rank 1..k by adc asc."""
     from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
 
-    res = vector_residuals(corpus, coarse_centroids, id_col, vec_col)
+    # pin the corpus residuals: they feed the PQ codes AND the cell map
+    # (plus the seed filter), and unpinned, the |corpus|x|centroids|
+    # coarse argmax re-executes per consumer. Downstream joins broadcast
+    # their small sides EXPLICITLY, so the ExistingRDD's missing stats
+    # change no plan. A production deployment materializes the index
+    # (residual codes + cells) to a table once and searches from that --
+    # this in-call pin is the query-sized analog (r10).
+    res = vector_residuals(corpus, coarse_centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     # the seed residuals and query residuals are TINY (n_seeds and
     # |queries| rows) but each textual reuse would re-derive the full
     # corpus assignment — pin them, exactly as a real ANN system
@@ -764,7 +774,16 @@ def ivfpq_residual_multiprobe(
     from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
 
     d = dim // m
-    res = vector_residuals(corpus, coarse_centroids, id_col, vec_col)
+    # pin the corpus residuals: they feed the PQ codes AND the cell map
+    # (plus the seed filter), and unpinned, the |corpus|x|centroids|
+    # coarse argmax re-executes per consumer. Downstream joins broadcast
+    # their small sides EXPLICITLY, so the ExistingRDD's missing stats
+    # change no plan. A production deployment materializes the index
+    # (residual codes + cells) to a table once and searches from that --
+    # this in-call pin is the query-sized analog (r10).
+    res = vector_residuals(corpus, coarse_centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     seeds = (
         res.filter(F.col(id_col) < n_seeds)
         .select(id_col, vec_col)
