@@ -384,11 +384,12 @@ def ivf_search(
         tiebreak=["centroid_id"],
         rank_name="_pn",
     ).select("query_id", "query_vec", "_qn", "centroid_id")
-    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
-    ).join(
-        corpus.select(F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_cn")),
-        id_col,
+    # keep_vec carries the vector THROUGH the assignment argmax — the old
+    # form re-joined the corpus to its own assignment on id, a
+    # corpus-sized shuffle of both sides just to fetch a payload the
+    # assignment already had (r10, same fix as vector_residuals)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, keep_vec=True).select(
+        id_col, "centroid_id", F.col(vec_col), l2_norm(F.col(vec_col)).alias("_cn")
     )
     scored = (
         cells.join(F.broadcast(probes), "centroid_id")
