@@ -2867,7 +2867,9 @@ def q_snapshot_zorder_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     values must equal the plain doubly-filtered oracle."""
     import datetime as _dt
     import shutil
+    import time as _time
 
+    from bookstore_aws_lakehouse_spark.queries_streaming import PHASE_TIMINGS
     from bookstore_aws_lakehouse_spark.sources.snapshots import (
         _read_manifest,
         _stat_norm,
@@ -2885,6 +2887,7 @@ def q_snapshot_zorder_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="blhs_zorder_time_")
     try:
         table = f"{root}/events_z"
+        t0 = _time.monotonic()
         snapshot_overwrite(
             ev.repartition(8, "user_id"), table, stats_cols=["ts", "user_id"]
         )
@@ -2898,12 +2901,14 @@ def q_snapshot_zorder_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in m0["files"]
             if "://" not in (f[5:] if f.startswith("file:") else f)
         )
+        t1 = _time.monotonic()
         snapshot_zorder(
             spark,
             table,
             ["ts", "user_id"],
             target_file_bytes=max(4_000, total_bytes // 12),
         )
+        t2 = _time.monotonic()
         m = _read_manifest(spark, table, list_versions(spark, table)[-1])
         stats = m.get("file_stats") or {}
         probes = {"ts": (_stat_norm(lo), _stat_norm(hi)), "user_id": (10, 40)}
@@ -2933,6 +2938,12 @@ def q_snapshot_zorder_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("*", F.lit(pruned).alias("pruned"))
         )
-        return out.localCheckpoint(eager=True)
+        res = out.localCheckpoint(eager=True)
+        PHASE_TIMINGS["snapshot_zorder_time_prune"] = {
+            "build_s": round(t1 - t0, 3),
+            "zorder_s": round(t2 - t1, 3),
+            "scan_s": round(_time.monotonic() - t2, 3),
+        }
+        return res
     finally:
         shutil.rmtree(root, ignore_errors=True)
