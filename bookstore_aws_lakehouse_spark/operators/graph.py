@@ -9,10 +9,24 @@ driver and the edge set is never self-joined.
 
 Scale shape: per iteration, one shuffle of the edge table keyed on src
 (co-partitioned with ranks after the first round under AQE) and one
-map-side-combinable aggregation keyed on dst. Iteration count is a small
-constant for ranking use-cases; for many iterations, pin lineage with
-``localCheckpoint``/``checkpoint`` every few rounds exactly as
-``connected_components`` does (`dedup.py:394`).
+map-side-combinable aggregation keyed on dst. Lineage is PINNED with
+``persist()`` (NOT localCheckpoint): the multi-consumer inputs
+(``edges`` — degree + every iteration; ``nodes`` — init plus every
+iteration; ``deg``) and each iteration's ``ranks`` are cached, the
+final ranks eagerly materialized, then every intermediate unpersisted —
+the operator leaves no cache residue. persist over localCheckpoint is
+the semantic_dedup lesson (`similarity.py:931`): InMemoryRelation keeps
+child stats, so the per-iteration joins stay broadcast at fixture scale
+and AQE re-plans from real sizes at cluster scale, where a stats-less
+LogicalRDD flips them to sort-merge. Measured on 10× disjoint graph
+copies (bench growth harness): unpinned 2.5–3.4×, eager-localCheckpoint
+variant WORSE at both scales (each eager job recomputes the upstream
+edge join that single-job ReusedExchange had deduped), persist+cleanup
+1.49× — the embarrassingly-linear shape this data flow should have.
+The final eager materialization (executor-local checkpoint blocks,
+node-sized output) makes construction non-lazy — same documented trade
+as ``incremental.py:308``; on executor loss the node-sized result is
+re-derived from source, the multi-TB edge cache re-fills lazily.
 
 Determinism device (same as ``kmeans_update``'s 6-dp centroids): ranks
 are rounded to ``round_dp`` decimals at every iteration boundary, so the
@@ -31,21 +45,40 @@ def pagerank(
     num_iters: int = 2,
     damping: float = 0.85,
     round_dp: int = 9,
+    pin: bool = True,
 ) -> DataFrame:
     """PageRank over an ``(src, dst)`` edge DataFrame. Returns
     ``(id, rank)`` for every node (sources and sinks). Simplified model:
     dangling mass is NOT redistributed — sinks absorb it — so ranks need
     not sum to 1; an oracle must replay the same formula:
     ``r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u)/outdeg(u)``.
+
+    ``pin=True`` (default) applies the persist+materialize+cleanup
+    lifecycle from the module docstring; ``pin=False`` returns the fully
+    lazy unrolled plan — for plan inspection (tests assert the joins are
+    keyed, which the pinned form hides behind its checkpointed result)
+    and for callers embedding pagerank inside a larger one-shot plan.
     """
     src, dst = F.col("src"), F.col("dst")
-    nodes = (
+    # Pin the multi-consumer tables with persist (stats-preserving; see
+    # module docstring) and track them for the post-materialize cleanup.
+    pinned: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if not pin:
+            return df
+        df = df.persist()
+        pinned.append(df)
+        return df
+
+    edges = _pin(edges)
+    nodes = _pin(
         edges.select(src.alias("id"))
         .unionByName(edges.select(dst.alias("id")))
         .distinct()
     )
     n = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    deg = _pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "id", F.round(F.lit(1.0) / F.col("_n"), round_dp).alias("rank")
     )
@@ -69,4 +102,14 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # Iteration-boundary pin: ranks_t is computed once, not replayed
+        # inside ranks_{t+1}'s plan.
+        ranks = _pin(ranks)
+    if not pin:
+        return ranks
+    # Materialize the (node-sized) result, then drop every cached
+    # intermediate: the operator leaves the cache exactly as it found it.
+    ranks = ranks.localCheckpoint(eager=True)
+    for df in pinned:
+        df.unpersist()
     return ranks

@@ -449,11 +449,32 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram language-model score per document — the
     fluency/quality signal real curation pipelines compute with a small
     LM: avg log P(w_i | w_{i-1}) where P = c(w1 w2)/c(w1·) from the corpus
-    itself. Shape: one explode, two count aggregates joined back (bigram
-    table is corpus-statistics-sized, no broadcast hint — AQE decides),
-    one per-doc aggregate. Rounded to 6 dp: ln() and avg() accumulate in
-    partition order (same documented tolerance as the stats aggregates).
-    Docs with <2 tokens have no bigrams and drop out (no rows)."""
+    itself.
+
+    Scale shape (r11 rewrite; the naive per-occurrence form measured
+    4.39× wall-time at 10× data):
+    - Occurrences collapse to per-(doc_id, bigram) counts ``k`` FIRST —
+      a map-side-combinable aggregate whose shuffle key includes doc_id,
+      so Zipf-hot bigrams ("of the") spread across documents instead of
+      landing on one reducer. Every downstream join moves this collapsed
+      table, never the per-occurrence stream, and log P(bigram) is
+      computed once per (doc, bigram) and weighted by ``k`` — identical
+      math (avg over k copies of x == Σk·x/Σk), far fewer rows.
+    - ``db`` and ``c2`` are PINNED with persist (stats-preserving, the
+      semantic_dedup lesson — a stats-less LogicalRDD flips the score
+      joins to sort-merge at 10×): db feeds the corpus counts and the
+      score join; c2 feeds c1 and the score join. The per-doc result is
+      eagerly materialized and the pins dropped before returning, so the
+      query leaves no cache residue. Measured variants (min-of-5, sf0.1
+      → 10×): unpinned restructure 2.6×, eager-localCheckpoint 2.1–2.3×,
+      persist+cleanup 1.2–1.7× with the best absolute 10× time.
+    - ``c1`` (unigram continuation counts) derives from ``c2`` — an
+      aggregate-sized input instead of a third corpus scan — and is
+      vocab-sized, so the score join BROADCASTS it: no shuffle keyed on
+      raw Zipf-hot unigram strings.
+    Rounded to 6 dp: ln() and the weighted sum accumulate in partition
+    order (same documented tolerance as the stats aggregates). Docs with
+    <2 tokens have no bigrams and drop out (no rows)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     big = (
@@ -471,22 +492,30 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram"),
         )
     )
-    c2 = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    db = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k")).persist()
+    c2 = db.groupBy("bigram").agg(F.sum("k").alias("c12")).persist()
     c1 = (
-        big.select(F.split("bigram", " ")[0].alias("w1"))
+        c2.select(F.split("bigram", " ")[0].alias("w1"), "c12")
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("cw1"))
+        .agg(F.sum("c12").alias("cw1"))
     )
-    return (
-        big.join(c2, "bigram")
+    out = (
+        db.join(c2, "bigram")
         .withColumn("w1", F.split("bigram", " ")[0])
-        .join(c1, "w1")
+        .join(F.broadcast(c1), "w1")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(F.col("c12") / F.col("cw1"))), 6).alias("avg_logprob"),
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * F.log(F.col("c12") / F.col("cw1"))) / F.sum("k"),
+                6,
+            ).alias("avg_logprob"),
         )
+        .localCheckpoint(eager=True)
     )
+    db.unpersist()
+    c2.unpersist()
+    return out
 
 
 @golden(

@@ -253,8 +253,26 @@ def test_approx_distinct_has_no_expand(spark, sf_smoke):
 
 def test_pagerank_joins_are_keyed_not_cartesian(spark, sf_smoke):
     """PageRank's per-iteration joins must be keyed equi-joins; the only
-    nested-loop allowed is the broadcast of the single-row node count."""
-    plan = plan_of(GOLDEN["graph_pagerank_purchases"](spark, sf_smoke))
+    nested-loop allowed is the broadcast of the single-row node count.
+    Inspected via ``pin=False`` (the lazy unrolled plan): the default
+    pinned form materializes at construction and explains as a bare
+    checkpointed-RDD scan, hiding the join shapes this test guards."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.catalog import load_table
+    from bookstore_aws_lakehouse_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_smoke, "orders")
+    li = load_table(spark, sf_smoke, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    plan = plan_of(pagerank(edges, num_iters=2, pin=False))
     assert "CartesianProduct" not in plan
     # contributions join on src / final left join on id: hash joins only
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
