@@ -805,6 +805,16 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
                 best = min(best, time.monotonic() - t0)
             return best
 
+        # candidate-volume counters (VERDICT r10 #4): count AFTER timing —
+        # a separate untimed job per scale — so a 3-4x time ratio can be
+        # attributed to inherent pair growth vs shuffle inefficiency
+        try:
+            from bookstore_aws_lakehouse_spark.instrumentation import (
+                GROWTH_CANDIDATE_COUNTERS,
+            )
+        except ImportError:
+            GROWTH_CANDIDATE_COUNTERS = {}
+
         out = {"factor": factor, "queries": {}}
         for name in names:
             if name not in GOLDEN:
@@ -814,12 +824,24 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
             # measured under co-tenant load is otherwise un-adjudicable
             base = timed_min(name, sf_dir)
             big = timed_min(name, tmp)
-            out["queries"][name] = {
+            entry = {
                 "base_s": round(base, 3),
                 "x10_s": round(big, 3),
                 "ratio": round(big / base, 2) if base > 0 else None,
                 "ext_busy": meter.window(),
             }
+            counter = GROWTH_CANDIDATE_COUNTERS.get(name)
+            if counter is not None:
+                try:
+                    cb = counter(spark, sf_dir)
+                    cx = counter(spark, tmp)
+                    entry["candidates_base"] = cb
+                    entry["candidates_x10"] = cx
+                    entry["candidate_ratio"] = round(cx / cb, 2) if cb else None
+                except Exception as exc:  # diagnostic only — never fail bench
+                    entry["candidates_error"] = f"{type(exc).__name__}: {exc}"[:200]
+                meter.window()  # counting jobs are outside every window
+            out["queries"][name] = entry
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

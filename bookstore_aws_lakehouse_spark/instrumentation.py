@@ -1,0 +1,161 @@
+"""Candidate-volume instrumentation for the bench growth harness
+(VERDICT r10 #4).
+
+The dedup/winnow/ANN growth rows bound their worst case by construction
+(bucket caps, ``max_df`` guards, auto-granularity), but a measured 3–4×
+wall-time ratio at 10× data is un-adjudicable from time alone: it could
+be inherent candidate-pair growth (the workload genuinely has more
+near-duplicate structure per row) or shuffle inefficiency (the plan
+degrades). These counters compute ``n_candidates`` — the pre-threshold
+pair count of each row's index stage — so the growth section can record
+both and the ratio of ratios attributes the cost.
+
+Each counter mirrors its golden query's literals exactly (cited per
+entry); ``tests/test_instrumentation.py`` pins the superset contract
+(candidates ⊇ the query's emitted pairs) so parameter drift between a
+query and its counter fails loudly instead of mismeasuring.
+
+Counting runs are SEPARATE Spark jobs from the timed runs — the growth
+section times first, counts after, so instrumentation never pollutes the
+wall-time it explains.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    # the IVF-family seeding rule shared by queries_similarity.py
+    # (q_semantic_dedup / q_ann_ivfpq_residual_multiprobe)
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+
+def _n_minhash(spark: SparkSession, sf_dir: str) -> int:
+    # q_dedup_minhash_pairs emits its candidate set directly (banding has
+    # no similarity threshold) — candidates == output pairs
+    from bookstore_aws_lakehouse_spark.operators.dedup import minhash_band_pairs
+
+    return minhash_band_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", num_hashes=8, band_rows=2, shingle_k=3
+    ).count()
+
+
+def _n_shingle(spark: SparkSession, sf_dir: str) -> int:
+    # shared index stage of q_dedup_ngram_jaccard (threshold=0.1) and
+    # q_dedup_containment_pairs (threshold=0.5): both cut the same
+    # shingle_k=3 / max_df=100 candidate table
+    from bookstore_aws_lakehouse_spark.operators.dedup import shingle_candidates
+
+    return shingle_candidates(
+        _docs(spark, sf_dir), "doc_id", "text", shingle_k=3, max_df=100
+    ).count()
+
+
+def _n_simhash(spark: SparkSession, sf_dir: str) -> int:
+    # q_dedup_simhash_pairs pre-Hamming candidates (max_hamming=3)
+    from bookstore_aws_lakehouse_spark.operators.dedup import simhash_candidates
+
+    return simhash_candidates(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    ).count()
+
+
+def _n_winnowed(spark: SparkSession, sf_dir: str) -> int:
+    # q_dedup_winnowed_pairs pre-min_shared candidates (k=3, window=4)
+    from bookstore_aws_lakehouse_spark.operators.dedup import winnowed_candidates
+
+    return winnowed_candidates(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, window=4, max_df=100
+    ).count()
+
+
+def _n_near_dup(spark: SparkSession, sf_dir: str) -> int:
+    # q_embedding_near_dup pre-cosine candidates: num_planes=None resolves
+    # via _auto_planes exactly as cosine_pairs does
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        _auto_planes,
+        lsh_candidate_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return lsh_candidate_pairs(
+        emb, "vec_id", "embedding", num_planes=_auto_planes(emb.count())
+    ).count()
+
+
+def _n_semantic(spark: SparkSession, sf_dir: str) -> int:
+    # q_semantic_dedup's in-cell pair volume: Σ_cell C(|cell|, 2) from the
+    # same ivf_assign the operator runs (auto_granularity mirrors the
+    # operator's default; see semantic_dedup)
+    from bookstore_aws_lakehouse_spark.operators.similarity import ivf_assign
+
+    emb = _emb(spark, sf_dir)
+    cells = ivf_assign(
+        emb.filter(F.col("embedding").isNotNull()),
+        _centroids(emb),
+        "vec_id",
+        "embedding",
+    )
+    row = (
+        cells.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+        .collect()[0]
+    )
+    return int(row["pairs"] or 0)
+
+
+def _n_multiprobe(spark: SparkSession, sf_dir: str) -> int:
+    # q_ann_ivfpq_residual_multiprobe's scored candidates: corpus cells
+    # joined to each query's nprobe=2 probed cells, self-matches excluded
+    # — the `cand` table of ivfpq_residual_multiprobe
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        coarse_probe_cells,
+        ivf_assign,
+    )
+    from bookstore_aws_lakehouse_spark.queries_similarity import N_QUERIES
+
+    emb = _emb(spark, sf_dir)
+    centroids = _centroids(emb)
+    cells = ivf_assign(emb, centroids, "vec_id", "embedding").select(
+        "vec_id", "centroid_id"
+    )
+    probes = coarse_probe_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES), centroids, nprobe=2
+    ).select("query_id", "centroid_id")
+    return (
+        cells.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .count()
+    )
+
+
+#: growth-row name → candidate counter. Keys must match bench.py's
+#: _growth_section names; rows absent here (iterative/agg shapes whose
+#: cost isn't candidate-driven) simply record no candidate fields.
+GROWTH_CANDIDATE_COUNTERS: dict[str, Callable[[SparkSession, str], int]] = {
+    "dedup_minhash_pairs": _n_minhash,
+    "dedup_ngram_jaccard": _n_shingle,
+    "dedup_containment_pairs": _n_shingle,
+    "dedup_simhash_pairs": _n_simhash,
+    "dedup_winnowed_pairs": _n_winnowed,
+    "embedding_near_dup": _n_near_dup,
+    "semantic_dedup": _n_semantic,
+    "ann_ivfpq_residual_multiprobe": _n_multiprobe,
+}

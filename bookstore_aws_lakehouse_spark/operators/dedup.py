@@ -317,6 +317,22 @@ def _shingle_shared(
     return shared, sizes
 
 
+def shingle_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Pre-threshold candidate stage shared by ``jaccard_pairs`` and
+    ``containment_pairs``: unordered (id_a, id_b, n_shared) pairs sharing
+    ≥ 1 stop-filtered shingle — the inverted-index self-join output
+    before any similarity cut. Public for the growth harness's
+    candidate-volume instrumentation (VERDICT r10 #4)."""
+    shared, _ = _shingle_shared(df, id_col, text_col, shingle_k, max_df)
+    return shared
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -434,29 +450,19 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agged.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(
+def simhash_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
     max_bucket: int | None = 100_000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``, via
-    pigeonhole chunk banding: split the signature into ``max_hamming + 1``
-    bit chunks — any pair within distance d differs in ≤ d chunks, so it
-    agrees EXACTLY on ≥ 1 chunk. Equi-join on (chunk, chunk_val) generates
-    candidates (an inverted index, like MinHash bands), then the exact
-    Hamming filter verifies. Result-identical to the all-pairs scan, but
-    the shuffle is keyed on short chunk values — no cartesian anywhere.
-
-    With 60-bit signatures the 4 chunks are 15 bits wide (32,768 values),
-    so expected bucket occupancy is N/32768 — near-linear candidate
-    volume until corpora approach that key space. ``max_bucket`` is the
-    backstop past that point: buckets over the cap are split on 8
-    low bits of the NEIGHBORING chunk (bits the bucket's own key never
-    sees — identical signatures share them, so exact dups survive; see
-    ``_cap_saturated_buckets`` for the recall contract). Defaults never
-    trigger below ~10⁵ docs per bucket; ``max_bucket=None`` opts out."""
+    """Pre-verification candidate stage of ``simhash_pairs``: the distinct
+    (id_a, id_b, sig_a, sig_b) pairs the pigeonhole chunk index generates,
+    BEFORE the exact Hamming filter. Public so the growth harness can
+    measure candidate volume separately from verified-pair volume
+    (VERDICT r10 #4) — a superlinear wall-time ratio is only a defect
+    when candidate volume stayed linear."""
     sig = simhash_signatures(df, id_col, text_col)
     n_chunks = max_hamming + 1
     base = SIMHASH_BITS // n_chunks
@@ -495,7 +501,7 @@ def simhash_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
         "chunk", "chunk_val", "gkey",
     )
-    cand = (
+    return (
         a.join(b, on=["chunk", "chunk_val", "gkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         # a pair can agree on several chunks → appears once per agreeing
@@ -503,6 +509,33 @@ def simhash_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``, via
+    pigeonhole chunk banding: split the signature into ``max_hamming + 1``
+    bit chunks — any pair within distance d differs in ≤ d chunks, so it
+    agrees EXACTLY on ≥ 1 chunk. Equi-join on (chunk, chunk_val) generates
+    candidates (an inverted index, like MinHash bands; see
+    ``simhash_candidates``), then the exact Hamming filter verifies.
+    Result-identical to the all-pairs scan, but the shuffle is keyed on
+    short chunk values — no cartesian anywhere.
+
+    With 60-bit signatures the 4 chunks are 15 bits wide (32,768 values),
+    so expected bucket occupancy is N/32768 — near-linear candidate
+    volume until corpora approach that key space. ``max_bucket`` is the
+    backstop past that point: buckets over the cap are split on 8
+    low bits of the NEIGHBORING chunk (bits the bucket's own key never
+    sees — identical signatures share them, so exact dups survive; see
+    ``_cap_saturated_buckets`` for the recall contract). Defaults never
+    trigger below ~10⁵ docs per bucket; ``max_bucket=None`` opts out."""
+    cand = simhash_candidates(df, id_col, text_col, max_hamming, max_bucket)
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -584,6 +617,34 @@ def winnowed_fingerprints(
     )
 
 
+def winnowed_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Pre-threshold candidate stage of ``winnowed_pairs``: every pair
+    sharing ≥ 1 winnowed fingerprint, with its shared count — before the
+    ``min_shared`` cut. Public for the growth harness's candidate-volume
+    instrumentation (VERDICT r10 #4)."""
+    fps = winnowed_fingerprints(df, id_col, text_col, k, window)
+    if max_df is not None:
+        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        fps = fps.join(counts.filter(F.col("_df") <= max_df), "fp").select(
+            F.col(id_col), "fp"
+        )
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def winnowed_pairs(
     df: DataFrame,
     id_col: str,
@@ -598,20 +659,8 @@ def winnowed_pairs(
     shape as the shingle family — but over the ~(window+1)/2× smaller
     winnowed postings. ``max_df`` drops ubiquitous fingerprints (a
     stop-phrase minimum) before the join, the hot-key guard."""
-    fps = winnowed_fingerprints(df, id_col, text_col, k, window)
-    if max_df is not None:
-        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
-        fps = fps.join(counts.filter(F.col("_df") <= max_df), "fp").select(
-            F.col(id_col), "fp"
-        )
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    return winnowed_candidates(df, id_col, text_col, k, window, max_df).filter(
+        F.col("n_shared") >= min_shared
     )
 
 

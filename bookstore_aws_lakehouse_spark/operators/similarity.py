@@ -96,6 +96,31 @@ def _auto_planes(n: int) -> int:
     return max(4, math.ceil(math.log2(max(n, 1) / _LSH_TARGET_BUCKET)))
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 4,
+    num_dims: int = 64,
+) -> DataFrame:
+    """Pre-scoring candidate stage of ``cosine_pairs`` (LSH path): the
+    distinct (id_a, id_b) pairs sharing a bucket in ≥ 1 sign-LSH table —
+    before any cosine is computed. Public for the growth harness's
+    candidate-volume instrumentation (VERDICT r10 #4)."""
+    tb = lsh_bucket_tables(df, id_col, vec_col, num_planes, num_tables, num_dims)
+    return (
+        tb.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+        .join(
+            tb.select(F.col(id_col).alias("id_b"), "tbl", "bucket"),
+            on=["tbl", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -150,16 +175,8 @@ def cosine_pairs(
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
         scored = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        tb = lsh_bucket_tables(df, id_col, vec_col, num_planes, num_tables, num_dims)
-        cand = (
-            tb.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
-            .join(
-                tb.select(F.col(id_col).alias("id_b"), "tbl", "bucket"),
-                on=["tbl", "bucket"],
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+        cand = lsh_candidate_pairs(
+            df, id_col, vec_col, num_planes, num_tables, num_dims
         )
         scored = cand.join(
             df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")), "id_a"
@@ -750,6 +767,55 @@ def ivfpq_residual_search(
     )
 
 
+def coarse_probe_cells(
+    queries: DataFrame,
+    coarse_centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``nprobe`` nearest coarse cells per query (cosine, ties on
+    centroid_id), with the query's residual in each probed cell:
+    (query_id, centroid_id, _qr). The probe-selection stage of
+    ``ivfpq_residual_multiprobe``, extracted so the growth harness can
+    count candidate volume (cells ⋈ probes) without running the full
+    ADC pipeline (VERDICT r10 #4)."""
+    c = coarse_centroids.select(
+        "centroid_id",
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cen_n"),
+    )
+    ranked = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+        )
+        .crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "_qv",
+            "centroid_id",
+            "_cv",
+            _cosine_prenormed(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cen_n")
+            ).alias("_c_cos"),
+        )
+    )
+    return top_n_per_group(
+        ranked,
+        ["query_id"],
+        [("_c_cos", True)],
+        nprobe,
+        tiebreak=["centroid_id"],
+        rank_name="_pn",
+    ).select(
+        "query_id",
+        "centroid_id",
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x - y).alias("_qr"),
+    )
+
+
 def ivfpq_residual_multiprobe(
     corpus: DataFrame,
     coarse_centroids: DataFrame,
@@ -802,40 +868,8 @@ def ivfpq_residual_multiprobe(
     cells = res.select(id_col, "centroid_id")
     books = pq_codebooks(seeds, m, dim, id_col, vec_col)
 
-    # nprobe nearest cells per query (cosine, ties on centroid_id)
-    c = coarse_centroids.select(
-        "centroid_id",
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cen_n"),
-    )
-    ranked = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("_qv"),
-            l2_norm(F.col(vec_col)).alias("_qn"),
-        )
-        .crossJoin(F.broadcast(c))
-        .select(
-            "query_id",
-            "_qv",
-            "centroid_id",
-            "_cv",
-            _cosine_prenormed(
-                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cen_n")
-            ).alias("_c_cos"),
-        )
-    )
-    probes = top_n_per_group(
-        ranked,
-        ["query_id"],
-        [("_c_cos", True)],
-        nprobe,
-        tiebreak=["centroid_id"],
-        rank_name="_pn",
-    ).select(
-        "query_id",
-        "centroid_id",
-        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x - y).alias("_qr"),
+    probes = coarse_probe_cells(
+        queries, coarse_centroids, nprobe, id_col, vec_col
     ).localCheckpoint(eager=True)  # |queries|·nprobe rows — tiny
 
     qsubs = probes.select(
