@@ -234,16 +234,24 @@ def lsh_buckets(
     out = df.select(F.col(id_col), F.col(vec_col)).filter(
         F.col(vec_col).isNotNull()
     )
+    bucket = _sign_bucket_expr(F.col(vec_col), num_planes, num_dims)
+    return out.withColumn("bucket", bucket).select(id_col, "bucket")
+
+
+def _sign_bucket_expr(vec: Column, num_planes: int, num_dims: int) -> Column:
+    """The sign-LSH bucket id as a column expression: bit p is the sign of
+    the dot with md5-seeded hyperplane p. Shared by ``lsh_buckets`` and
+    ``semantic_dedup``'s auto-granularity sub-cells."""
     bucket = F.lit(0)
     for p in range(num_planes):
         plane = F.lit(_plane_signs(p, num_dims))
         dot_p = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda v, s: v.cast("double") * s),
+            F.zip_with(vec, plane, lambda v, s: v.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
-    return out.withColumn("bucket", bucket.cast("int")).select(id_col, "bucket")
+    return bucket.cast("int")
 
 
 def lsh_bucket_tables(
@@ -917,6 +925,30 @@ def ivfpq_residual_multiprobe(
 #: CacheManager's plan-keyed reuse
 _SEMDEDUP_CACHE: list = []
 
+#: guards _SEMDEDUP_CACHE (ADVICE r10): concurrent semantic_dedup calls
+#: otherwise race on the list and thrash-evict each other's pin
+_SEMDEDUP_LOCK = __import__("threading").Lock()
+
+#: auto-granularity target: mean vectors per effective cell before
+#: sub-bucketing kicks in. Fixture corpora (occupancy ~50 under the
+#: vec_id%50 seeding) resolve to 0 extra planes, so oracle replays are
+#: unchanged; the bench's 10x growth corpus (occupancy ~500 at a FIXED
+#: centroid set) resolves to 2 planes -> 4 sub-cells -> ~16x less
+#: in-cell pair volume than fixed granularity
+_SEMDEDUP_TARGET_OCCUPANCY = 128
+
+
+def _auto_cell_planes(n_rows: int, n_cells: int, target: int) -> int:
+    """Extra sign-LSH planes so mean effective-cell occupancy ≈ target:
+    max(0, ceil(log2((n/c) / target))). 0 when the caller's granularity
+    already suffices — the fixture/oracle case."""
+    import math
+
+    occ = n_rows / max(n_cells, 1)
+    if occ <= target:
+        return 0
+    return math.ceil(math.log2(occ / target))
+
 
 def semantic_dedup(
     df: DataFrame,
@@ -924,6 +956,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    auto_granularity: bool = True,
+    num_dims: int = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     deduplication of a training corpus by embedding similarity: cluster
@@ -943,13 +977,39 @@ def semantic_dedup(
     assignment. NULL embeddings are excluded from the output (they can
     neither cluster nor score — same rule as the LSH paths).
 
+    ``auto_granularity`` (default on, VERDICT r10 #5) keeps that bound
+    meaningful when the CALLER's centroid set doesn't scale with the
+    corpus: if mean occupancy n/c exceeds ``_SEMDEDUP_TARGET_OCCUPANCY``,
+    each cell is subdivided by ``_auto_cell_planes`` deterministic
+    sign-LSH planes (the ``_auto_planes`` idea applied within cells), and
+    the pair join keys on (centroid_id, sub-cell). Fixture-scale corpora
+    resolve to 0 planes — bit-identical to fixed granularity, so oracle
+    replays are unchanged. When it kicks in, near-duplicates split across
+    sub-cells are missed — the SAME recall trade the coarse clustering
+    already makes at cell boundaries, now held at a constant rate instead
+    of degrading with corpus growth. Costs two count() jobs (corpus +
+    centroids) at planning time.
+
     Output: one row per non-NULL input vector —
     (``id_col``, centroid_id, kept boolean)."""
     from pyspark import StorageLevel
 
+    nn = df.filter(F.col(vec_col).isNotNull())
+    planes = (
+        _auto_cell_planes(
+            nn.count(), centroids.count(), _SEMDEDUP_TARGET_OCCUPANCY
+        )
+        if auto_granularity
+        else 0
+    )
+    subcell = (
+        _sign_bucket_expr(F.col(vec_col), planes, num_dims)
+        if planes
+        else F.lit(0)
+    )
     cells = (
         ivf_assign(
-            df.filter(F.col(vec_col).isNotNull()),
+            nn,
             centroids,
             id_col,
             vec_col,
@@ -957,6 +1017,7 @@ def semantic_dedup(
         )
         .select(
             F.col(id_col), F.col("centroid_id"), F.col(vec_col),
+            subcell.alias("_subcell"),
             l2_norm(F.col(vec_col)).alias("_n"),
         )
         # the assignment feeds THREE consumers (both pair-join sides and
@@ -979,30 +1040,31 @@ def semantic_dedup(
         # the assignment to a table and dedup from that.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prev = _SEMDEDUP_CACHE[-1] if _SEMDEDUP_CACHE else None
-    if prev is not None:
-        try:
-            same = prev.sameSemantics(cells)
-        except Exception:
-            same = False  # dead session handle — treat as stale
-        if not same:
+    with _SEMDEDUP_LOCK:
+        prev = _SEMDEDUP_CACHE[-1] if _SEMDEDUP_CACHE else None
+        if prev is not None:
             try:
-                prev.unpersist()
+                same = prev.sameSemantics(cells)
             except Exception:
-                pass
-            _SEMDEDUP_CACHE.clear()
-    if not _SEMDEDUP_CACHE:
-        _SEMDEDUP_CACHE.append(cells)
+                same = False  # dead session handle — treat as stale
+            if not same:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+                _SEMDEDUP_CACHE.clear()
+        if not _SEMDEDUP_CACHE:
+            _SEMDEDUP_CACHE.append(cells)
     a = cells.select(
-        F.col(id_col).alias("id_a"), "centroid_id",
+        F.col(id_col).alias("id_a"), "centroid_id", "_subcell",
         F.col(vec_col).alias("vec_a"), F.col("_n").alias("_na"),
     )
     b = cells.select(
-        F.col(id_col).alias("id_b"), "centroid_id",
+        F.col(id_col).alias("id_b"), "centroid_id", "_subcell",
         F.col(vec_col).alias("vec_b"), F.col("_n").alias("_nb"),
     )
     dropped = (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "_subcell"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             _cosine_prenormed(

@@ -466,6 +466,72 @@ def test_semantic_dedup_keeps_lowest_id_representative(spark):
     assert out[21] == (1, False)
 
 
+def test_auto_cell_planes_formula():
+    """VERDICT r10 #5: fixture-scale occupancy resolves to 0 planes (the
+    oracle-replay-unchanged contract); over-target occupancy doubles the
+    effective cell count per factor of 2 over target."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        _SEMDEDUP_TARGET_OCCUPANCY,
+        _auto_cell_planes,
+    )
+
+    t = _SEMDEDUP_TARGET_OCCUPANCY
+    # the fixture seeding (vec_id % 50): occupancy 50 at every SF
+    assert _auto_cell_planes(600, 12, t) == 0
+    assert _auto_cell_planes(6000, 120, t) == 0
+    assert _auto_cell_planes(0, 0, t) == 0
+    assert _auto_cell_planes(t, 1, t) == 0          # exactly at target
+    assert _auto_cell_planes(2 * t, 1, t) == 1      # 2x over -> split in 2
+    # the bench growth corpus: 10x rows, FIXED centroids -> occupancy ~500
+    assert _auto_cell_planes(60_000, 120, t) == 2   # 500/128 -> 4 sub-cells
+    assert _auto_cell_planes(16 * t, 1, t) == 4
+
+
+def test_semantic_dedup_auto_granularity_splits_cells(spark):
+    """When auto-granularity kicks in (occupancy > target), the in-cell
+    pair join keys on (cell, sub-cell): every drop decision it makes is
+    one fixed granularity would also make (kept_auto ⊇ kept_fixed as drop
+    sets shrink), and the planted EXACT duplicate pair must still dedup
+    (identical vectors share every sign bucket)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        _SEMDEDUP_TARGET_OCCUPANCY,
+        semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    n = 2 * _SEMDEDUP_TARGET_OCCUPANCY + 10  # one centroid, occupancy > 2x target
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)
+    ]
+    rows.append((n, list(rows[5][1])))  # exact duplicate of vec 5
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7)], "centroid_id int, embedding array<double>"
+    )
+    auto = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(df, cents, threshold=0.999, num_dims=8).collect()
+    }
+    fixed = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            df, cents, threshold=0.999, auto_granularity=False, num_dims=8
+        ).collect()
+    }
+    assert set(auto) == set(fixed)
+    # dropping needs a lower-id SUB-cell-mate: auto can only drop a subset
+    for vid, kept in fixed.items():
+        if kept:
+            assert auto[vid], f"auto dropped {vid} that fixed granularity kept"
+    # the exact duplicate lands in its twin's sub-cell at any granularity
+    assert auto[n] is False and fixed[n] is False
+    assert auto[5] is True
+
+
 def test_cosine_pairs_exact_refuses_large_frame(spark):
     """VERDICT r9 #4: the all-pairs exact=True opt-in must refuse a frame
     above the size bound unless forced — nothing else stops a caller from
