@@ -357,17 +357,50 @@ def main() -> None:
         except Exception:
             pass  # diagnostic only — never fail the bench for it
 
-    for name in headline:
-        if name not in GOLDEN:
-            continue
+    def _timed_p50(name: str) -> tuple[float, float]:
         runs = []
         meter.window()  # re-mark so the query window excludes prior work
         for _ in range(n_runs):
             t0 = time.monotonic()
             GOLDEN[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.monotonic() - t0)
-        query_ext_load[name] = meter.window()
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        return round(sorted(runs)[len(runs) // 2], 3), meter.window()
+
+    for name in headline:
+        if name not in GOLDEN:
+            continue
+        timings[name], query_ext_load[name] = _timed_p50(name)
+
+    # Quiet-box gate (VERDICT r10 #6): a row whose measurement window saw
+    # >EXT_GATE external CPU is re-measured up to twice, keeping the
+    # quietest window — BENCH_r10's growth numbers disagreed with the
+    # quiet-box A/Bs by up to 1.6x because the artifact recorded a
+    # co-tenant storm. Rows still hot after the retries are recorded as
+    # waived: the artifact then says "this number is load-polluted"
+    # instead of presenting it as clean. (The cold-ETL row can't re-run —
+    # cold happens once per session — so it carries its window as-is.)
+    ext_gate = float(os.environ.get("SPARK_GRAFT_EXT_GATE", "0.3"))
+    gate_log: dict = {"threshold": ext_gate, "retried": {}, "waived": []}
+    for _attempt in range(2):
+        hot = [
+            q
+            for q in timings
+            if q != "etl_top100_books_cold" and query_ext_load.get(q, 0.0) > ext_gate
+        ]
+        if not hot:
+            break
+        for name in hot:
+            p50, eb = _timed_p50(name)
+            gate_log["retried"].setdefault(name, []).append(
+                {"s": p50, "ext_busy": eb}
+            )
+            if eb < query_ext_load[name]:
+                timings[name], query_ext_load[name] = p50, eb
+    gate_log["waived"] = sorted(
+        q
+        for q in timings
+        if q != "etl_top100_books_cold" and query_ext_load.get(q, 0.0) > ext_gate
+    )
 
     skew = _skew_section(spark, meter)
     growth = _growth_section(spark, sf_dir, GOLDEN, meter)
@@ -476,6 +509,7 @@ def main() -> None:
         },
         "skew": skew,
         "growth": growth,
+        "ext_busy_gate": gate_log,
         "common_vs_prev": common_vs_prev,
         "adjudication": adjudication,
         "stream_phases": stream_phases,
@@ -704,17 +738,17 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
         # train/score cost dominated by the token explode.
         "text_nb_langid_confusion",
         # r10 (VERDICT r9 #3): the ANN family — previously the most
-        # expensive benched rows with NO growth datapoint. Copy offset
-        # 10_000_007 keeps the vec_id%50 centroid seeds FIXED (see the
-        # emb_copies comment), so these measure a true corpus scale-up:
-        # ivfpq-residual = corpus×centroids coarse assign + fixed query
-        # side (expect ≈linear); semantic_dedup = within-cell pairs with
-        # 10× denser cells at a FIXED cell count — candidate volume is
-        # Θ(Σ|cell|²), so its ratio documents the granularity contract
-        # (production scales the centroid count with the corpus, as the
-        # operator docstring prescribes); embedding_near_dup = sign-LSH
-        # with fixture-sized tables (4 planes → 16 buckets), same
-        # fixed-granularity caveat.
+        # expensive benched rows with NO growth datapoint. Copy ids are
+        # odd (see the emb_copies comment), so the vec_id%50 centroid
+        # seeds and vec_id<16 PQ seeds stay FIXED and these measure a
+        # true fixed-index corpus scale-up: ivfpq-residual =
+        # corpus×centroids coarse assign + fixed query side (expect
+        # ≈linear); semantic_dedup = within-cell pairs with 10× denser
+        # cells — its auto-granularity sub-cells (r11) must hold the
+        # candidate volume near-linear where fixed granularity is
+        # Θ(Σ|cell|²); embedding_near_dup = sign-LSH with _auto_planes
+        # holding bucket occupancy constant. The candidate counters
+        # recorded alongside make each claim checkable per run.
         "ann_ivfpq_residual_multiprobe",
         "embedding_near_dup",
         "semantic_dedup",
@@ -741,16 +775,23 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
             v = F.col("embedding")
             dim = F.size(v)
             rot = F.concat(F.slice(v, c + 1, 4096), F.slice(v, 1, c))
-            # offset 10_000_007 (NOT a multiple of 50): the IVF-family
-            # queries seed centroids as vec_id % 50 == 0, so a
-            # multiple-of-50 offset would make every copy's seed rows
-            # centroids too — centroid count ×10 under a ×10 corpus is a
-            # ×100 workload, not a scale-up (the documented
-            # kmeans_train_assign exclusion). 7c mod 50 ≠ 0 for c<50, so
-            # the centroid set stays EXACTLY the base corpus's.
+            # copy ids are ODD by construction — 2·(id + c·10M) + 1 — so
+            # no copy row can satisfy the IVF-family centroid seeding
+            # (vec_id % 50 == 0 needs an even id) OR the PQ seed rule
+            # (vec_id < 16): the centroid/codebook set stays EXACTLY the
+            # base corpus's, making this a true fixed-granularity corpus
+            # scale-up. (The previous +c·10_000_007 offset only shifted
+            # WHICH rows hit the % 50 == 0 grid — base ids cover every
+            # residue class, so each copy contributed ~2% NEW seeds and
+            # the centroid count silently grew 10× with the corpus; the
+            # r10 growth numbers for the IVF rows therefore measured the
+            # scaled-granularity workload, not the fixed one. Caught by
+            # the candidate counters this section now records.)
             emb_copies.append(
                 emb.select(
-                    (F.col("vec_id") + c * 10_000_007).alias("vec_id"),
+                    (
+                        (F.col("vec_id") + c * 10_000_000) * 2 + 1
+                    ).alias("vec_id"),
                     rot.alias("embedding"),
                     "label",
                 )
@@ -815,21 +856,39 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
         except ImportError:
             GROWTH_CANDIDATE_COUNTERS = {}
 
+        # quiet-box gate (VERDICT r10 #6): growth ratios are the artifact
+        # section most distorted by co-tenant load (r10's recorded 4.61x
+        # vs 3.0x quiet for the same code) — re-measure hot windows,
+        # keep the quietest
+        ext_gate = float(os.environ.get("SPARK_GRAFT_EXT_GATE", "0.3"))
+
         out = {"factor": factor, "queries": {}}
         for name in names:
             if name not in GOLDEN:
                 continue
-            meter.window()  # per-query window: growth ratios need the same
-            # load evidence as the headline rows (VERDICT r7 #5) — a ratio
-            # measured under co-tenant load is otherwise un-adjudicable
-            base = timed_min(name, sf_dir)
-            big = timed_min(name, tmp)
-            entry = {
-                "base_s": round(base, 3),
-                "x10_s": round(big, 3),
-                "ratio": round(big / base, 2) if base > 0 else None,
-                "ext_busy": meter.window(),
-            }
+            entry: dict = {}
+            attempts = 0
+            for _attempt in range(2):
+                meter.window()  # per-query window: growth ratios need the
+                # same load evidence as the headline rows (VERDICT r7 #5) —
+                # a ratio measured under co-tenant load is un-adjudicable
+                base = timed_min(name, sf_dir)
+                big = timed_min(name, tmp)
+                cur = {
+                    "base_s": round(base, 3),
+                    "x10_s": round(big, 3),
+                    "ratio": round(big / base, 2) if base > 0 else None,
+                    "ext_busy": meter.window(),
+                }
+                attempts += 1
+                if not entry or cur["ext_busy"] < entry["ext_busy"]:
+                    entry = cur
+                if entry["ext_busy"] <= ext_gate:
+                    break
+            if attempts > 1:
+                entry["gate_retries"] = attempts - 1
+            if entry["ext_busy"] > ext_gate:
+                entry["load_waived"] = True
             counter = GROWTH_CANDIDATE_COUNTERS.get(name)
             if counter is not None:
                 try:
