@@ -228,12 +228,31 @@ def minhash_band_pairs(
     boilerplate-dominated corpus slice — is split on 8 bits of the
     NEIGHBORING band's first minhash (bits outside the bucket's own key:
     identical signatures share them, so exact dups survive; see
-    ``_cap_saturated_buckets``). ``max_bucket=None`` opts out."""
+    ``_cap_saturated_buckets``). ``max_bucket=None`` opts out.
+
+    Setting ``max_bucket`` makes construction EAGER (the cap's index pin
+    + size probe run Spark jobs immediately) and pins executor-local
+    checkpoint blocks — on executor loss, re-derive from source (the
+    ``_cap_saturated_buckets`` contract). With a SINGLE band
+    (num_hashes == band_rows) the cap cannot split anything: the band
+    key IS the whole signature, so every row in a saturated bucket is an
+    exact signature duplicate and all Θ(b²) pairs are the true output —
+    a warning says the cap is ineffective rather than silently no-opping
+    (ADVICE r10)."""
     if num_hashes % band_rows:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by band_rows "
             f"({band_rows}) — trailing hashes would be computed and then "
             f"silently excluded from banding, lowering recall"
+        )
+    if max_bucket is not None and num_hashes == band_rows:
+        _log.warning(
+            "minhash_band_pairs: max_bucket=%d is ineffective with a single "
+            "band — the band key is the full signature, so saturated-bucket "
+            "rows are exact signature duplicates and every subkey (drawn "
+            "from signature bits) is constant within the bucket; candidate "
+            "volume stays Θ(b²). Use more bands or accept the volume.",
+            max_bucket,
         )
     wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_k)
     num_bands = num_hashes // band_rows
@@ -463,6 +482,16 @@ def simhash_candidates(
     measure candidate volume separately from verified-pair volume
     (VERDICT r10 #4) — a superlinear wall-time ratio is only a defect
     when candidate volume stayed linear."""
+    if max_bucket is not None and max_hamming == 0:
+        _log.warning(
+            "simhash: max_bucket=%d is ineffective with max_hamming=0 — the "
+            "single chunk is the full signature, so saturated-bucket rows "
+            "are exact signature duplicates and the neighbor-chunk subkey "
+            "is constant within the bucket; candidate volume stays Θ(b²). "
+            "(Hamming 0 is exact dedup — fingerprint_duplicates is the "
+            "right operator for that.)",
+            max_bucket,
+        )
     sig = simhash_signatures(df, id_col, text_col)
     n_chunks = max_hamming + 1
     base = SIMHASH_BITS // n_chunks
@@ -534,7 +563,14 @@ def simhash_pairs(
     low bits of the NEIGHBORING chunk (bits the bucket's own key never
     sees — identical signatures share them, so exact dups survive; see
     ``_cap_saturated_buckets`` for the recall contract). Defaults never
-    trigger below ~10⁵ docs per bucket; ``max_bucket=None`` opts out."""
+    trigger below ~10⁵ docs per bucket; ``max_bucket=None`` opts out.
+
+    Setting ``max_bucket`` makes construction EAGER (the cap's index pin
+    + size probe run Spark jobs immediately) and pins executor-local
+    checkpoint blocks — on executor loss, re-derive from source (the
+    ``_cap_saturated_buckets`` contract). With ``max_hamming=0`` (one
+    chunk) the cap cannot split anything and a warning says so
+    (ADVICE r10; exact dedup belongs to ``fingerprint_duplicates``)."""
     cand = simhash_candidates(df, id_col, text_col, max_hamming, max_bucket)
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))

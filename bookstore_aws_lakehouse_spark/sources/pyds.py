@@ -127,12 +127,19 @@ def _stat_norm(v):
     design); keep the two definitions bit-identical. Timestamps/dates
     become fixed-width UTC-naive ISO strings whose lexicographic order
     equals chronological order. A NAIVE datetime is treated as
-    HOST-LOCAL (``astimezone()`` on a naive value attaches the host
-    zone) to match PySpark's ``TimestampType.toInternal`` mktime
-    semantics — see the snapshots.py twin for the full rationale."""
+    HOST-LOCAL via ``time.mktime`` — the exact PySpark
+    ``TimestampType.toInternal`` semantic, including its ``tm_isdst=-1``
+    DST resolution — see the snapshots.py twin for the full rationale."""
     import datetime as _dt
+    import time as _time
 
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            # the TimestampType.toInternal twin: int(mktime) seconds +
+            # carried microseconds
+            v = _dt.datetime.fromtimestamp(
+                int(_time.mktime(v.timetuple())), _dt.timezone.utc
+            ) + _dt.timedelta(microseconds=v.microsecond)
         v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(timespec="microseconds")
     if isinstance(v, _dt.date):

@@ -545,18 +545,29 @@ def _stat_norm(v):
 
     A NAIVE datetime is treated as HOST-LOCAL, because that is what the
     actual filter does: PySpark's ``TimestampType.toInternal`` converts a
-    naive literal via ``time.mktime`` (host zone), so on a non-UTC host a
-    naive probe passed through as-UTC would disagree with the filter by
-    the UTC offset and silently skip files containing matching rows.
-    ``astimezone()`` on a naive value attaches the host zone — the exact
-    mktime semantic. Footer stats are never naive (pyarrow returns
-    tz-aware UTC for Spark's TIMESTAMP_MICROS), so this branch only ever
-    sees user probe values.
+    naive literal via ``time.mktime(dt.timetuple())`` (host zone), so on
+    a non-UTC host a naive probe passed through as-UTC would disagree
+    with the filter by the UTC offset and silently skip files containing
+    matching rows. The conversion here IS ``time.mktime`` — not
+    ``astimezone()`` — because the two disagree by an hour for
+    DST-ambiguous or nonexistent local times (mktime resolves with
+    ``tm_isdst=-1``, astimezone with ``fold=0``; ADVICE r10), and a
+    probe in a DST transition hour must land exactly where the filter
+    does. Footer stats are never naive (pyarrow returns tz-aware UTC for
+    Spark's TIMESTAMP_MICROS), so this branch only ever sees user probe
+    values.
     Mirrored in sources/pyds.py (self-contained by design) — keep the
     two definitions bit-identical."""
     import datetime as _dt
+    import time as _time
 
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            # the TimestampType.toInternal twin: int(mktime) seconds +
+            # carried microseconds
+            v = _dt.datetime.fromtimestamp(
+                int(_time.mktime(v.timetuple())), _dt.timezone.utc
+            ) + _dt.timedelta(microseconds=v.microsecond)
         v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(timespec="microseconds")
     if isinstance(v, _dt.date):

@@ -221,6 +221,40 @@ def test_saturated_bucket_cap_preserves_exact_dups(spark):
     assert mh.filter("n_shared_bands = 4").count() == 30 * 29 // 2
 
 
+def test_cap_warns_when_single_band_or_chunk(spark, caplog):
+    """ADVICE r10: with one band (num_hashes == band_rows) or one chunk
+    (max_hamming == 0) the bucket key is the FULL signature — saturated
+    rows are exact signature duplicates, every signature-derived subkey
+    is constant within the bucket, and the cap cannot split anything.
+    The operators must say so instead of silently no-opping."""
+    import logging
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        minhash_band_pairs,
+        simhash_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    with caplog.at_level(logging.WARNING):
+        minhash_band_pairs(
+            df, "doc_id", "text", num_hashes=2, band_rows=2, max_bucket=100
+        )
+    assert any("single band" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        simhash_candidates(df, "doc_id", "text", max_hamming=0, max_bucket=100)
+    assert any("max_hamming=0" in r.message for r in caplog.records)
+    caplog.clear()
+    # multi-band / multi-chunk defaults stay silent
+    with caplog.at_level(logging.WARNING):
+        minhash_band_pairs(df, "doc_id", "text", max_bucket=100)
+        simhash_candidates(df, "doc_id", "text", max_bucket=100)
+    assert not [r for r in caplog.records if "ineffective" in r.message]
+
+
 def test_saturated_bucket_cap_splits_mixed_corpus(spark):
     """On a mixed corpus a tiny cap must (a) keep results a SUBSET of the
     uncapped result (the split only removes candidates, never invents

@@ -172,6 +172,37 @@ def test_q9_star_shape(spark, sf_smoke):
     assert any("p_name" in l for l in pushed), pushed
 
 
+def test_q8_market_share_shape(spark, sf_smoke):
+    """q8 (VERDICT r10 #8): two-year market share over an 8-table star.
+    Every dimension join must broadcast — the lineitem fact side never
+    shuffles for a dim — and the order-date window must reach the orders
+    scan as a pushed range filter."""
+    plan = plan_of(GOLDEN["q8_market_share"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    # the fact never sort-merges against a dimension
+    assert "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "GreaterThanOrEqual" in l for l in pushed), pushed
+
+
+def test_q21_waiting_suppliers_shape(spark, sf_smoke):
+    """q21 (VERDICT r10 #8): the suite's heaviest join tree — lineitem
+    joined against itself twice (other-supplier exists / other-supplier
+    late anti). The self-joins are key-equi (sort-merge on l_orderkey is
+    the right plan for fact⋈fact), the dim joins broadcast, the final
+    top-100 fuses into TakeOrderedAndProject, and the o_orderstatus='F'
+    literal reaches the orders scan."""
+    plan = plan_of(GOLDEN["q21_waiting_suppliers"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(o_orderstatus,F)" in l for l in pushed), pushed
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
     """At 100 TB the selective-dim → fact runtime Bloom filter is a major
     scan reducer (on by default in Spark 4; the 10 GB application-side

@@ -2859,16 +2859,34 @@ def test_stat_norm_canonical_ordering():
     """_stat_norm: tz-aware and (host-UTC) naive twins land on the SAME
     string (boundary-equality probes must not mis-prune), dates
     midnight-extend to the fixed-width form, and lexicographic order of
-    the canonical strings equals chronological order."""
+    the canonical strings equals chronological order. TZ is pinned to
+    UTC inside the test (ADVICE r10) — the naive==aware assertion is a
+    UTC-host statement, not a container assumption."""
     import datetime as dt
+    import os
+    import time
 
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+    try:
+        _stat_norm_canonical_ordering_body(dt)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def _stat_norm_canonical_ordering_body(dt):
     from bookstore_aws_lakehouse_spark.sources.pyds import (
         _stat_norm as pyds_norm,
     )
     from bookstore_aws_lakehouse_spark.sources.snapshots import _stat_norm
 
     aware = dt.datetime(2026, 8, 15, 4, 30, 0, 500, tzinfo=dt.timezone.utc)
-    naive = dt.datetime(2026, 8, 15, 4, 30, 0, 500)  # container host TZ is UTC
+    naive = dt.datetime(2026, 8, 15, 4, 30, 0, 500)  # TZ pinned UTC above
     assert _stat_norm(aware) == _stat_norm(naive) == "2026-08-15T04:30:00.000500"
     assert _stat_norm(dt.date(2026, 8, 15)) == "2026-08-15T00:00:00.000000"
     seq = [
@@ -2915,6 +2933,18 @@ def test_stat_norm_naive_datetime_is_host_local():
             )
             # a tz-aware twin of the same instant normalizes identically
             assert mod._stat_norm(naive.astimezone()) == mod._stat_norm(naive)
+        # DST-ambiguous local time (ADVICE r10): 2024-11-03 01:30 EST/EDT
+        # exists twice; mktime (tm_isdst=-1) and astimezone (fold=0) may
+        # pick different instants — the normalizer must land EXACTLY where
+        # the filter's toInternal lands, microseconds carried
+        fold = dt.datetime(2024, 11, 3, 1, 30, 0, 250)
+        want_fold = dt.datetime.fromtimestamp(
+            int(time.mktime(fold.timetuple())), dt.timezone.utc
+        ).replace(tzinfo=None) + dt.timedelta(microseconds=250)
+        for mod in (snapshots, pyds):
+            assert mod._stat_norm(fold) == want_fold.isoformat(
+                timespec="microseconds"
+            )
     finally:
         if old_tz is None:
             os.environ.pop("TZ", None)
