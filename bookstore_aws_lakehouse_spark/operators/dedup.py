@@ -295,18 +295,40 @@ def _shingle_shared(
     text_col: str,
     shingle_k: int,
     max_df: int | None,
-) -> tuple[DataFrame, DataFrame]:
+    pin: bool = False,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Shared front end of the n-gram similarity family: shingle →
     portable-hash → optional stop-shingle filter → inverted-index
-    self-join. Returns (shared, sizes): unordered pair intersection
-    counts (id_a < id_b) and per-doc filtered shingle-set sizes.
+    self-join. Returns (shared, sizes, pins): unordered pair intersection
+    counts (id_a < id_b), per-doc filtered shingle-set sizes, and the
+    persisted intermediates the caller must unpersist after materializing
+    its result.
 
     The self-join is keyed on the 8-byte portable hash, not the shingle
     string: the shuffle carries fixed-width keys instead of ~20-char
     text. (60-bit md5 collisions would add a phantom shared-shingle
     count; at 10^9 distinct shingles the chance of ANY collision is
-    ~10^-4 — acceptable for candidate generation.)"""
+    ~10^-4 — acceptable for candidate generation.)
+
+    ``pin=True`` persists the raw and filtered postings: the self-join
+    sides carry different aliases (id_a/id_b), so their exchange subtrees
+    never canonicalize equal and ReusedExchange can NOT dedupe them — the
+    tokenize→explode→md5 pipeline otherwise re-executes once per consumer
+    (postings feed the df counts, the stop-filter join, the sizes
+    aggregate, and BOTH self-join sides; measured: containment's plan
+    held 88 exchanges and zero reuse). persist over localCheckpoint for
+    the stats the join planner needs — the bigram-LM/pagerank lesson
+    (NOTES_r14 §1-2)."""
     from bookstore_aws_lakehouse_spark.operators.scale import ensure_parallelism
+
+    pins: list[DataFrame] = []
+
+    def _pin(d: DataFrame) -> DataFrame:
+        if not pin:
+            return d
+        d = d.persist()
+        pins.append(d)
+        return d
 
     sh = (
         ensure_parallelism(df)
@@ -318,11 +340,15 @@ def _shingle_shared(
             ),
         )
     )
-    sh = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("shingle_h"))
+    sh = _pin(
+        sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("shingle_h"))
+    )
     if max_df is not None:
         df_counts = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle_h").select(
-            F.col(id_col), "shingle_h"
+        sh = _pin(
+            sh.join(df_counts.filter(F.col("df") <= max_df), "shingle_h").select(
+                F.col(id_col), "shingle_h"
+            )
         )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle_h")
@@ -333,7 +359,7 @@ def _shingle_shared(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return shared, sizes
+    return shared, sizes, pins
 
 
 def shingle_candidates(
@@ -348,7 +374,7 @@ def shingle_candidates(
     ≥ 1 stop-filtered shingle — the inverted-index self-join output
     before any similarity cut. Public for the growth harness's
     candidate-volume instrumentation (VERDICT r10 #4)."""
-    shared, _ = _shingle_shared(df, id_col, text_col, shingle_k, max_df)
+    shared, _, _ = _shingle_shared(df, id_col, text_col, shingle_k, max_df)
     return shared
 
 
@@ -370,11 +396,16 @@ def jaccard_pairs(
     ubiquitous shingle otherwise fans out to df² candidate rows and a
     single straggler partition at 100×. Jaccard is then computed over the
     filtered shingle sets. ``max_df=None`` opts into unfiltered semantics.
-    """
-    shared, sizes = _shingle_shared(df, id_col, text_col, shingle_k, max_df)
+
+    Construction is EAGER: the postings index is pinned, the result
+    materialized, every pin dropped (see ``_shingle_shared`` pin=True —
+    unpinned, the shingle pipeline re-executed once per consumer)."""
+    shared, sizes, pins = _shingle_shared(
+        df, id_col, text_col, shingle_k, max_df, pin=True
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
+    out = (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -389,7 +420,11 @@ def jaccard_pairs(
             * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
         )
         .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    for p in pins:
+        p.unpersist()
+    return out
 
 
 def containment_pairs(
@@ -410,27 +445,52 @@ def containment_pairs(
     Same inverted-index front end as ``jaccard_pairs`` (one self-join on
     unordered pairs — directed rows derive from it, so candidate volume
     does NOT double); integer cross-multiplied threshold, exact on any
-    engine."""
-    shared, sizes = _shingle_shared(df, id_col, text_col, shingle_k, max_df)
+    engine.
+
+    Both directions emit from ONE pass over the joined pair table via a
+    2-element explode — the former dir_a ∪ dir_b union put the entire
+    shingle pipeline in the plan twice (88 exchanges, zero reuse;
+    measured 3.9× wall-time at 10× data against the family's ~2×).
+    Construction is EAGER: postings pinned, result materialized, pins
+    dropped (``_shingle_shared`` pin=True)."""
+    shared, sizes, pins = _shingle_shared(
+        df, id_col, text_col, shingle_k, max_df, pin=True
+    )
     t = F.lit(int(round(threshold * 1_000_000)))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     j = shared.join(sa, "id_a").join(sb, "id_b")
-    dir_a = j.filter(F.col("n_shared") * 1_000_000 >= t * F.col("n_a")).select(
-        F.col("id_a").alias("id_sub"),
-        F.col("id_b").alias("id_super"),
-        "n_shared",
-        F.col("n_a").alias("n_sub"),
-        (F.col("n_shared") / F.col("n_a")).alias("containment"),
+    out = (
+        j.select(
+            "n_shared",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("id_sub"),
+                        F.col("id_b").alias("id_super"),
+                        F.col("n_a").alias("n_sub"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("id_sub"),
+                        F.col("id_a").alias("id_super"),
+                        F.col("n_b").alias("n_sub"),
+                    ),
+                )
+            ).alias("_d"),
+        )
+        .filter(F.col("n_shared") * 1_000_000 >= t * F.col("_d.n_sub"))
+        .select(
+            F.col("_d.id_sub").alias("id_sub"),
+            F.col("_d.id_super").alias("id_super"),
+            "n_shared",
+            F.col("_d.n_sub").alias("n_sub"),
+            (F.col("n_shared") / F.col("_d.n_sub")).alias("containment"),
+        )
+        .localCheckpoint(eager=True)
     )
-    dir_b = j.filter(F.col("n_shared") * 1_000_000 >= t * F.col("n_b")).select(
-        F.col("id_b").alias("id_sub"),
-        F.col("id_a").alias("id_super"),
-        "n_shared",
-        F.col("n_b").alias("n_sub"),
-        (F.col("n_shared") / F.col("n_b")).alias("containment"),
-    )
-    return dir_a.unionByName(dir_b)
+    for p in pins:
+        p.unpersist()
+    return out
 
 
 SIMHASH_BITS = 60
@@ -694,10 +754,36 @@ def winnowed_pairs(
     ≥ ``min_shared`` fingerprints, via the same inverted-index self-join
     shape as the shingle family — but over the ~(window+1)/2× smaller
     winnowed postings. ``max_df`` drops ubiquitous fingerprints (a
-    stop-phrase minimum) before the join, the hot-key guard."""
-    return winnowed_candidates(df, id_col, text_col, k, window, max_df).filter(
-        F.col("n_shared") >= min_shared
+    stop-phrase minimum) before the join, the hot-key guard.
+
+    Construction is EAGER: the fingerprint postings are pinned (the
+    rolling-hash/winnow pipeline feeds the df counts, the stop-filter
+    join and BOTH self-join sides, whose differing aliases defeat
+    ReusedExchange — same hazard as ``_shingle_shared``), the result
+    materialized, pins dropped. ``winnowed_candidates`` stays fully lazy
+    for plan inspection and the growth harness's counters."""
+    pins: list[DataFrame] = []
+    fps = winnowed_fingerprints(df, id_col, text_col, k, window).persist()
+    pins.append(fps)
+    if max_df is not None:
+        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        fps = fps.join(counts.filter(F.col("_df") <= max_df), "fp").select(
+            F.col(id_col), "fp"
+        ).persist()
+        pins.append(fps)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    out = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .localCheckpoint(eager=True)
     )
+    for p in pins:
+        p.unpersist()
+    return out
 
 
 def connected_components(
