@@ -350,7 +350,9 @@ def _shingle_shared(
                 F.col(id_col), "shingle_h"
             )
         )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # sizes is consumed twice downstream (the sa/sb aliases — same
+    # no-reuse hazard), and it's per-doc-sized: cheap to pin
+    sizes = _pin(sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles")))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle_h")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle_h")
     shared = (

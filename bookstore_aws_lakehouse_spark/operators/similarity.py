@@ -103,12 +103,22 @@ def lsh_candidate_pairs(
     num_planes: int = 4,
     num_tables: int = 4,
     num_dims: int = 64,
+    bucket_tables: DataFrame | None = None,
 ) -> DataFrame:
     """Pre-scoring candidate stage of ``cosine_pairs`` (LSH path): the
     distinct (id_a, id_b) pairs sharing a bucket in ≥ 1 sign-LSH table —
     before any cosine is computed. Public for the growth harness's
-    candidate-volume instrumentation (VERDICT r10 #4)."""
-    tb = lsh_bucket_tables(df, id_col, vec_col, num_planes, num_tables, num_dims)
+    candidate-volume instrumentation (VERDICT r10 #4).
+
+    ``bucket_tables`` lets a caller pass a pre-built (usually persisted)
+    ``lsh_bucket_tables`` result: the self-join sides alias ids
+    differently, so without a pin the bucket-signature pandas_udf runs
+    once per side (the ReusedExchange-alias hazard, NOTES_r14 §5)."""
+    tb = (
+        bucket_tables
+        if bucket_tables is not None
+        else lsh_bucket_tables(df, id_col, vec_col, num_planes, num_tables, num_dims)
+    )
     return (
         tb.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
         .join(
@@ -175,8 +185,16 @@ def cosine_pairs(
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
         scored = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        cand = lsh_candidate_pairs(
+        # pin the bucket table: both self-join sides consume it under
+        # different aliases (no exchange reuse), so unpinned the bucket-
+        # signature pandas_udf runs twice over the corpus. persist +
+        # eager final + unpersist — the uniform pin lifecycle.
+        tb = lsh_bucket_tables(
             df, id_col, vec_col, num_planes, num_tables, num_dims
+        ).persist()
+        cand = lsh_candidate_pairs(
+            df, id_col, vec_col, num_planes, num_tables, num_dims,
+            bucket_tables=tb,
         )
         scored = cand.join(
             df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")), "id_a"
@@ -193,9 +211,15 @@ def cosine_pairs(
         )
 
         cos = make_cosine_similarity_exact_pandas()
-        return scored.select(
-            "id_a", "id_b", cos(F.col("vec_a"), F.col("vec_b")).alias("cosine")
-        ).filter(F.col("cosine") >= threshold)
+        out = (
+            scored.select(
+                "id_a", "id_b", cos(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+            )
+            .filter(F.col("cosine") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+        tb.unpersist()
+        return out
     return scored.select(
         "id_a",
         "id_b",
