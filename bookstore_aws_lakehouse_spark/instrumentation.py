@@ -156,6 +156,22 @@ def _n_multiprobe(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
+def _n_cc_input(spark: SparkSession, sf_dir: str) -> int:
+    # q_dedup_clusters / q_dedup_survivors: the iterative CC's input is
+    # the THRESHOLDED jaccard pair set (3-gram, θ=0.1) — its growth, not
+    # the candidate index's, drives per-iteration join volume AND the
+    # iteration count (longer chains converge slower). Measured: the 10×
+    # growth corpus grows candidates ~11.5× (linear) but θ=0.1-passing
+    # pairs ~25× (the mutated copies are more mutually similar at that
+    # low threshold than the duplicate-density contract's bound) — so a
+    # ~3× CC time ratio is workload growth, not plan inefficiency.
+    from bookstore_aws_lakehouse_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", shingle_k=3, threshold=0.1
+    ).count()
+
+
 #: growth-row name → candidate counter. Keys must match bench.py's
 #: _growth_section names; rows absent here (iterative/agg shapes whose
 #: cost isn't candidate-driven) simply record no candidate fields.
@@ -165,6 +181,8 @@ GROWTH_CANDIDATE_COUNTERS: dict[str, Callable[[SparkSession, str], int]] = {
     "dedup_containment_pairs": _n_shingle,
     "dedup_simhash_pairs": _n_simhash,
     "dedup_winnowed_pairs": _n_winnowed,
+    "dedup_clusters": _n_cc_input,
+    "dedup_survivors": _n_cc_input,
     "embedding_near_dup": _n_near_dup,
     "semantic_dedup": _n_semantic,
     "ann_ivfpq_residual_multiprobe": _n_multiprobe,
