@@ -72,13 +72,11 @@ def test_lsh_buckets_no_shuffle(spark, sf_smoke):
     "name",
     [
         "dedup_simhash_pairs",
-        "embedding_near_dup",
         "embedding_dedup_survivors",
         "fuzzy_part_names",
         "dedup_survivors",
         "q2_min_cost_supplier",
         "q21_waiting_suppliers",
-        "dedup_containment_pairs",
     ],
 )
 def test_pair_generation_never_cartesian(spark, sf_smoke, name):
@@ -87,6 +85,35 @@ def test_pair_generation_never_cartesian(spark, sf_smoke, name):
     plan = plan_of(GOLDEN[name](spark, sf_smoke))
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_candidate_stages_never_cartesian(spark, sf_smoke):
+    """The eager pair queries (near_dup, containment, jaccard, winnowed)
+    explain as checkpoint scans, so their join shapes are guarded here
+    on the LAZY candidate stages the operators filter (the same pattern
+    as pagerank's pin=False plan test)."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.catalog import load_table
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        shingle_candidates,
+        winnowed_candidates,
+    )
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    for name, df in [
+        ("shingle", shingle_candidates(docs, "doc_id", "text", 3, 100)),
+        ("winnowed", winnowed_candidates(docs, "doc_id", "text", 3, 4, 100)),
+        ("lsh", lsh_candidate_pairs(emb)),
+    ]:
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Join" in plan, name  # the guard is non-vacuous
 
 
 def test_salted_join_spreads_hot_key(spark):
