@@ -532,6 +532,51 @@ def test_semantic_dedup_auto_granularity_splits_cells(spark):
     assert auto[5] is True
 
 
+def test_semantic_dedup_auto_granularity_randomized(spark):
+    """Randomized sweep (seeded loops, same rationale as
+    test_cap_invariants_randomized) of the auto-granularity invariants:
+
+    1. auto's drop set ⊆ fixed granularity's drop set (subdivision only
+       removes comparisons, never invents them);
+    2. planted exact duplicates are ALWAYS dropped (identical vectors
+       share every sign bucket at any plane count);
+    3. same id set in, same id set out (one row per non-NULL vector).
+    """
+    import random
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        _SEMDEDUP_TARGET_OCCUPANCY,
+        semantic_dedup,
+    )
+
+    for seed, n_cents in [(11, 1), (12, 2)]:
+        rng = random.Random(seed)
+        n = 2 * _SEMDEDUP_TARGET_OCCUPANCY + rng.randrange(5, 40)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)]
+        rows.append((n, list(rows[3][1])))      # exact dup of 3
+        rows.append((n + 1, list(rows[7][1])))  # exact dup of 7
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(c, [1.0 if d == c else 0.0 for d in range(8)]) for c in range(n_cents)],
+            "centroid_id int, embedding array<double>",
+        )
+        auto = {
+            r.vec_id: r.kept
+            for r in semantic_dedup(df, cents, threshold=0.999, num_dims=8).collect()
+        }
+        fixed = {
+            r.vec_id: r.kept
+            for r in semantic_dedup(
+                df, cents, threshold=0.999, auto_granularity=False, num_dims=8
+            ).collect()
+        }
+        assert set(auto) == set(fixed) == {r[0] for r in rows}, seed
+        dropped_auto = {k for k, v in auto.items() if not v}
+        dropped_fixed = {k for k, v in fixed.items() if not v}
+        assert dropped_auto <= dropped_fixed, (seed, dropped_auto - dropped_fixed)
+        assert {n, n + 1} <= dropped_auto, seed
+
+
 def test_cosine_pairs_exact_refuses_large_frame(spark):
     """VERDICT r9 #4: the all-pairs exact=True opt-in must refuse a frame
     above the size bound unless forced — nothing else stops a caller from
