@@ -102,26 +102,17 @@ def _n_near_dup(spark: SparkSession, sf_dir: str) -> int:
 def _n_semantic(spark: SparkSession, sf_dir: str) -> int:
     # q_semantic_dedup's in-cell pair volume: Σ_cell C(|cell|, 2) over the
     # operator's EFFECTIVE cells — (centroid_id, auto-granularity
-    # sub-cell), mirroring semantic_dedup's default planning exactly
+    # sub-cell), counted over semantic_dedup's OWN planning stage
+    # (semantic_cell_assignment) so the counter cannot drift from the
+    # operator (ADVICE r11)
     from bookstore_aws_lakehouse_spark.operators.similarity import (
-        _SEMDEDUP_TARGET_OCCUPANCY,
-        _auto_cell_planes,
-        _sign_bucket_expr,
-        ivf_assign,
+        semantic_cell_assignment,
     )
 
     emb = _emb(spark, sf_dir)
-    nn = emb.filter(F.col("embedding").isNotNull())
-    centroids = _centroids(emb)
-    planes = _auto_cell_planes(
-        nn.count(), centroids.count(), _SEMDEDUP_TARGET_OCCUPANCY
-    )
-    sub = (
-        _sign_bucket_expr(F.col("embedding"), planes, 64) if planes else F.lit(0)
-    )
-    cells = ivf_assign(nn, centroids, "vec_id", "embedding", keep_vec=True).select(
-        "centroid_id", sub.alias("_subcell")
-    )
+    cells = semantic_cell_assignment(
+        emb, _centroids(emb), "vec_id", "embedding"
+    ).select("centroid_id", "_subcell")
     row = (
         cells.groupBy("centroid_id", "_subcell")
         .agg(F.count(F.lit(1)).alias("n"))

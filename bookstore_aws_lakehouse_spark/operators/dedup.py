@@ -407,26 +407,29 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    out = (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+    try:
+        return (
+            shared.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+            )
+            .filter(
+                # integer cross-multiplication: n_shared/union >= t without
+                # floats, exact for thresholds of up to 6 decimals (ppm)
+                F.col("n_shared") * 1_000_000
+                >= F.lit(int(round(threshold * 1_000_000)))
+                * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            )
+            .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
+            .localCheckpoint(eager=True)
         )
-        .filter(
-            # integer cross-multiplication: n_shared/union >= t without
-            # floats, exact for thresholds of up to 6 decimals (ppm)
-            F.col("n_shared") * 1_000_000
-            >= F.lit(int(round(threshold * 1_000_000)))
-            * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-        )
-        .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
-        .localCheckpoint(eager=True)
-    )
-    for p in pins:
-        p.unpersist()
-    return out
+    finally:
+        # try/finally so a failed materialization (OOM, interrupt) does
+        # not leak the postings pins into the session-lifetime cache.
+        for p in pins:
+            p.unpersist()
 
 
 def containment_pairs(
@@ -462,37 +465,39 @@ def containment_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     j = shared.join(sa, "id_a").join(sb, "id_b")
-    out = (
-        j.select(
-            "n_shared",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("id_a").alias("id_sub"),
-                        F.col("id_b").alias("id_super"),
-                        F.col("n_a").alias("n_sub"),
-                    ),
-                    F.struct(
-                        F.col("id_b").alias("id_sub"),
-                        F.col("id_a").alias("id_super"),
-                        F.col("n_b").alias("n_sub"),
-                    ),
-                )
-            ).alias("_d"),
+    try:
+        return (
+            j.select(
+                "n_shared",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("id_a").alias("id_sub"),
+                            F.col("id_b").alias("id_super"),
+                            F.col("n_a").alias("n_sub"),
+                        ),
+                        F.struct(
+                            F.col("id_b").alias("id_sub"),
+                            F.col("id_a").alias("id_super"),
+                            F.col("n_b").alias("n_sub"),
+                        ),
+                    )
+                ).alias("_d"),
+            )
+            .filter(F.col("n_shared") * 1_000_000 >= t * F.col("_d.n_sub"))
+            .select(
+                F.col("_d.id_sub").alias("id_sub"),
+                F.col("_d.id_super").alias("id_super"),
+                "n_shared",
+                F.col("_d.n_sub").alias("n_sub"),
+                (F.col("n_shared") / F.col("_d.n_sub")).alias("containment"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("n_shared") * 1_000_000 >= t * F.col("_d.n_sub"))
-        .select(
-            F.col("_d.id_sub").alias("id_sub"),
-            F.col("_d.id_super").alias("id_super"),
-            "n_shared",
-            F.col("_d.n_sub").alias("n_sub"),
-            (F.col("n_shared") / F.col("_d.n_sub")).alias("containment"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    for p in pins:
-        p.unpersist()
-    return out
+    finally:
+        # try/finally: no pin leak on failed materialization.
+        for p in pins:
+            p.unpersist()
 
 
 SIMHASH_BITS = 60
@@ -775,17 +780,19 @@ def winnowed_pairs(
         pins.append(fps)
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
-    out = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-        .localCheckpoint(eager=True)
-    )
-    for p in pins:
-        p.unpersist()
-    return out
+    try:
+        return (
+            a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # try/finally: no pin leak on failed materialization.
+        for p in pins:
+            p.unpersist()
 
 
 def connected_components(

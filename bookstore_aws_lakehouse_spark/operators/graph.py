@@ -71,45 +71,57 @@ def pagerank(
         pinned.append(df)
         return df
 
-    edges = _pin(edges)
-    nodes = _pin(
-        edges.select(src.alias("id"))
-        .unionByName(edges.select(dst.alias("id")))
-        .distinct()
-    )
-    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    deg = _pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "id", F.round(F.lit(1.0) / F.col("_n"), round_dp).alias("rank")
-    )
-    for _ in range(num_iters):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
-            .select(dst.alias("id"), (F.col("rank") / F.col("_d")).alias("_c"))
-            .groupBy("id")
-            .agg(F.sum("_c").alias("_c"))
+    # Spark's cache is plan-keyed, not ref-counted: if the CALLER already
+    # cached `edges`, persist() here is a no-op on the same entry and our
+    # cleanup unpersist would evict the caller's cache on return. Only
+    # pin frames this operator derives when the input arrives pre-cached.
+    caller_cached = edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    if not caller_cached:
+        edges = _pin(edges)
+    try:
+        nodes = _pin(
+            edges.select(src.alias("id"))
+            .unionByName(edges.select(dst.alias("id")))
+            .distinct()
         )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(n))
-            .select(
-                "id",
-                F.round(
-                    F.lit(1.0 - damping) / F.col("_n")
-                    + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0)),
-                    round_dp,
-                ).alias("rank"),
+        n = nodes.agg(F.count(F.lit(1)).alias("_n"))
+        deg = _pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d")))
+        ranks = nodes.crossJoin(F.broadcast(n)).select(
+            "id", F.round(F.lit(1.0) / F.col("_n"), round_dp).alias("rank")
+        )
+        for _ in range(num_iters):
+            contribs = (
+                edges.join(ranks.withColumnRenamed("id", "src"), "src")
+                .join(deg, "src")
+                .select(dst.alias("id"), (F.col("rank") / F.col("_d")).alias("_c"))
+                .groupBy("id")
+                .agg(F.sum("_c").alias("_c"))
             )
-        )
-        # Iteration-boundary pin: ranks_t is computed once, not replayed
-        # inside ranks_{t+1}'s plan.
-        ranks = _pin(ranks)
-    if not pin:
+            ranks = (
+                nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(n))
+                .select(
+                    "id",
+                    F.round(
+                        F.lit(1.0 - damping) / F.col("_n")
+                        + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0)),
+                        round_dp,
+                    ).alias("rank"),
+                )
+            )
+            # Iteration-boundary pin: ranks_t is computed once, not
+            # replayed inside ranks_{t+1}'s plan.
+            ranks = _pin(ranks)
+        if not pin:
+            return ranks
+        # Materialize the (node-sized) result, then drop every cached
+        # intermediate: the operator leaves the cache exactly as it
+        # found it (the caller's own pins included — see caller_cached).
+        ranks = ranks.localCheckpoint(eager=True)
         return ranks
-    # Materialize the (node-sized) result, then drop every cached
-    # intermediate: the operator leaves the cache exactly as it found it.
-    ranks = ranks.localCheckpoint(eager=True)
-    for df in pinned:
-        df.unpersist()
-    return ranks
+    finally:
+        # Unconditional cleanup: a failed materialization (OOM, task
+        # failure, interrupt) must not leak pins into the
+        # session-lifetime cache.
+        for df in pinned:
+            df.unpersist()

@@ -18,6 +18,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,8 @@ from bookstore_aws_lakehouse_spark.functions.vector import (
 )
 from bookstore_aws_lakehouse_spark.operators.dedup import md5_hash64
 from bookstore_aws_lakehouse_spark.operators.windows import top_n_per_group
+
+_sim_log = logging.getLogger(__name__)
 
 
 def _cosine_prenormed(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
@@ -211,15 +215,17 @@ def cosine_pairs(
         )
 
         cos = make_cosine_similarity_exact_pandas()
-        out = (
-            scored.select(
-                "id_a", "id_b", cos(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+        try:
+            return (
+                scored.select(
+                    "id_a", "id_b", cos(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+                )
+                .filter(F.col("cosine") >= threshold)
+                .localCheckpoint(eager=True)
             )
-            .filter(F.col("cosine") >= threshold)
-            .localCheckpoint(eager=True)
-        )
-        tb.unpersist()
-        return out
+        finally:
+            # try/finally: no pin leak on failed materialization.
+            tb.unpersist()
     return scored.select(
         "id_a",
         "id_b",
@@ -974,6 +980,59 @@ def _auto_cell_planes(n_rows: int, n_cells: int, target: int) -> int:
     return math.ceil(math.log2(occ / target))
 
 
+def semantic_cell_assignment(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    auto_granularity: bool = True,
+    num_dims: int = 64,
+) -> DataFrame:
+    """``semantic_dedup``'s planning stage as a lazy frame: every non-NULL
+    vector with its effective cell key ``(centroid_id, _subcell)`` plus
+    the hoisted L2 norm. Extracted so the bench's candidate counter
+    (``instrumentation._n_semantic``) counts over the operator's OWN
+    assignment instead of a re-implementation that can drift (ADVICE r11).
+
+    Auto-granularity resolves here (two count() jobs when enabled; one
+    more ``first()`` when the split activates, to derive the hyperplane
+    dimensionality from the data)."""
+    nn = df.filter(F.col(vec_col).isNotNull())
+    planes = (
+        _auto_cell_planes(
+            nn.count(), centroids.count(), _SEMDEDUP_TARGET_OCCUPANCY
+        )
+        if auto_granularity
+        else 0
+    )
+    if planes:
+        # The sub-cell split changes results vs the planes=0 path (near-
+        # duplicates straddling a sub-cell boundary are missed) — make
+        # the switch visible to callers instead of silently reducing
+        # recall (ADVICE r11). Also derive the hyperplane dimensionality
+        # from the DATA, not the default: if num_dims exceeded the real
+        # embedding width, zip_with would null-pad every dot product to
+        # NULL, zero every sub-cell bit, and silently no-op the split —
+        # defeating the occupancy bound this path exists to hold.
+        row = nn.select(F.size(F.col(vec_col)).alias("_d")).first()
+        real_dims = int(row["_d"]) if row is not None else num_dims
+        eff_dims = min(num_dims, real_dims)
+        _sim_log.warning(
+            "semantic_dedup auto-granularity active: occupancy exceeds "
+            "%d, splitting cells with %d sign-LSH plane(s) over %d dims "
+            "(near-duplicates across sub-cells are not compared)",
+            _SEMDEDUP_TARGET_OCCUPANCY, planes, eff_dims,
+        )
+        subcell = _sign_bucket_expr(F.col(vec_col), planes, eff_dims)
+    else:
+        subcell = F.lit(0)
+    return ivf_assign(nn, centroids, id_col, vec_col, keep_vec=True).select(
+        F.col(id_col), F.col("centroid_id"), F.col(vec_col),
+        subcell.alias("_subcell"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame,
@@ -1018,31 +1077,9 @@ def semantic_dedup(
     (``id_col``, centroid_id, kept boolean)."""
     from pyspark import StorageLevel
 
-    nn = df.filter(F.col(vec_col).isNotNull())
-    planes = (
-        _auto_cell_planes(
-            nn.count(), centroids.count(), _SEMDEDUP_TARGET_OCCUPANCY
-        )
-        if auto_granularity
-        else 0
-    )
-    subcell = (
-        _sign_bucket_expr(F.col(vec_col), planes, num_dims)
-        if planes
-        else F.lit(0)
-    )
     cells = (
-        ivf_assign(
-            nn,
-            centroids,
-            id_col,
-            vec_col,
-            keep_vec=True,
-        )
-        .select(
-            F.col(id_col), F.col("centroid_id"), F.col(vec_col),
-            subcell.alias("_subcell"),
-            l2_norm(F.col(vec_col)).alias("_n"),
+        semantic_cell_assignment(
+            df, centroids, id_col, vec_col, auto_granularity, num_dims
         )
         # the assignment feeds THREE consumers (both pair-join sides and
         # the output spine); unpinned, the |corpus|×|centroids| argmax —

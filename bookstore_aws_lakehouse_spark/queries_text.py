@@ -499,23 +499,25 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.sum("c12").alias("cw1"))
     )
-    out = (
-        db.join(c2, "bigram")
-        .withColumn("w1", F.split("bigram", " ")[0])
-        .join(F.broadcast(c1), "w1")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("k").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("k") * F.log(F.col("c12") / F.col("cw1"))) / F.sum("k"),
-                6,
-            ).alias("avg_logprob"),
+    try:
+        return (
+            db.join(c2, "bigram")
+            .withColumn("w1", F.split("bigram", " ")[0])
+            .join(F.broadcast(c1), "w1")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("k").alias("n_bigrams"),
+                F.round(
+                    F.sum(F.col("k") * F.log(F.col("c12") / F.col("cw1"))) / F.sum("k"),
+                    6,
+                ).alias("avg_logprob"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    db.unpersist()
-    c2.unpersist()
-    return out
+    finally:
+        # try/finally: no pin leak on failed materialization.
+        db.unpersist()
+        c2.unpersist()
 
 
 @golden(
