@@ -387,6 +387,7 @@ def jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.4,
     max_df: int | None = 100,
+    pin: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted-index self-join: only doc pairs
     sharing ≥1 shingle are ever compared. jaccard = |A∩B| / (|A|+|B|-|A∩B|)
@@ -399,16 +400,20 @@ def jaccard_pairs(
     single straggler partition at 100×. Jaccard is then computed over the
     filtered shingle sets. ``max_df=None`` opts into unfiltered semantics.
 
-    Construction is EAGER: the postings index is pinned, the result
-    materialized, every pin dropped (see ``_shingle_shared`` pin=True —
-    unpinned, the shingle pipeline re-executed once per consumer)."""
+    Construction is EAGER by default: the postings index is pinned, the
+    result materialized, every pin dropped (see ``_shingle_shared``
+    pin=True — unpinned, the shingle pipeline re-executed once per
+    consumer). ``pin=False`` returns the fully LAZY scored plan — for
+    plan-shape tests (the eager form explains as a checkpoint scan,
+    hiding the join shapes) and callers embedding the pairs inside a
+    larger one-shot plan."""
     shared, sizes, pins = _shingle_shared(
-        df, id_col, text_col, shingle_k, max_df, pin=True
+        df, id_col, text_col, shingle_k, max_df, pin=pin
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     try:
-        return (
+        scored = (
             shared.join(sa, "id_a")
             .join(sb, "id_b")
             .withColumn(
@@ -423,8 +428,10 @@ def jaccard_pairs(
                 * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
             )
             .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
-            .localCheckpoint(eager=True)
         )
+        if not pin:
+            return scored
+        return scored.localCheckpoint(eager=True)
     finally:
         # try/finally so a failed materialization (OOM, interrupt) does
         # not leak the postings pins into the session-lifetime cache.
@@ -439,6 +446,7 @@ def containment_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 100,
+    pin: bool = True,
 ) -> DataFrame:
     """Directed n-gram containment: emit (id_sub, id_super) where
     containment(sub→super) = |sub ∩ super| / |sub| ≥ threshold — the
@@ -456,17 +464,18 @@ def containment_pairs(
     2-element explode — the former dir_a ∪ dir_b union put the entire
     shingle pipeline in the plan twice (88 exchanges, zero reuse;
     measured 3.9× wall-time at 10× data against the family's ~2×).
-    Construction is EAGER: postings pinned, result materialized, pins
-    dropped (``_shingle_shared`` pin=True)."""
+    Construction is EAGER by default: postings pinned, result
+    materialized, pins dropped (``_shingle_shared`` pin=True);
+    ``pin=False`` returns the lazy scored plan for plan-shape tests."""
     shared, sizes, pins = _shingle_shared(
-        df, id_col, text_col, shingle_k, max_df, pin=True
+        df, id_col, text_col, shingle_k, max_df, pin=pin
     )
     t = F.lit(int(round(threshold * 1_000_000)))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     j = shared.join(sa, "id_a").join(sb, "id_b")
     try:
-        return (
+        scored = (
             j.select(
                 "n_shared",
                 F.explode(
@@ -492,8 +501,10 @@ def containment_pairs(
                 F.col("_d.n_sub").alias("n_sub"),
                 (F.col("n_shared") / F.col("_d.n_sub")).alias("containment"),
             )
-            .localCheckpoint(eager=True)
         )
+        if not pin:
+            return scored
+        return scored.localCheckpoint(eager=True)
     finally:
         # try/finally: no pin leak on failed materialization.
         for p in pins:
@@ -756,6 +767,7 @@ def winnowed_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_df: int | None = 100,
+    pin: bool = True,
 ) -> DataFrame:
     """Overlap candidates from winnowed fingerprints: pairs sharing
     ≥ ``min_shared`` fingerprints, via the same inverted-index self-join
@@ -768,27 +780,35 @@ def winnowed_pairs(
     join and BOTH self-join sides, whose differing aliases defeat
     ReusedExchange — same hazard as ``_shingle_shared``), the result
     materialized, pins dropped. ``winnowed_candidates`` stays fully lazy
-    for plan inspection and the growth harness's counters."""
+    for plan inspection and the growth harness's counters; ``pin=False``
+    additionally exposes this function's full scored plan lazily for
+    plan-shape tests."""
     pins: list[DataFrame] = []
-    fps = winnowed_fingerprints(df, id_col, text_col, k, window).persist()
-    pins.append(fps)
+    fps = winnowed_fingerprints(df, id_col, text_col, k, window)
+    if pin:
+        fps = fps.persist()
+        pins.append(fps)
     if max_df is not None:
         counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
         fps = fps.join(counts.filter(F.col("_df") <= max_df), "fp").select(
             F.col(id_col), "fp"
-        ).persist()
-        pins.append(fps)
+        )
+        if pin:
+            fps = fps.persist()
+            pins.append(fps)
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     try:
-        return (
+        scored = (
             a.join(b, "fp")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
-            .localCheckpoint(eager=True)
         )
+        if not pin:
+            return scored
+        return scored.localCheckpoint(eager=True)
     finally:
         # try/finally: no pin leak on failed materialization.
         for p in pins:

@@ -145,8 +145,11 @@ def cosine_pairs(
     num_tables: int = 4,
     num_dims: int = 64,
     force: bool = False,
+    pin: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cosine ≥ threshold.
+    ``pin=False`` returns the LSH path's fully lazy scored plan (no
+    persist, no checkpoint) for plan-shape tests and one-shot embedding.
 
     Default path: multi-table sign-LSH candidate generation
     (``lsh_bucket_tables``) — a pair is scored only if it shares a bucket
@@ -195,7 +198,9 @@ def cosine_pairs(
         # eager final + unpersist — the uniform pin lifecycle.
         tb = lsh_bucket_tables(
             df, id_col, vec_col, num_planes, num_tables, num_dims
-        ).persist()
+        )
+        if pin:
+            tb = tb.persist()
         cand = lsh_candidate_pairs(
             df, id_col, vec_col, num_planes, num_tables, num_dims,
             bucket_tables=tb,
@@ -216,16 +221,16 @@ def cosine_pairs(
 
         cos = make_cosine_similarity_exact_pandas()
         try:
-            return (
-                scored.select(
-                    "id_a", "id_b", cos(F.col("vec_a"), F.col("vec_b")).alias("cosine")
-                )
-                .filter(F.col("cosine") >= threshold)
-                .localCheckpoint(eager=True)
-            )
+            out = scored.select(
+                "id_a", "id_b", cos(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+            ).filter(F.col("cosine") >= threshold)
+            if not pin:
+                return out
+            return out.localCheckpoint(eager=True)
         finally:
             # try/finally: no pin leak on failed materialization.
-            tb.unpersist()
+            if pin:
+                tb.unpersist()
     return scored.select(
         "id_a",
         "id_b",

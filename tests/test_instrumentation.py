@@ -66,3 +66,48 @@ def test_semantic_dedup_counter_matches_cell_math(spark, sf_smoke):
     expect = sum(n * (n - 1) // 2 for n in sizes)
     got = GROWTH_CANDIDATE_COUNTERS["semantic_dedup"](spark, sf_smoke)
     assert got == expect
+
+
+def test_semantic_subcell_branch_matches_operator_assignment(spark):
+    """ADVICE r11: at fixture scale occupancy (~50) resolves to 0 planes,
+    so the sub-cell branch that actually runs on the growth corpus was
+    never exercised. A 600-vector / 2-centroid corpus (occupancy 300 →
+    2 planes) checks that (a) the split actually subdivides cells — the
+    occupancy bound the branch exists to hold, (b) the counter math over
+    the operator's OWN assignment shows strictly less in-cell pair
+    volume than the undivided cells, and (c) an oversized num_dims no
+    longer silently no-ops the split (the zip_with null-pad bug: every
+    dot NULL → every sub-cell bit 0)."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        semantic_cell_assignment,
+    )
+
+    dims = [1.0, 2.3, 3.7, 5.1, 7.9, 11.3, 13.7, 17.1]
+    emb = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            [F.cos(F.col("id") * F.lit(p)) for p in dims]
+        ).alias("embedding"),
+    )
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+    def pair_volume(cells, keys):
+        sizes = cells.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
+        return sum(r["n"] * (r["n"] - 1) // 2 for r in sizes)
+
+    cells = semantic_cell_assignment(emb, cents, num_dims=len(dims))
+    n_sub = cells.select("centroid_id", "_subcell").distinct().count()
+    n_cells = cells.select("centroid_id").distinct().count()
+    assert n_sub > n_cells  # the split happened
+    assert pair_volume(cells, ["centroid_id", "_subcell"]) < pair_volume(
+        cells, ["centroid_id"]
+    )
+    # oversized num_dims: eff dims derive from the data, split still live
+    cells_big = semantic_cell_assignment(emb, cents, num_dims=4096)
+    assert (
+        cells_big.select("centroid_id", "_subcell").distinct().count() > n_cells
+    )

@@ -116,6 +116,35 @@ def test_candidate_stages_never_cartesian(spark, sf_smoke):
         assert "Join" in plan, name  # the guard is non-vacuous
 
 
+def test_scored_pair_plans_never_cartesian(spark, sf_smoke):
+    """ADVICE r11: the candidate-stage guards above stop at the lazy
+    index stage — the FINAL scored joins (candidates joined back to
+    sizes/vectors) went unguarded once the operators became eager. The
+    ``pin=False`` escape returns each operator's OWN lazy scored plan
+    (not a test-local reconstruction that could drift), so the full
+    shape through the similarity cut is pinned here."""
+    from bookstore_aws_lakehouse_spark.catalog import load_table
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        winnowed_pairs,
+    )
+    from bookstore_aws_lakehouse_spark.operators.similarity import cosine_pairs
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    for name, df in [
+        ("jaccard", jaccard_pairs(docs, "doc_id", "text", pin=False)),
+        ("containment", containment_pairs(docs, "doc_id", "text", pin=False)),
+        ("winnowed", winnowed_pairs(docs, "doc_id", "text", pin=False)),
+        ("cosine_lsh", cosine_pairs(emb, pin=False)),
+    ]:
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Join" in plan, name  # non-vacuous
+
+
 def test_salted_join_spreads_hot_key(spark):
     """Skew evidence at the task level: with a key holding ~50% of the
     fact, a shuffle join pins that key's whole output on ONE partition (a
