@@ -26,6 +26,11 @@ import time
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
+#: reserved BENCH_PREV.json key for the machine-speed probe (never a
+#: query name) — lets calibrated ratios compare era-over-era from the
+#: artifacts alone (VERDICT r11 #1)
+_CAL_KEY = "__calibration_topk_p50__"
+
 
 def _read_psi_cpu() -> dict | None:
     """Cgroup/host CPU pressure (PSI) totals in microseconds, if readable.
@@ -311,14 +316,17 @@ def main() -> None:
     # from the artifacts alone (guest-invisible host slowness moves the
     # calibration and every row together; a code regression moves only
     # its rows).
+    # median-of-5: the probe divides into every calibrated ratio, so its
+    # own run-to-run noise multiplies straight into them (back-to-back
+    # sf0.001 smokes measured a 21% probe swing on 3 runs)
     cal_runs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.monotonic()
         GOLDEN["topk_books"](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         cal_runs.append(time.monotonic() - t0)
-    load_start["calibration_topk_p50"] = round(sorted(cal_runs)[1], 3)
+    load_start["calibration_topk_p50"] = round(sorted(cal_runs)[2], 3)
     timings: dict[str, float] = {}
     query_ext_load: dict[str, float] = {}
 
@@ -448,12 +456,19 @@ def main() -> None:
     # clobber the sf0.1 record and silence the next ratio; the detail
     # file is the fallback for pre-store records.
     common_vs_prev = None
+    prev_cal = None
+    cal_now = load_start.get("calibration_topk_p50")
     try:
         sf_key = str(float(sf) if sf.replace(".", "").isdigit() else sf)
         prev_q: dict = {}
         try:
             with open(prev_path) as f:
                 raw_prev = json.load(f).get(sf_key) or {}
+            # the previous run's machine-speed probe lives in the store
+            # under a reserved key (never a query name) — pop it before
+            # building the query baseline
+            rc = raw_prev.pop(_CAL_KEY, None)
+            prev_cal = rc["s"] if isinstance(rc, dict) else rc
             # entries are {"s": seconds, "src": "run"|"solo"} since r10
             # (ADVICE r9: per-entry provenance); bare floats are the
             # pre-provenance format — accept both
@@ -471,6 +486,10 @@ def main() -> None:
                 if str(prev.get("sf")) == sf_key
                 else {}
             )
+            if prev_cal is None:
+                prev_cal = (prev.get("load") or {}).get("start", {}).get(
+                    "calibration_topk_p50"
+                )
         shared = sorted(set(prev_q) & set(timings))
         prev_sum = sum(prev_q[q] for q in shared)
         if shared and prev_sum > 0:
@@ -480,6 +499,21 @@ def main() -> None:
                 "prev_sum_s": round(prev_sum, 3),
                 "ratio": round(sum(timings[q] for q in shared) / prev_sum, 3),
             }
+            # Calibration normalization (VERDICT r11 #1): dividing two
+            # rounds' machine-speed probes attributes a box-floor shift
+            # from the artifacts alone — guest-invisible host slowness
+            # moves the probe and every row together; a code regression
+            # moves only its rows. calibrated_ratio is the ratio a
+            # same-speed box would have recorded; it retires the manual
+            # re-run-the-old-commit A/Bs of r10/r11.
+            common_vs_prev["calibration_s"] = cal_now
+            common_vs_prev["prev_calibration_s"] = prev_cal
+            if cal_now and prev_cal:
+                cal_factor = cal_now / prev_cal
+                common_vs_prev["cal_factor"] = round(cal_factor, 3)
+                common_vs_prev["calibrated_ratio"] = round(
+                    common_vs_prev["ratio"] / cal_factor, 3
+                )
     except (OSError, ValueError):
         pass
 
@@ -496,6 +530,7 @@ def main() -> None:
         adjudication = _adjudicate(
             spark, sf_dir, GOLDEN, prev_q, timings, meter, n_runs,
             mk_session=mk_session,
+            cal_factor=common_vs_prev.get("cal_factor") or 1.0,
         )
 
     def _git_head() -> str | None:
@@ -560,6 +595,8 @@ def main() -> None:
             and query_ext_load.get(q, 0.0) > 0.1
         ):
             baseline[q] = {"s": solo, "src": "solo"}
+    if cal_now:
+        baseline[_CAL_KEY] = {"s": cal_now, "src": "cal"}
     prev_store[str(detail["sf"])] = baseline
     with open(prev_path, "w") as f:
         json.dump(prev_store, f, indent=1, sort_keys=True)
@@ -578,6 +615,12 @@ def main() -> None:
                 "common_vs_prev_ratio": (
                     common_vs_prev["ratio"] if common_vs_prev else None
                 ),
+                "calibrated_ratio": (
+                    common_vs_prev.get("calibrated_ratio")
+                    if common_vs_prev
+                    else None
+                ),
+                "calibration_topk_p50": cal_now,
                 "n_adjudicated": len(adjudication),
                 "detail": "BENCH_DETAIL.json",
             }
@@ -595,9 +638,17 @@ def _adjudicate(
     meter: "_LoadMeter",
     n_runs: int,
     mk_session=None,
+    cal_factor: float = 1.0,
 ) -> dict[str, dict]:
     """Re-measure every shared row that regressed >1.3× vs the previous
-    record SOLO (median-of-n, warm, own load window). Rows the bench
+    record SOLO (median-of-n, warm, own load window).
+
+    Ratios are CALIBRATION-NORMALIZED (VERDICT r11 #1): the trigger and
+    the recorded ``*_ratio_cal`` fields divide by ``cal_factor`` — this
+    run's machine-speed probe over the previous run's — so a uniformly
+    slower box doesn't put every row on the adjudication treadmill, and
+    a row that truly regressed still trips on a uniformly faster one.
+    Raw ratios stay recorded alongside. Rows the bench
     synthesizes itself (e.g. etl_top100_books_cold) have no registry
     entry to re-run — and a "cold" row re-measured warm would be a
     different quantity anyway — so they get a no-solo marker instead of
@@ -610,10 +661,11 @@ def _adjudicate(
     rows UP (r9 saw a 0.43 s row solo-measure at 0.90 s that way) —
     inflation masquerading as a regression verdict."""
     adjudication: dict[str, dict] = {}
+    cal = cal_factor if cal_factor and cal_factor > 0 else 1.0
     suspects = [
         q
         for q in sorted(set(prev_q) & set(timings))
-        if prev_q[q] >= 0.3 and timings[q] / prev_q[q] > 1.3
+        if prev_q[q] >= 0.3 and timings[q] / prev_q[q] / cal > 1.3
     ]
     own_session = mk_session is not None and any(q in GOLDEN for q in suspects)
     if own_session:
@@ -626,6 +678,8 @@ def _adjudicate(
                 "run_s": timings[q],
                 "solo_s": None,
                 "run_ratio": round(timings[q] / prev_q[q], 2),
+                "run_ratio_cal": round(timings[q] / prev_q[q] / cal, 2),
+                "cal_factor": round(cal, 3),
                 "note": "bench-synthesized row; solo re-measure not applicable",
             }
             continue
@@ -644,12 +698,67 @@ def _adjudicate(
             "solo_s": solo,
             "run_ratio": round(timings[q] / prev_q[q], 2),
             "solo_ratio": round(solo / prev_q[q], 2),
+            "run_ratio_cal": round(timings[q] / prev_q[q] / cal, 2),
+            "solo_ratio_cal": round(solo / prev_q[q] / cal, 2),
+            "cal_factor": round(cal, 3),
             "ext_busy": meter.window(),
             "fresh_session": own_session,
         }
     if own_session:
         spark.stop()
     return adjudication
+
+
+def _winnow_stages(spark, d: str) -> dict:
+    """Per-stage wall-time attribution for the dedup_winnowed_pairs growth
+    row (VERDICT r11 #2): its recorded ratio fluctuated 2.4–3.0× across
+    rounds at LINEAR candidate growth, which time-plus-candidates alone
+    can't adjudicate. Mirrors ``operators/dedup.py::winnowed_pairs``'s
+    exact stages (same literals as q_dedup_winnowed_pairs: k=3, window=4,
+    min_shared=2, max_df=100) with each stage pinned so the next times
+    only its own work: postings (rolling-hash + winnow minima), stop-
+    filter (df counts + join), join_agg (self-join + pair agg +
+    min_shared cut). Stages are warm and attribute structurally — they
+    don't decompose the timed min-of-N arithmetically (same contract as
+    the cold-ETL phase split)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        winnowed_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    t0 = _t.monotonic()
+    fps = winnowed_fingerprints(docs, "doc_id", "text", 3, 4).persist()
+    fps.write.format("noop").mode("overwrite").save()
+    t1 = _t.monotonic()
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    filt = (
+        fps.join(counts.filter(F.col("_df") <= 100), "fp")
+        .select(F.col("doc_id"), "fp")
+        .persist()
+    )
+    filt.write.format("noop").mode("overwrite").save()
+    t2 = _t.monotonic()
+    a = filt.select(F.col("doc_id").alias("id_a"), "fp")
+    b = filt.select(F.col("doc_id").alias("id_b"), "fp")
+    (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    ).write.format("noop").mode("overwrite").save()
+    t3 = _t.monotonic()
+    fps.unpersist()
+    filt.unpersist()
+    return {
+        "postings_s": round(t1 - t0, 3),
+        "stop_filter_s": round(t2 - t1, 3),
+        "join_agg_s": round(t3 - t2, 3),
+    }
 
 
 def mutate_docs(docs, c: int):
@@ -916,6 +1025,16 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
                 except Exception as exc:  # diagnostic only — never fail bench
                     entry["candidates_error"] = f"{type(exc).__name__}: {exc}"[:200]
                 meter.window()  # counting jobs are outside every window
+            if name == "dedup_winnowed_pairs":
+                # per-stage attribution (VERDICT r11 #2) — names which
+                # stage grows when the ratio disagrees with the linear
+                # candidate counters; untimed w.r.t. the ratio above
+                try:
+                    entry["stages_base"] = _winnow_stages(spark, sf_dir)
+                    entry["stages_x10"] = _winnow_stages(spark, tmp)
+                except Exception as exc:
+                    entry["stages_error"] = f"{type(exc).__name__}: {exc}"[:200]
+                meter.window()
             out["queries"][name] = entry
         return out
     finally:
