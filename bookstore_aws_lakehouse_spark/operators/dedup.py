@@ -815,6 +815,61 @@ def winnowed_pairs(
             p.unpersist()
 
 
+def cap_pair_neighbors(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "jaccard",
+    k: int = 10,
+) -> DataFrame:
+    """Per-id top-k neighbor cap for similarity pair sets (VERDICT r11
+    #3): bound the edge volume ``connected_components`` consumes.
+
+    At a low threshold the θ-passing pair set is the scale hazard — the
+    10× growth corpus grew θ=0.1 jaccard pairs 25.6× while candidates
+    stayed linear (NOTES_r14 §8), and at 100 TB an unbounded pair set
+    makes every CC iteration's join superlinear in corpus growth. The
+    cap keeps, for each id, only its ``k`` most-similar neighbors
+    (kNN-graph OR-symmetrization: a pair survives if it ranks top-k for
+    EITHER endpoint), so CC's input is ≤ 2k·|ids| edges by construction.
+
+    Determinism/oracle contract: rank by (score DESC, neighbor id ASC)
+    via row_number — a total order per id, replayable in ANSI SQL.
+
+    Invariants (pinned by tests/test_dedup_properties.py):
+    - output ⊆ input (the cap only removes edges, never invents them);
+    - exact-duplicate groups stay single clusters: in a clique of m
+      identical docs (score ties at the top), every member ranks the
+      clique's MINIMUM id within its top-k (ties break id-ascending), so
+      all m connect to that minimum even when m ≫ k;
+    - the documented trade: a long low-similarity CHAIN can split where
+      a hub's weakest edges fall outside every endpoint's top-k — at
+      θ→0 that is exactly the transitive gluing a bounded pipeline must
+      refuse.
+    """
+    from pyspark.sql import Window
+
+    directed = pairs.select(
+        F.col(id_a).alias("_id"), F.col(id_b).alias("_nb"),
+        F.col(score_col).alias("_s"),
+    ).unionByName(
+        pairs.select(
+            F.col(id_b).alias("_id"), F.col(id_a).alias("_nb"),
+            F.col(score_col).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_s").desc(), F.col("_nb").asc())
+    return (
+        directed.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.least("_id", "_nb").alias(id_a),
+            F.greatest("_id", "_nb").alias(id_b),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -846,6 +901,13 @@ def connected_components(
     every round — worst case one extra (cheap, already-converged) join
     round in exchange for half the count jobs. Round 0 never checks: a
     non-trivial graph cannot have converged before any propagation.
+
+    Scale contract: this operator consumes whatever pair volume its
+    caller emits — at a low threshold that volume, not the candidate
+    index, is the 100-TB hazard (measured 25.6× pair growth at 10× data,
+    NOTES_r14 §8). Callers clustering at low θ should bound the input
+    with ``cap_pair_neighbors`` (per-id top-k most-similar, ≤ 2k·|ids|
+    edges by construction) — the opt-in used by ``dedup_clusters_capped``.
     """
     spark = pairs.sparkSession
     if reliable and checkpoint_dir is not None:

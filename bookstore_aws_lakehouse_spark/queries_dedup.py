@@ -296,6 +296,72 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+_CAP_K = 10
+
+_CLUSTERS_CAPPED_SQL = (
+    _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+    + ","
+    + _jaccard_core_cte(max_df=100)
+    + f""",
+pairs AS (
+  SELECT id_a, id_b,
+         n_shared / CAST(sa.n_shingles + sb.n_shingles - n_shared AS DOUBLE) AS j
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_shared * 1000 >= 100 * (sa.n_shingles + sb.n_shingles - n_shared)
+),
+directed AS (
+  SELECT id_a AS id, id_b AS nb, j FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, j FROM pairs
+),
+ranked AS (
+  SELECT id, nb,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY j DESC, nb ASC) AS r
+  FROM directed
+),
+capped AS (
+  SELECT DISTINCT least(id, nb) AS id_a, greatest(id, nb) AS id_b
+  FROM ranked WHERE r <= {_CAP_K}
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM capped
+  UNION ALL
+  SELECT id_b, id_a FROM capped
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+)
+
+
+@golden("dedup_clusters_capped", _CLUSTERS_CAPPED_SQL)
+def q_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-contract variant of ``dedup_clusters`` (VERDICT r11
+    #3): the θ=0.1 jaccard pair set is capped to each id's top-10
+    most-similar neighbors (``cap_pair_neighbors`` — rank by score DESC,
+    neighbor id ASC; a pair survives if either endpoint ranks it) BEFORE
+    connected components, so CC's per-iteration join volume is
+    ≤ 20·|docs| edges however dense the θ-passing graph gets. The oracle
+    replays the cap with the same ROW_NUMBER rule, then the same
+    recursive transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1)
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        cap_pair_neighbors,
+        connected_components,
+    )
+
+    capped = cap_pair_neighbors(pairs, "id_a", "id_b", "jaccard", k=_CAP_K)
+    return connected_components(capped)
+
+
 @golden(
     "fuzzy_part_names",
     """

@@ -390,3 +390,75 @@ def test_cap_invariants_randomized(spark):
         assert mh_capped <= mh_full, (seed, cap)
         for pair in [(500, 501), (500, 502), (501, 502)]:
             assert pair in mh_capped, (seed, cap, pair)
+
+
+def test_cap_pair_neighbors_invariants_randomized(spark):
+    """Randomized sweep of the CC-input neighbor cap (VERDICT r11 #3),
+    same pattern as the saturated-bucket sweep above:
+
+    1. capped ⊆ input (the cap only removes edges);
+    2. the capped set equals a pure-Python mirror of the declared rule
+       (per-id rank by score DESC, neighbor ASC; keep rank ≤ k; a pair
+       survives if EITHER endpoint keeps it);
+    3. an exact-duplicate clique LARGER than k stays one connected
+       component (every member keeps the clique's min id — score ties
+       break id-ascending);
+    4. k ≥ max degree reproduces the uncapped graph exactly.
+    """
+    import random
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        cap_pair_neighbors,
+        connected_components,
+    )
+
+    for seed, k in [(11, 1), (12, 3), (13, 5)]:
+        rng = random.Random(seed)
+        edges: dict[tuple[int, int], float] = {}
+        for _ in range(60):
+            a, b = rng.sample(range(30), 2)
+            edges[(min(a, b), max(a, b))] = round(rng.random(), 6)
+        # planted exact-dup clique of size k+4 (> k), score 1.0
+        clique = list(range(100, 100 + k + 4))
+        for i in range(len(clique)):
+            for j in range(i + 1, len(clique)):
+                edges[(clique[i], clique[j])] = 1.0
+        rows = [(a, b, s) for (a, b), s in sorted(edges.items())]
+        df = spark.createDataFrame(rows, "id_a bigint, id_b bigint, jaccard double")
+
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in cap_pair_neighbors(df, k=k).collect()
+        }
+        assert capped <= set(edges), (seed, k)
+
+        # python mirror of the declared rule
+        directed: dict[int, list[tuple[float, int]]] = {}
+        for (a, b), s in edges.items():
+            directed.setdefault(a, []).append((s, b))
+            directed.setdefault(b, []).append((s, a))
+        expect = set()
+        for i, nbrs in directed.items():
+            nbrs.sort(key=lambda t: (-t[0], t[1]))
+            for s, nb in nbrs[:k]:
+                expect.add((min(i, nb), max(i, nb)))
+        assert capped == expect, (seed, k)
+
+        # clique stays one component under CC
+        cc_in = spark.createDataFrame(
+            sorted(capped), "id_a bigint, id_b bigint"
+        )
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(cc_in).collect()
+        }
+        for m in clique:
+            assert labels[m] == clique[0], (seed, k, m)
+
+        # k >= max degree: cap is the identity
+        max_deg = max(len(v) for v in directed.values())
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in cap_pair_neighbors(df, k=max_deg).collect()
+        }
+        assert uncapped == set(edges), (seed, k)
