@@ -836,6 +836,13 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
         # driven by per-round join volume, not round count.
         "dedup_clusters",
         "dedup_survivors",
+        # r12 (VERDICT r11 #3): the bounded-contract CC variant — the cap
+        # holds CC's input at ≤ 2k·|docs| edges however dense the
+        # θ-passing graph gets, so its growth ratio should stay near the
+        # pair-generation family's even where dedup_clusters' 25.6×
+        # pair blowup drives a ~3.3× time ratio. The counter records the
+        # post-cap edge count to make the bound observable per run.
+        "dedup_clusters_capped",
         # r7 (VERDICT r6 #4): the two most expensive benched queries that
         # previously had no growth datapoint — the directed-containment
         # consumer of the inverted index, and the heaviest text shape

@@ -163,6 +163,22 @@ def _n_cc_input(spark: SparkSession, sf_dir: str) -> int:
     ).count()
 
 
+def _n_cc_capped_input(spark: SparkSession, sf_dir: str) -> int:
+    # q_dedup_clusters_capped: CC's input AFTER the per-id top-k cap —
+    # ≤ 2k·|docs| by construction (VERDICT r11 #3), recorded so the
+    # bound is observable next to dedup_clusters' uncapped 25× growth
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        cap_pair_neighbors,
+        jaccard_pairs,
+    )
+    from bookstore_aws_lakehouse_spark.queries_dedup import _CAP_K
+
+    pairs = jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", shingle_k=3, threshold=0.1
+    )
+    return cap_pair_neighbors(pairs, "id_a", "id_b", "jaccard", k=_CAP_K).count()
+
+
 #: growth-row name → candidate counter. Keys must match bench.py's
 #: _growth_section names; rows absent here (iterative/agg shapes whose
 #: cost isn't candidate-driven) simply record no candidate fields.
@@ -173,6 +189,7 @@ GROWTH_CANDIDATE_COUNTERS: dict[str, Callable[[SparkSession, str], int]] = {
     "dedup_simhash_pairs": _n_simhash,
     "dedup_winnowed_pairs": _n_winnowed,
     "dedup_clusters": _n_cc_input,
+    "dedup_clusters_capped": _n_cc_capped_input,
     "dedup_survivors": _n_cc_input,
     "embedding_near_dup": _n_near_dup,
     "semantic_dedup": _n_semantic,
