@@ -325,3 +325,44 @@ def remove_repeated_passages(
             (F.col("_n_total") - F.col("n_kept")).cast("bigint").alias("n_removed"),
         )
     )
+
+
+#: PII pattern registry for ``redact_pii`` — deliberately ANSI-regex
+#: conservative (character classes, bounded quantifiers, \b, \d; no
+#: lookaround or backreferences) so Java regex (Spark) and RE2 (DuckDB,
+#: the oracle engine) agree on every match boundary.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+):
+    """PII redaction for training-data curation: replace emails, IPv4
+    addresses and phone numbers with typed placeholder tokens, and count
+    each type (counted on the ORIGINAL text, so overlap between patterns
+    is attributed to every type that matched — the auditable convention).
+
+    Adds ``<text_col>_redacted`` plus one ``n_<name>`` column per
+    pattern. Everything is a JVM regexp expression (regexp_replace /
+    regexp_count) inside whole-stage codegen: map-side only, no shuffle,
+    no UDF — at 100 TB this is a pure scan-bandwidth pass that fuses
+    with whatever filter/projection surrounds it. Patterns are applied
+    in registry order (email before ipv4 so an address embedded in an
+    email is redacted as part of the email, matching the count rule's
+    original-text convention)."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    redacted = F.col(text_col)
+    for pat, token in pats.values():
+        redacted = F.regexp_replace(redacted, pat, token)
+    out = df.withColumn(f"{text_col}_redacted", redacted)
+    for name, (pat, _) in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    return out

@@ -689,3 +689,109 @@ def q_text_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# PII redaction (operators/text.py::redact_pii) — the fixture corpus is
+# PII-free word salad, so both engines plant the SAME deterministic PII
+# suffix on every doc_id % 5 == 0 before redacting: the patterns are
+# exercised on non-trivial counts and the whole replace+count chain is
+# value-verified, not just 0 == 0.
+_PII_PLANT_SQL = """
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@example.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                   || ' tel 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def _pii_planted(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel 555-123-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, suffix).otherwise(F.col("text")),
+    )
+
+
+@golden(
+    "text_pii_redact",
+    _PII_PLANT_SQL
+    + f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_IPV4}', '[IP]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phone
+FROM planted
+""",
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py::redact_pii): emails / IPv4 /
+    phone numbers replaced with typed placeholders, per-type counts on
+    the original text. Pure JVM regexp expressions in whole-stage
+    codegen — map-side, shuffle-free, UDF-free; at 100 TB a scan-
+    bandwidth pass that fuses with the surrounding projection. Patterns
+    are ANSI-conservative (no lookaround/backreferences) so Java regex
+    and RE2 agree on every boundary; the oracle replays plant → redact →
+    count value-for-value, including the redacted strings."""
+    from bookstore_aws_lakehouse_spark.operators.text import redact_pii
+
+    return redact_pii(_pii_planted(spark, sf_dir), "text").select(
+        "doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone"
+    )
+
+
+@golden(
+    "text_pii_rate_by_source",
+    _PII_PLANT_SQL
+    + f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{_PII_EMAIL}'))) AS BIGINT) AS n_email,
+       CAST(sum(len(regexp_extract_all(text, '{_PII_IPV4}'))) AS BIGINT) AS n_ipv4,
+       CAST(sum(len(regexp_extract_all(text, '{_PII_PHONE}'))) AS BIGINT) AS n_phone,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                       + len(regexp_extract_all(text, '{_PII_IPV4}'))
+                       + len(regexp_extract_all(text, '{_PII_PHONE}')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+FROM planted
+GROUP BY source
+""",
+)
+def q_text_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation dashboard over the redaction pass: per-source PII volume
+    and document hit-rate — the audit table a production scrub job
+    publishes. Map-side regexp counts + one small keyed aggregation; the
+    redacted text itself is never shuffled."""
+    from bookstore_aws_lakehouse_spark.operators.text import redact_pii
+
+    red = redact_pii(_pii_planted(spark, sf_dir), "text")
+    has_pii = (
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+    ).cast("int")
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_email"),
+        F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.sum("n_phone").cast("bigint").alias("n_phone"),
+        F.sum(has_pii).cast("bigint").alias("n_docs_with_pii"),
+    )

@@ -786,3 +786,25 @@ def test_rollup_ivm_rebuild_parity_fuzz(spark):
 
         got = {r.g: (r.n_rows, r.sum_v, r.nn_v) for r in mart.collect()}
         assert got == rebuild(state), f"seed {seed}: IVM != rebuild"
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    """redact_pii: typed placeholders, per-type counts on the ORIGINAL
+    text, NULL text passes through as NULL (regexp over NULL is NULL)."""
+    from bookstore_aws_lakehouse_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "write to alice.smith+x@sub.example.co.uk today"),
+        (2, "host 192.168.0.1 and 10.0.0.255, call 555-123-4567"),
+        (3, "no pii here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert got[1]["text_redacted"] == "write to [EMAIL] today"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[2]["text_redacted"] == "host [IP] and [IP], call [PHONE]"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 2, 1)
+    assert got[3]["text_redacted"] == "no pii here"
+    assert got[4]["text_redacted"] is None
+    assert got[4]["n_email"] is None
