@@ -340,3 +340,32 @@ def test_bloom_index_empty_table(spark, tmp_path):
     v = snapshot_bloom_index(spark, table, "k")
     assert v == 2
     assert snapshot_point_lookup(spark, table, "k", 1).count() == 0
+
+
+def test_cap_pair_neighbors_empty(spark):
+    from bookstore_aws_lakehouse_spark.operators.dedup import cap_pair_neighbors
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    assert cap_pair_neighbors(pairs, k=5).count() == 0
+
+
+def test_redact_pii_empty(spark):
+    from bookstore_aws_lakehouse_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    out = redact_pii(docs, "text")
+    assert out.count() == 0
+    assert {"text_redacted", "n_email", "n_ipv4", "n_phone"} <= set(out.columns)
+
+
+def test_semantic_cell_assignment_empty(spark):
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        semantic_cell_assignment,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [], "centroid_id long, embedding array<double>"
+    )
+    # auto-granularity's counts are 0/0 → 0 planes; assignment is empty
+    assert semantic_cell_assignment(emb, cents).count() == 0
