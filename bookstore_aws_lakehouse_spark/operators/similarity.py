@@ -276,12 +276,26 @@ def lsh_buckets(
 def _sign_bucket_expr(vec: Column, num_planes: int, num_dims: int) -> Column:
     """The sign-LSH bucket id as a column expression: bit p is the sign of
     the dot with md5-seeded hyperplane p. Shared by ``lsh_buckets`` and
-    ``semantic_dedup``'s auto-granularity sub-cells."""
+    ``semantic_dedup``'s auto-granularity sub-cells.
+
+    The per-element product coalesces to 0 so a length mismatch between
+    the vector and ``num_dims`` projects onto the first
+    min(len, num_dims) dimensions instead of failing SILENTLY: zip_with
+    null-pads the shorter side, and an un-coalesced NULL product nulls
+    the whole fold — every sign bit 0, every vector in ONE bucket, and
+    the downstream bucket-join quietly degenerates toward all-pairs
+    (the ADVICE r11 no-op-split bug, fixed at the shared expression so
+    both consumers are covered). Equal lengths produce no NULLs, so
+    matched-dims behavior — and every oracle replay — is unchanged."""
     bucket = F.lit(0)
     for p in range(num_planes):
         plane = F.lit(_plane_signs(p, num_dims))
         dot_p = F.aggregate(
-            F.zip_with(vec, plane, lambda v, s: v.cast("double") * s),
+            F.zip_with(
+                vec,
+                plane,
+                lambda v, s: F.coalesce(v.cast("double") * s, F.lit(0.0)),
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

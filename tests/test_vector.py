@@ -634,3 +634,27 @@ def test_lsh_auto_planes_formula_and_fixture_stability(spark):
         for r in cosine_pairs(emb, threshold=0.4, num_planes=4).collect()
     }
     assert auto == fixed
+
+
+def test_sign_bucket_expr_survives_dims_mismatch(spark):
+    """A vector/num_dims length mismatch must project onto the shared
+    prefix, not silently collapse every vector into bucket 0 (the
+    zip_with null-pad hazard): with 8-dim vectors and num_dims=4096 the
+    bucket distribution must still be non-degenerate, and equal lengths
+    must be unchanged by the coalesce."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        _sign_bucket_expr,
+    )
+
+    dims = [1.0, 2.3, 3.7, 5.1, 7.9, 11.3, 13.7, 17.1]
+    emb = spark.range(200).select(
+        F.col("id"),
+        F.array([F.cos(F.col("id") * F.lit(p)) for p in dims]).alias("v"),
+    )
+    wide = emb.select(_sign_bucket_expr(F.col("v"), 4, 4096).alias("b"))
+    assert wide.select("b").distinct().count() > 1
+    # matched dims: coalesce is a no-op (no NULLs in the fold)
+    exact = emb.select(_sign_bucket_expr(F.col("v"), 4, len(dims)).alias("b"))
+    assert exact.select("b").distinct().count() > 1
