@@ -581,3 +581,34 @@ def test_semantic_dedup_assignment_runs_once(spark, sf_smoke):
     # BuildRight"); detail headers don't name one and never match
     for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
         assert m.group(1) == "Cross", m.group(0)
+
+
+def test_pii_redact_is_shuffle_free(spark, sf_smoke):
+    """redact_pii's 100-TB claim is 'pure scan-bandwidth map pass': the
+    per-doc golden row must plan with NO exchange — regex replace and
+    counts fuse into the projection over the scan."""
+    plan = plan_of(GOLDEN["text_pii_redact"](spark, sf_smoke))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # the projection compiles, no interpreted gap
+
+
+def test_capped_clusters_cap_stage_shape(spark, sf_smoke):
+    """The neighbor cap's plan contract: the ranking is one window over a
+    hash-partition on the endpoint id — keyed exchanges only, never a
+    cartesian or a global sort of the pair set."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.catalog import load_table
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        cap_pair_neighbors,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.1, pin=False)
+    plan = plan_of(cap_pair_neighbors(pairs, k=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    # the window shuffles on the endpoint id, not a global range sort
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
