@@ -288,6 +288,9 @@ def main() -> None:
         "snapshot_zorder_time_prune",
         "dashboard_catalog",
         "dedup_winnowed_pairs",
+        # r14: the bounded-contract CC variant and the PII scrub pass
+        "dedup_clusters_capped",
+        "text_pii_redact",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
