@@ -278,29 +278,35 @@ def _sign_bucket_expr(vec: Column, num_planes: int, num_dims: int) -> Column:
     the dot with md5-seeded hyperplane p. Shared by ``lsh_buckets`` and
     ``semantic_dedup``'s auto-granularity sub-cells.
 
-    The per-element product coalesces to 0 so a length mismatch between
-    the vector and ``num_dims`` projects onto the first
-    min(len, num_dims) dimensions instead of failing SILENTLY: zip_with
-    null-pads the shorter side, and an un-coalesced NULL product nulls
-    the whole fold — every sign bit 0, every vector in ONE bucket, and
-    the downstream bucket-join quietly degenerates toward all-pairs
-    (the ADVICE r11 no-op-split bug, fixed at the shared expression so
-    both consumers are covered). Equal lengths produce no NULLs, so
-    matched-dims behavior — and every oracle replay — is unchanged."""
-    bucket = F.lit(0)
-    for p in range(num_planes):
-        plane = F.lit(_plane_signs(p, num_dims))
-        dot_p = F.aggregate(
-            F.zip_with(
-                vec,
-                plane,
-                lambda v, s: F.coalesce(v.cast("double") * s, F.lit(0.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
-    return bucket.cast("int")
+    A vector/``num_dims`` length mismatch must not fail SILENTLY:
+    zip_with null-pads the shorter side, and a NULL product nulls the
+    whole fold — every sign bit 0, every vector in ONE bucket, and the
+    downstream bucket-join quietly degenerates toward all-pairs (the
+    ADVICE r11 no-op-split bug, guarded at the shared expression so both
+    consumers are covered). The guard is a per-row CASE on size(vec):
+    matched rows — every oracle replay and every correctly-configured
+    production corpus — take the PLAIN fold (a blanket per-element
+    coalesce measured +11% on the pure bucket projection; an O(1) size
+    compare is free against 512 multiplies), mismatched rows fall to a
+    coalescing fold that projects onto the first min(len, num_dims)
+    dims. Codegen evaluates CASE branches lazily, so matched rows never
+    execute the safe branch."""
+
+    def _fold(mul) -> Column:
+        bucket = F.lit(0)
+        for p in range(num_planes):
+            plane = F.lit(_plane_signs(p, num_dims))
+            dot_p = F.aggregate(
+                F.zip_with(vec, plane, mul), F.lit(0.0), lambda acc, v: acc + v
+            )
+            bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
+        return bucket.cast("int")
+
+    plain = _fold(lambda v, s: v.cast("double") * s)
+    safe = _fold(
+        lambda v, s: F.coalesce(v.cast("double") * s, F.lit(0.0))
+    )
+    return F.when(F.size(vec) == num_dims, plain).otherwise(safe)
 
 
 def lsh_bucket_tables(
