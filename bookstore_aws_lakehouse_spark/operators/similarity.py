@@ -282,31 +282,38 @@ def _sign_bucket_expr(vec: Column, num_planes: int, num_dims: int) -> Column:
     zip_with null-pads the shorter side, and a NULL product nulls the
     whole fold — every sign bit 0, every vector in ONE bucket, and the
     downstream bucket-join quietly degenerates toward all-pairs (the
-    ADVICE r11 no-op-split bug, guarded at the shared expression so both
-    consumers are covered). The guard is a per-row CASE on size(vec):
-    matched rows — every oracle replay and every correctly-configured
-    production corpus — take the PLAIN fold (a blanket per-element
-    coalesce measured +11% on the pure bucket projection; an O(1) size
-    compare is free against 512 multiplies), mismatched rows fall to a
-    coalescing fold that projects onto the first min(len, num_dims)
-    dims. Codegen evaluates CASE branches lazily, so matched rows never
-    execute the safe branch."""
-
-    def _fold(mul) -> Column:
-        bucket = F.lit(0)
-        for p in range(num_planes):
-            plane = F.lit(_plane_signs(p, num_dims))
-            dot_p = F.aggregate(
-                F.zip_with(vec, plane, mul), F.lit(0.0), lambda acc, v: acc + v
+    ADVICE r11 no-op-split bug). The contract is FAIL FAST: a final
+    size(vec) CASE raises on the first mismatched row instead of
+    computing a degenerate bucketing — misconfiguration surfaces as an
+    error naming both lengths, never as an all-pairs join at 100 TB.
+    Callers that legitimately project (``semantic_cell_assignment``)
+    slice the vector to the plane length at plan time. Rejected
+    silent-repair guards, both measured on the sf0.1 bucket row: a
+    per-element coalesce in the fold (+11% — 512 extra coalesces per
+    row) and a CASE over two full fold copies (~2× — the duplicated
+    8-plane tree blows the projection out of efficient codegen); the
+    error branch costs nothing on matched rows."""
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        plane = F.lit(_plane_signs(p, num_dims))
+        dot_p = F.aggregate(
+            F.zip_with(vec, plane, lambda v, s: v.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
+    return F.when(F.size(vec) == num_dims, bucket.cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"sign-LSH num_dims={num_dims} does not match vector "
+                    "length "
+                ),
+                F.size(vec).cast("string"),
+                F.lit(" — pass the corpus's real dimensionality"),
             )
-            bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
-        return bucket.cast("int")
-
-    plain = _fold(lambda v, s: v.cast("double") * s)
-    safe = _fold(
-        lambda v, s: F.coalesce(v.cast("double") * s, F.lit(0.0))
+        ).cast("int")
     )
-    return F.when(F.size(vec) == num_dims, plain).otherwise(safe)
 
 
 def lsh_bucket_tables(
@@ -1048,7 +1055,12 @@ def semantic_cell_assignment(
             "(near-duplicates across sub-cells are not compared)",
             _SEMDEDUP_TARGET_OCCUPANCY, planes, eff_dims,
         )
-        subcell = _sign_bucket_expr(F.col(vec_col), planes, eff_dims)
+        # plan-time projection onto the plane length — _sign_bucket_expr
+        # fail-fasts on a length mismatch rather than degenerating
+        vexpr = F.col(vec_col)
+        if real_dims > eff_dims:
+            vexpr = F.slice(vexpr, 1, eff_dims)
+        subcell = _sign_bucket_expr(vexpr, planes, eff_dims)
     else:
         subcell = F.lit(0)
     return ivf_assign(nn, centroids, id_col, vec_col, keep_vec=True).select(

@@ -636,12 +636,14 @@ def test_lsh_auto_planes_formula_and_fixture_stability(spark):
     assert auto == fixed
 
 
-def test_sign_bucket_expr_survives_dims_mismatch(spark):
-    """A vector/num_dims length mismatch must project onto the shared
-    prefix, not silently collapse every vector into bucket 0 (the
-    zip_with null-pad hazard): with 8-dim vectors and num_dims=4096 the
-    bucket distribution must still be non-degenerate, and equal lengths
-    must be unchanged by the coalesce."""
+def test_sign_bucket_expr_fails_fast_on_dims_mismatch(spark):
+    """A vector/num_dims length mismatch must RAISE, not silently
+    collapse every vector into bucket 0 (the zip_with null-pad hazard:
+    null-padded products null the fold, every sign bit goes 0 and the
+    downstream bucket join degenerates toward all-pairs). Matched
+    lengths are the plain fold — non-degenerate buckets, no guard
+    cost."""
+    import pytest
     from pyspark.sql import functions as F
 
     from bookstore_aws_lakehouse_spark.operators.similarity import (
@@ -654,7 +656,7 @@ def test_sign_bucket_expr_survives_dims_mismatch(spark):
         F.array([F.cos(F.col("id") * F.lit(p)) for p in dims]).alias("v"),
     )
     wide = emb.select(_sign_bucket_expr(F.col("v"), 4, 4096).alias("b"))
-    assert wide.select("b").distinct().count() > 1
-    # matched dims: coalesce is a no-op (no NULLs in the fold)
+    with pytest.raises(Exception, match="num_dims=4096"):
+        wide.collect()
     exact = emb.select(_sign_bucket_expr(F.col("v"), 4, len(dims)).alias("b"))
     assert exact.select("b").distinct().count() > 1
