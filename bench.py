@@ -30,6 +30,7 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 #: query name) — lets calibrated ratios compare era-over-era from the
 #: artifacts alone (VERDICT r11 #1)
 _CAL_KEY = "__calibration_topk_p50__"
+_CAL_FOLD_KEY = "__calibration_fold_p50__"
 
 
 def _read_psi_cpu() -> dict | None:
@@ -330,6 +331,23 @@ def main() -> None:
         ).save()
         cal_runs.append(time.monotonic() - t0)
     load_start["calibration_topk_p50"] = round(sorted(cal_runs)[2], 3)
+    # Second, COMPUTE-bound probe (r12): an insufficiently-idled record
+    # run measured every compute-dense row (ANN folds, kmeans) ~10%
+    # inflated while the scan-bound topk probe moved <2% — scan floor
+    # and core frequency state drift independently on this host. The
+    # vector-fold probe (sign-LSH bucket projection, 512 multiplies/row,
+    # no shuffle) moves with the frequency state; disagreement between
+    # the two probes names WHICH floor shifted. Normalization stays
+    # topk-based (the suite is scan-dominated); this one is diagnostic.
+    if "ann_lsh_buckets" in GOLDEN:
+        fold_runs = []
+        for _ in range(5):
+            t0 = time.monotonic()
+            GOLDEN["ann_lsh_buckets"](spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            fold_runs.append(time.monotonic() - t0)
+        load_start["calibration_fold_p50"] = round(sorted(fold_runs)[2], 3)
     timings: dict[str, float] = {}
     query_ext_load: dict[str, float] = {}
 
@@ -460,7 +478,9 @@ def main() -> None:
     # file is the fallback for pre-store records.
     common_vs_prev = None
     prev_cal = None
+    prev_fold_cal = None
     cal_now = load_start.get("calibration_topk_p50")
+    fold_cal_now = load_start.get("calibration_fold_p50")
     try:
         sf_key = str(float(sf) if sf.replace(".", "").isdigit() else sf)
         prev_q: dict = {}
@@ -472,6 +492,8 @@ def main() -> None:
             # building the query baseline
             rc = raw_prev.pop(_CAL_KEY, None)
             prev_cal = rc["s"] if isinstance(rc, dict) else rc
+            rf = raw_prev.pop(_CAL_FOLD_KEY, None)
+            prev_fold_cal = rf["s"] if isinstance(rf, dict) else rf
             # entries are {"s": seconds, "src": "run"|"solo"} since r10
             # (ADVICE r9: per-entry provenance); bare floats are the
             # pre-provenance format — accept both
@@ -516,6 +538,14 @@ def main() -> None:
                 common_vs_prev["cal_factor"] = round(cal_factor, 3)
                 common_vs_prev["calibrated_ratio"] = round(
                     common_vs_prev["ratio"] / cal_factor, 3
+                )
+            # diagnostic compute-floor probe: disagreement with the topk
+            # factor names which floor shifted (scan vs frequency state)
+            common_vs_prev["fold_calibration_s"] = fold_cal_now
+            common_vs_prev["prev_fold_calibration_s"] = prev_fold_cal
+            if fold_cal_now and prev_fold_cal:
+                common_vs_prev["fold_cal_factor"] = round(
+                    fold_cal_now / prev_fold_cal, 3
                 )
     except (OSError, ValueError):
         pass
@@ -600,6 +630,8 @@ def main() -> None:
             baseline[q] = {"s": solo, "src": "solo"}
     if cal_now:
         baseline[_CAL_KEY] = {"s": cal_now, "src": "cal"}
+    if fold_cal_now:
+        baseline[_CAL_FOLD_KEY] = {"s": fold_cal_now, "src": "cal"}
     prev_store[str(detail["sf"])] = baseline
     with open(prev_path, "w") as f:
         json.dump(prev_store, f, indent=1, sort_keys=True)
