@@ -796,6 +796,134 @@ def _winnow_stages(spark, d: str) -> dict:
     }
 
 
+def _time_stages(stages) -> dict:
+    """Generic per-stage wall-time attribution for a growth row (VERDICT
+    r11 #7 stretch, generalizing ``_winnow_stages``): each stage is a
+    (label, thunk, pin) triple; the thunk builds the stage's DataFrame
+    FROM THE OPERATOR'S OWN ``stages`` recorder (operators/dedup.py —
+    the frames are recorded as the operator builds them, so the split
+    can never drift from the implementation). Pinned stages persist
+    before the noop write, so the next stage's plan substitutes the
+    cached subtree via the CacheManager and times only its own work.
+    Stages are warm and attribute structurally — they don't decompose
+    the timed min-of-N arithmetically (same contract as the cold-ETL
+    phase split)."""
+    out: dict = {}
+    pinned = []
+    try:
+        for label, thunk, pin in stages:
+            t0 = time.monotonic()
+            frame = thunk()
+            if pin:
+                frame = frame.persist()
+                pinned.append(frame)
+            frame.write.format("noop").mode("overwrite").save()
+            out[f"{label}_s"] = round(time.monotonic() - t0, 3)
+    finally:
+        for f in pinned:
+            f.unpersist()
+    return out
+
+
+def _shingle_stages(op_name: str, threshold: float):
+    """Stage split for the jaccard/containment growth rows: postings
+    (tokenize→shingle→md5), stop-filter (df counts + join), join_agg
+    (inverted-index self-join + pair agg), score (sizes join + threshold
+    cut). Literals mirror the golden rows (shingle_k=3, max_df=100)."""
+
+    def run(spark, d: str) -> dict:
+        from bookstore_aws_lakehouse_spark.operators import dedup as _dd
+
+        op = getattr(_dd, op_name)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        st: dict = {}
+        op(
+            docs, "doc_id", "text", shingle_k=3, threshold=threshold,
+            pin=False, stages=st,
+        )
+        order = ["postings", "stop_filter", "join_agg", "score"]
+        labels = [k for k in order if k in st]
+        return _time_stages(
+            [
+                (k, (lambda k=k: st[k]), k != labels[-1])
+                for k in labels
+            ]
+        )
+
+    return run
+
+
+def _minhash_stages(spark, d: str) -> dict:
+    """Stage split for dedup_minhash_pairs: signatures (shingle→minhash
+    wide), banding (band-key explode + saturated-bucket cap; the cap's
+    eager size probe runs at construction, outside the timers), join_agg
+    (band self-join + pair agg). Literals mirror the golden row."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import minhash_band_pairs
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    st: dict = {}
+    minhash_band_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_rows=2, shingle_k=3,
+        stages=st,
+    )
+    order = ["signatures", "banding", "join_agg"]
+    return _time_stages(
+        [(k, (lambda k=k: st[k]), k != order[-1]) for k in order]
+    )
+
+
+def _multiprobe_stages(spark, d: str) -> dict:
+    """Stage split for ann_ivfpq_residual_multiprobe: residuals (coarse
+    assign + subtract — the index-build scan), probes (per-query nprobe
+    cell selection), search (seeds/encode/LUT/ADC/top-k — the golden row
+    end-to-end with the first two stages' subtrees already cached; its
+    internal localCheckpoints copy from cache instead of recomputing).
+    Composes the operator's own public stage functions — nothing
+    re-implemented."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        coarse_probe_cells,
+        vector_residuals,
+    )
+    from bookstore_aws_lakehouse_spark.queries_similarity import N_QUERIES
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return _time_stages(
+        [
+            ("residuals", lambda: vector_residuals(emb, centroids), True),
+            ("probes", lambda: coarse_probe_cells(queries, centroids, 2), True),
+            (
+                "search",
+                lambda: _GOLDEN_FOR_STAGES["ann_ivfpq_residual_multiprobe"](
+                    spark, d
+                ),
+                False,
+            ),
+        ]
+    )
+
+
+#: golden registry handle for the stage splits (set by _growth_section —
+#: avoids importing __spark_entry__ at module import time)
+_GOLDEN_FOR_STAGES: dict = {}
+
+#: per-row stage splits recorded in the growth artifact (VERDICT r11 #2
+#: for winnowed; #7 stretch for the rest): names which stage grows when
+#: a ratio disagrees with the linear candidate counters
+GROWTH_STAGE_SPLITS = {
+    "dedup_winnowed_pairs": lambda spark, d: _winnow_stages(spark, d),
+    "dedup_ngram_jaccard": _shingle_stages("jaccard_pairs", 0.1),
+    "dedup_containment_pairs": _shingle_stages("containment_pairs", 0.5),
+    "dedup_minhash_pairs": _minhash_stages,
+    "ann_ivfpq_residual_multiprobe": _multiprobe_stages,
+}
+
+
 def mutate_docs(docs, c: int):
     """Growth-corpus copy c of a documents DataFrame: every word whose
     hash(word, c) is 0 or 1 mod 3 (~2/3 of words) is rewritten to a
@@ -1067,13 +1195,15 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
                 except Exception as exc:  # diagnostic only — never fail bench
                     entry["candidates_error"] = f"{type(exc).__name__}: {exc}"[:200]
                 meter.window()  # counting jobs are outside every window
-            if name == "dedup_winnowed_pairs":
-                # per-stage attribution (VERDICT r11 #2) — names which
+            stage_fn = GROWTH_STAGE_SPLITS.get(name)
+            if stage_fn is not None:
+                # per-stage attribution (VERDICT r11 #2/#7) — names which
                 # stage grows when the ratio disagrees with the linear
                 # candidate counters; untimed w.r.t. the ratio above
+                _GOLDEN_FOR_STAGES.update(GOLDEN)
                 try:
-                    entry["stages_base"] = _winnow_stages(spark, sf_dir)
-                    entry["stages_x10"] = _winnow_stages(spark, tmp)
+                    entry["stages_base"] = stage_fn(spark, sf_dir)
+                    entry["stages_x10"] = stage_fn(spark, tmp)
                 except Exception as exc:
                     entry["stages_error"] = f"{type(exc).__name__}: {exc}"[:200]
                 meter.window()

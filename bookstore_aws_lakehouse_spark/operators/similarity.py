@@ -406,8 +406,9 @@ def kmeans_update(
     self-join; the only shuffles are the two aggregations keyed on
     (cell, dim) / cell — both map-side-combinable. Iteration count is a
     small constant (codebook training), not data-dependent."""
-    # keep_vec: the assignment window already shuffles on id, so the
-    # vector rides it for free — no per-iteration corpus re-join
+    # keep_vec: the vector rides the assignment argmax's partial agg
+    # (one row per vector through the exchange) — no per-iteration
+    # corpus re-join
     assigned = ivf_assign(
         corpus, centroids, id_col, vec_col, centroid_id, keep_vec=True
     )
@@ -506,36 +507,58 @@ def ivf_assign(
     keep_vec: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
-    by cosine (broadcast the centroid table). Output: (vec_id, centroid_id,
-    cosine); with ``keep_vec`` the vector rides along — the argmax window
-    already shuffles on ``id_col``, so carrying the payload through it is
-    strictly cheaper than the corpus re-join a vector-needing caller
-    (kmeans_update) would otherwise pay every iteration."""
+    by cosine. Output: (vec_id, centroid_id, cosine); with ``keep_vec``
+    the vector rides along (free — see below).
+
+    PARTIAL-AGG argmax (r12): the winner per vector is a
+    ``groupBy(id).agg(min(struct(-cosine, centroid_id, …)))`` — the
+    partial aggregate collapses the |corpus|·|centroids| scored rows to
+    ONE row per vector map-side, so the exchange carries each vector's
+    payload once. The previous form (crossJoin + row_number window)
+    shuffled every scored row — with ``keep_vec`` that amplified the full
+    vector payload |centroids|× through the wire, the dominant shuffle of
+    every IVF caller (vector_residuals, ivf_search, kmeans_update's
+    per-iteration assign). FLOPs and the scoring Project are identical;
+    only the shuffle volume changes. (A fully map-side fold over a
+    broadcast centroid ARRAY was A/B'd and rejected: the higher-order
+    transform leaves whole-stage codegen and ran 40-60% slower than the
+    codegen'd crossJoin scoring — NOTES r12.)
+
+    Tie/NULL semantics replicate the old window ordering exactly
+    (cosine DESC NULLS LAST, centroid_id ASC): the struct-min key is
+    ``coalesce(-cosine, +inf)`` so NULL cosines (zero norms) lose to any
+    real score, and ties break on the lower centroid id. The emitted
+    cosine rides the struct untouched — bit-identical to the old plan's."""
     c = centroids.select(
         F.col(centroid_id),
         F.col(vec_col).alias("centroid_vec"),
         l2_norm(F.col(vec_col)).alias("_cen_n"),
     )
     keep = [F.col(vec_col)] if keep_vec else []
+    cos = _cosine_prenormed(
+        F.col(vec_col), F.col("centroid_vec"), F.col("_vn"), F.col("_cen_n")
+    )
     scored = (
         corpus.select(
             F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
         )
         .crossJoin(F.broadcast(c))
         .select(
-            id_col,
-            centroid_id,
-            _cosine_prenormed(
-                F.col(vec_col), F.col("centroid_vec"), F.col("_vn"), F.col("_cen_n")
-            ).alias("cosine"),
-            *keep,
+            F.col(id_col),
+            F.struct(
+                F.coalesce(-cos, F.lit(float("inf"))).alias("_nc"),
+                F.col(centroid_id).alias("_cid"),
+                cos.alias("_cos"),
+                *keep,
+            ).alias("_s"),
         )
     )
-    return (
-        top_n_per_group(
-            scored, [id_col], [("cosine", True)], 1, tiebreak=[centroid_id], rank_name="_rn"
-        )
-        .drop("_rn")
+    best = scored.groupBy(id_col).agg(F.min("_s").alias("_s"))
+    return best.select(
+        F.col(id_col),
+        F.col("_s._cid").alias(centroid_id),
+        F.col("_s._cos").alias("cosine"),
+        *([F.col(f"_s.{vec_col}")] if keep_vec else []),
     )
 
 
@@ -571,14 +594,22 @@ def pq_codebooks(
 
 
 def _pq_subvectors(
-    df: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+    df: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    carry: tuple = (),
 ) -> DataFrame:
-    """One scan → m rows per vector: (id, subspace, _sv, _sv·_sv)."""
+    """One scan → m rows per vector: (id, *carry, subspace, _sv, _sv·_sv).
+    ``carry`` columns ride the explode unchanged (e.g. ``centroid_id`` so
+    an IVFADC encode keeps its inverted-list key — see `pq_encode`)."""
     from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
 
     d = dim // m
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.posexplode(
             F.array(*[_pq_slice(vec_col, s, d) for s in range(m)])
         ).alias("subspace", "_sv"),
@@ -592,6 +623,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple = (),
 ) -> DataFrame:
     """Product quantization encode — the compression layer of a 100 TB
     vector store (a 64-dim float vector becomes ``m`` one-byte codes,
@@ -609,14 +641,20 @@ def pq_encode(
     over the shared `dot` fold, so scores are bit-identical to the SQL
     oracle's ``list_dot_product`` replay. Ties break on the lower code.
 
-    Output: (``id_col``, subspace, code, dist2).
+    ``carry`` columns (e.g. ``centroid_id``) pass through the encode
+    untouched — the inverted-list layout of production IVFADC, where a
+    cell's posting list stores (id, codes) together so the search path
+    never re-joins codes to cells on id (a corpus-sized shuffle).
+
+    Output: (``id_col``, *carry, subspace, code, dist2).
     """
     from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
 
     books = pq_codebooks(seeds, m, dim, id_col, vec_col)
-    rows = _pq_subvectors(corpus, m, dim, id_col, vec_col)
+    rows = _pq_subvectors(corpus, m, dim, id_col, vec_col, carry)
     scored = rows.join(F.broadcast(books), "subspace").select(
         id_col,
+        *[F.col(c) for c in carry],
         "subspace",
         "code",
         (
@@ -663,6 +701,13 @@ def ivfpq_search(
 
     Output: (query_id, ``id_col``, adc, rank), rank 1..k ascending by adc.
     """
+    # two independent corpus scans (cells / codes) re-joined on id at the
+    # candidate stage. A one-scan inverted-list form (assign keep_vec →
+    # encode carry=centroid_id, as the residual variants do) was A/B'd
+    # and rejected HERE: without a checkpointed index the vector payload
+    # rides the assign argmax's aggregation, measured +27% on the golden
+    # row — the residual variants keep the carry because their encode
+    # reads the already-checkpointed residual table (NOTES r12).
     codes = pq_encode(corpus, pq_seeds, m, dim, id_col, vec_col).select(
         id_col, "subspace", "code"
     )
@@ -771,8 +816,8 @@ def ivfpq_residual_search(
     Output: (query_id, ``id_col``, adc, rank), rank 1..k by adc asc."""
     from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
 
-    # pin the corpus residuals: they feed the PQ codes AND the cell map
-    # (plus the seed filter), and unpinned, the |corpus|x|centroids|
+    # pin the corpus residuals: they feed the PQ codes (which carry the cell
+    # key) and the seed filter, and unpinned, the |corpus|x|centroids|
     # coarse argmax re-executes per consumer. Downstream joins broadcast
     # their small sides EXPLICITLY, so the ExistingRDD's missing stats
     # change no plan. A production deployment materializes the index
@@ -796,10 +841,13 @@ def ivfpq_residual_search(
             f"ids must be numeric and start near 0 for this seeding rule; "
             f"an empty codebook would silently return zero neighbors"
         )
-    codes = pq_encode(res, seeds, m, dim, id_col, vec_col).select(
-        id_col, "subspace", "code"
+    # codes carry centroid_id through the encode (the inverted-list
+    # layout): candidates below come from codes ⋈ broadcast(queries'
+    # cells) directly — map-side — instead of a corpus-sized sort-merge
+    # join of a separate cell map back onto the codes on id (r12).
+    codes = pq_encode(res, seeds, m, dim, id_col, vec_col, carry=("centroid_id",)).select(
+        id_col, "centroid_id", "subspace", "code"
     )
-    cells = res.select(id_col, "centroid_id")
     qres = vector_residuals(queries, coarse_centroids, id_col, vec_col).localCheckpoint(
         eager=True
     )
@@ -818,11 +866,9 @@ def ivfpq_residual_search(
             + F.col("_cc")
         ).alias("pdist"),
     )
-    cand = cells.join(F.broadcast(qcells), "centroid_id").filter(
-        F.col(id_col) != F.col("query_id")
-    )
     adc = (
-        cand.join(codes, id_col)
+        codes.join(F.broadcast(qcells), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "subspace", "code"])
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("pdist"), 6).alias("adc"))
@@ -911,8 +957,8 @@ def ivfpq_residual_multiprobe(
     from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
 
     d = dim // m
-    # pin the corpus residuals: they feed the PQ codes AND the cell map
-    # (plus the seed filter), and unpinned, the |corpus|x|centroids|
+    # pin the corpus residuals: they feed the PQ codes (which carry the cell
+    # key) and the seed filter, and unpinned, the |corpus|x|centroids|
     # coarse argmax re-executes per consumer. Downstream joins broadcast
     # their small sides EXPLICITLY, so the ExistingRDD's missing stats
     # change no plan. A production deployment materializes the index
@@ -932,10 +978,11 @@ def ivfpq_residual_multiprobe(
             f"ids must be numeric and start near 0 for this seeding rule; "
             f"an empty codebook would silently return zero neighbors"
         )
-    codes = pq_encode(res, seeds, m, dim, id_col, vec_col).select(
-        id_col, "subspace", "code"
+    # inverted-list layout (r12): codes keep their cell key so candidate
+    # generation is codes ⋈ broadcast(probes) — no corpus-sized SMJ
+    codes = pq_encode(res, seeds, m, dim, id_col, vec_col, carry=("centroid_id",)).select(
+        id_col, "centroid_id", "subspace", "code"
     )
-    cells = res.select(id_col, "centroid_id")
     books = pq_codebooks(seeds, m, dim, id_col, vec_col)
 
     probes = coarse_probe_cells(
@@ -960,11 +1007,11 @@ def ivfpq_residual_multiprobe(
             + F.col("_cc")
         ).alias("pdist"),
     )
-    cand = cells.join(
-        F.broadcast(probes.select("query_id", "centroid_id")), "centroid_id"
-    ).filter(F.col(id_col) != F.col("query_id"))
     adc = (
-        cand.join(codes, id_col)
+        codes.join(
+            F.broadcast(probes.select("query_id", "centroid_id")), "centroid_id"
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "centroid_id", "subspace", "code"])
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("pdist"), 6).alias("adc"))
