@@ -77,3 +77,72 @@ def test_mutation_actually_rewrites_most_words(spark):
     assert len(orig) == len(new)
     changed = sum(1 for a, b in zip(orig, new) if a != b)
     assert 0.45 <= changed / len(orig) <= 0.9
+
+
+def test_stage_recorders_match_operator_frames(spark):
+    """The growth harness's per-stage attribution reads frames the
+    OPERATOR records as it builds (VERDICT r11 #7) — assert the recorded
+    join_agg frame IS the candidate stage (equals shingle_candidates)
+    and the score frame IS the operator's own output."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_candidates,
+    )
+
+    docs = _with_meta(
+        spark,
+        [(1, DOC), (2, DOC), (3, DOC.replace("quick", "slow")), (4, "x y z")],
+    )
+    st: dict = {}
+    out = jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.1, pin=False,
+        stages=st,
+    )
+    assert set(st) == {"postings", "stop_filter", "join_agg", "score"}
+    cand = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in shingle_candidates(docs, "doc_id", "text", 3, 100).collect()
+    }
+    rec = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in st["join_agg"].collect()
+    }
+    assert rec == cand and cand
+    assert sorted(st["score"].collect()) == sorted(out.collect())
+
+
+def test_minhash_stage_recorder_matches_output(spark):
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        minhash_band_pairs,
+    )
+
+    docs = _with_meta(spark, [(1, DOC), (2, DOC), (3, "a b c d e")])
+    st: dict = {}
+    out = minhash_band_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_rows=2, shingle_k=3,
+        stages=st,
+    )
+    assert set(st) == {"signatures", "banding", "join_agg"}
+    assert sorted(st["join_agg"].collect()) == sorted(out.collect())
+
+
+def test_time_stages_attributes_and_leaves_no_residue(spark):
+    """bench._time_stages pins every non-final stage and must drop every
+    pin afterwards — a leaked pin degrades all later growth rows."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import jaccard_pairs
+
+    import bench
+
+    docs = _with_meta(spark, [(1, DOC), (2, DOC)])
+    st: dict = {}
+    jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.1, pin=False,
+        stages=st,
+    )
+    order = ["postings", "stop_filter", "join_agg", "score"]
+    timed = bench._time_stages(
+        [(k, (lambda k=k: st[k]), k != "score") for k in order]
+    )
+    assert set(timed) == {f"{k}_s" for k in order}
+    assert all(v >= 0 for v in timed.values())
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

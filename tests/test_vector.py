@@ -660,3 +660,65 @@ def test_sign_bucket_expr_fails_fast_on_dims_mismatch(spark):
         wide.collect()
     exact = emb.select(_sign_bucket_expr(F.col("v"), 4, len(dims)).alias("b"))
     assert exact.select("b").distinct().count() > 1
+
+
+def test_ivf_assign_null_and_tie_ordering(spark):
+    """The partial-agg argmax (r12) must replicate the old window's
+    ordering exactly: cosine DESC NULLS LAST (a zero-norm vector's NULL
+    cosines lose to any real score; an all-NULL row still assigns, to
+    the lowest centroid id) and ties break on the lower centroid id."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    # centroids 7 and 9 are identical → cosine ties → lower id wins
+    cents = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (7, [1.0, 0.0]), (8, [0.0, 1.0])],
+        ["centroid_id", "embedding"],
+    )
+    rows = {r["vec_id"]: r for r in ivf_assign(emb, cents).collect()}
+    assert rows[1]["centroid_id"] == 7 and rows[1]["cosine"] == 1.0
+    # zero-norm vector: every cosine NULL → lowest centroid id, NULL cosine
+    assert rows[2]["centroid_id"] == 7 and rows[2]["cosine"] is None
+
+
+def test_ivf_assign_empty_centroids_yields_empty(spark):
+    from bookstore_aws_lakehouse_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [], "centroid_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    assert ivf_assign(emb, cents).count() == 0
+
+
+def test_pq_encode_carry_passthrough(spark, sf_smoke):
+    """carry columns (the inverted-list cell key) ride the encode
+    untouched: codes are identical to the carry-free encode and every
+    row keeps its input's centroid_id."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        ivf_assign,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").limit(200)
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    seeds = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+    assigned = ivf_assign(emb, cents, keep_vec=True).select(
+        "vec_id", "centroid_id", "embedding"
+    )
+    plain = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_encode(assigned, seeds, m=4, dim=64).collect()
+    }
+    carried = pq_encode(
+        assigned, seeds, m=4, dim=64, carry=("centroid_id",)
+    ).collect()
+    cells = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert len(carried) == len(plain)
+    for r in carried:
+        assert plain[(r["vec_id"], r["subspace"])] == r["code"]
+        assert cells[r["vec_id"]] == r["centroid_id"]
