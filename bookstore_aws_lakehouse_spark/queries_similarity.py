@@ -1199,3 +1199,112 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, centroids, threshold=0.4).select(
         "vec_id", "centroid_id", "kept"
     )
+
+
+# shared CTE chain for the PCA rows: one-pass moments → covariance
+# (rounded at 6 dp so SUM-order float noise can never flip an entry —
+# both engines then iterate from the SAME matrix) → 3 power-method
+# steps, matrix-vector products via list_dot_product over j-ordered
+# rows (bit-identical to Spark's dot fold), iterates rounded at 9 dp.
+_PCA_CTES = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    comp AS (
+      SELECT vec_id, i - 1 AS i, v[i] AS x
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    m AS (SELECT i, avg(x) AS m FROM comp GROUP BY i),
+    s AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS s
+          FROM comp a JOIN comp b USING (vec_id) GROUP BY a.i, b.i),
+    cov AS (
+      SELECT s.i, s.j,
+             ROUND(s.s / (SELECT n FROM n) - mi.m * mj.m, 6) AS c
+      FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+    ),
+    cl AS (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY i),
+    x0 AS (SELECT list(CAST(0.125 AS DOUBLE)) AS xv FROM range(64)),
+    y1 AS (SELECT i, ROUND(list_dot_product(row, (SELECT xv FROM x0)), 9) AS y FROM cl),
+    x1 AS (SELECT i, ROUND(y / sqrt((SELECT SUM(y * y) FROM y1)), 9) AS x FROM y1),
+    x1l AS (SELECT list(x ORDER BY i) AS xv FROM x1),
+    y2 AS (SELECT i, ROUND(list_dot_product(row, (SELECT xv FROM x1l)), 9) AS y FROM cl),
+    x2 AS (SELECT i, ROUND(y / sqrt((SELECT SUM(y * y) FROM y2)), 9) AS x FROM y2),
+    x2l AS (SELECT list(x ORDER BY i) AS xv FROM x2),
+    y3 AS (SELECT i, ROUND(list_dot_product(row, (SELECT xv FROM x2l)), 9) AS y FROM cl),
+    x3 AS (SELECT i, ROUND(y / sqrt((SELECT SUM(y * y) FROM y3)), 9) AS x FROM y3)
+"""
+
+
+@golden(
+    "embedding_top_pc",
+    _PCA_CTES
+    + """
+    SELECT i, x AS loading FROM x3
+    """,
+)
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus (operators/
+    linalg.py::top_principal_component): one-pass distributed moments
+    (explode carries the vector, per-dimension sums partial-aggregate
+    map-side — the exchange moves 64 rows, never the corpus), covariance
+    assembled relationally, then a 3-step power iteration on the
+    64-row matrix (fixed steps = deterministic trajectory, the
+    kmeans_converge_2iter contract). The oracle replays the full chain:
+    moments, 6-dp covariance, every matrix-vector product and normalized
+    iterate at 9 dp."""
+    from bookstore_aws_lakehouse_spark.operators.linalg import (
+        top_principal_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return top_principal_component(emb, "embedding", dim=64, iters=3)
+
+
+@golden(
+    "embedding_pca_scores_topk",
+    _PCA_CTES
+    + """
+    , x3l AS (SELECT list(x ORDER BY i) AS xv FROM x3),
+    ml AS (SELECT list(m ORDER BY i) AS mv FROM m),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(list_dot_product(
+               list_transform(generate_series(1, 64),
+                              k -> e.v[k] - ml.mv[k]),
+               x3l.xv), 6) AS score
+      FROM e, ml, x3l
+    )
+    SELECT vec_id, score FROM (
+      SELECT vec_id, score,
+             row_number() OVER (ORDER BY abs(score) DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def q_embedding_pca_scores_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA outlier scan (operators/linalg.py::pc_scores): every vector's
+    mean-centered projection onto the corpus' top PC — the component and
+    mean ride as broadcast literals, so scoring is one map-side corpus
+    pass; top-20 by |score| (the dominant-direction outliers a curation
+    pipeline inspects). Oracle replays the whole chain plus the
+    projection, both engines folding the centered dot left-to-right."""
+    from bookstore_aws_lakehouse_spark.operators.linalg import (
+        covariance_rows,
+        dim_means,
+        pc_scores,
+        power_iteration,
+    )
+    from bookstore_aws_lakehouse_spark.operators.sort import top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_rows(emb, "embedding", dim=64, round_dp=6).persist()
+    try:
+        u = power_iteration(cov, dim=64, iters=3, round_dp=9)
+    finally:
+        cov.unpersist()
+    means = dim_means(emb, "embedding", dim=64)
+    scores = pc_scores(emb, u, means).withColumn(
+        "_a", F.abs(F.col("score"))
+    )
+    return top_k(
+        scores, [("_a", True)], 20, tiebreak=["vec_id"]
+    ).select("vec_id", "score")

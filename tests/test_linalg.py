@@ -1,0 +1,127 @@
+"""Distributed PCA (operators/linalg.py): covariance vs numpy, power-
+iteration convergence on planted structure, projection math, the
+dim-mismatch fail-fast, and the pin/plan contracts."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bookstore_aws_lakehouse_spark.operators.linalg import (
+    covariance_rows,
+    dim_means,
+    pc_scores,
+    power_iteration,
+    top_principal_component,
+)
+
+
+def _emb(spark, sf_smoke, n=200):
+    return spark.read.parquet(f"{sf_smoke}/embeddings.parquet").limit(n)
+
+
+def test_covariance_matches_numpy_at_rounding_grain(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    V = np.stack(emb.toPandas()["embedding"].values).astype(np.float64)
+    C = np.cov(V.T, bias=True)
+    rows = covariance_rows(emb, "embedding", 64, round_dp=6).orderBy("i").collect()
+    Cs = np.array([r["cov"] for r in rows])
+    assert Cs.shape == (64, 64)
+    # rounded at 6 dp: within half a grain of the exact matrix
+    assert np.abs(Cs - C).max() <= 5.1e-7
+    # symmetric up to the rounding grain
+    assert np.abs(Cs - Cs.T).max() <= 1.1e-6
+
+
+def test_power_iteration_converges_on_planted_structure(spark):
+    """On a spectrum with a dominant direction (spike + small noise),
+    3 steps must align with the true top eigenvector — the convergence
+    property, tested where it exists (the recall-floor pattern; the
+    near-iid fixture spectrum is flat and only the deterministic
+    trajectory is contractual there)."""
+    rng = np.random.default_rng(7)
+    u = np.zeros(64)
+    u[0], u[3] = 3.0, 4.0  # |u| = 5
+    u = u / 5.0
+    V = rng.normal(0, 0.05, size=(400, 64)) + np.outer(
+        rng.normal(0, 1.0, size=400), u
+    )
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(V)],
+        ["vec_id", "embedding"],
+    )
+    pc = top_principal_component(df, "embedding", dim=64, iters=3)
+    x = np.array(
+        [r["loading"] for r in pc.orderBy("i").collect()], dtype=np.float64
+    )
+    cos = abs(float(x @ u)) / float(np.linalg.norm(x))
+    assert cos > 0.99
+    # unit norm up to iterate rounding
+    assert abs(np.linalg.norm(x) - 1.0) < 1e-6
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pc_scores_is_centered_projection(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke, n=100)
+    V = np.stack(
+        emb.orderBy("vec_id").toPandas()["embedding"].values
+    ).astype(np.float64)
+    u = [0.0] * 64
+    u[5] = 1.0
+    m = dim_means(emb, "embedding", 64)
+    got = {
+        r["vec_id"]: r["score"]
+        for r in pc_scores(emb, u, m).collect()
+    }
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").select("vec_id").collect()]
+    exp = np.round(V[:, 5] - np.array(m)[5], 6)
+    for k, e in zip(ids, exp):
+        assert math.isclose(got[k], float(e), abs_tol=1.5e-6)
+
+
+def test_dim_mismatch_fails_fast(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="dims"):
+        covariance_rows(df, "embedding", 64)
+
+
+def test_zero_matrix_is_degenerate_but_stable(spark):
+    """All-identical vectors → zero covariance → zero iterates (the
+    norm guard), not NULLs or division errors."""
+    df = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(10)], ["vec_id", "embedding"]
+    )
+    cov = covariance_rows(df, "embedding", 8).persist()
+    try:
+        x = power_iteration(cov, dim=8, iters=2)
+    finally:
+        cov.unpersist()
+    assert x == [0.0] * 8
+
+
+def test_pca_plan_shapes(spark, sf_smoke):
+    """Moments partial-aggregate map-side (HashAggregate below the
+    64-row exchange, never a corpus shuffle); scoring is one map-side
+    pass into a TakeOrderedAndProject — no join, no wide shuffle."""
+    from bookstore_aws_lakehouse_spark.registry import load_all
+
+    GOLDEN, _ = load_all()
+    emb = _emb(spark, sf_smoke)
+    cov_plan = covariance_rows(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in cov_plan
+    assert "SortMergeJoin" not in cov_plan
+    scores = pc_scores(emb, [0.125] * 64, [0.0] * 64)
+    from bookstore_aws_lakehouse_spark.operators.sort import top_k
+
+    topk = top_k(
+        scores.withColumn("_a", F.abs(F.col("score"))),
+        [("_a", True)],
+        20,
+        tiebreak=["vec_id"],
+    )
+    p = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
