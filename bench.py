@@ -292,6 +292,10 @@ def main() -> None:
         # r14: the bounded-contract CC variant and the PII scrub pass
         "dedup_clusters_capped",
         "text_pii_redact",
+        # r15: distributed PCA — one-pass moments + 3-step power method,
+        # and the map-side projection/outlier scan
+        "embedding_top_pc",
+        "embedding_pca_scores_topk",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
@@ -323,14 +327,50 @@ def main() -> None:
     # median-of-5: the probe divides into every calibrated ratio, so its
     # own run-to-run noise multiplies straight into them (back-to-back
     # sf0.001 smokes measured a 21% probe swing on 3 runs)
-    cal_runs = []
-    for _ in range(5):
-        t0 = time.monotonic()
-        GOLDEN["topk_books"](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        cal_runs.append(time.monotonic() - t0)
-    load_start["calibration_topk_p50"] = round(sorted(cal_runs)[2], 3)
+    def _probe_topk() -> float:
+        runs = []
+        for _ in range(5):
+            t0 = time.monotonic()
+            GOLDEN["topk_books"](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.monotonic() - t0)
+        return round(sorted(runs)[2], 3)
+
+    cal = _probe_topk()
+    # THERMAL GATE (r15): the manual idle-before-record protocol, as
+    # code. A probe far above the previous record's means the box hasn't
+    # recovered from whatever ran before this bench (the r15 run-2
+    # incident: probe 0.836 vs prev 0.591 with ext_busy≈0 and PSI 0 —
+    # frequency state, invisible to the load meter); measuring anyway
+    # burns the round's artifact on a floor the calibration can only
+    # partially reattribute. Cool down and re-probe (keep the best)
+    # before starting the suite.
+    gate = float(os.environ.get("SPARK_GRAFT_THERMAL_GATE", "1.2"))
+    prev_probe = None
+    try:
+        with open(os.path.join(_REPO_DIR, "BENCH_PREV.json")) as f:
+            sfk = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+            raw = json.load(f).get(str(float(sfk))) or {}
+            rc = raw.get(_CAL_KEY)
+            prev_probe = rc["s"] if isinstance(rc, dict) else rc
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    if prev_probe:
+        retries = 0
+        while cal / prev_probe > gate and retries < int(
+            os.environ.get("SPARK_GRAFT_THERMAL_RETRIES", "3")
+        ):
+            retries += 1
+            time.sleep(float(os.environ.get("SPARK_GRAFT_THERMAL_SLEEP", "120")))
+            cal = min(cal, _probe_topk())
+        if retries:
+            load_start["thermal_gate"] = {
+                "prev_probe_s": prev_probe,
+                "retries": retries,
+                "recovered": cal / prev_probe <= gate,
+            }
+    load_start["calibration_topk_p50"] = cal
     # Second, COMPUTE-bound probe (r12): an insufficiently-idled record
     # run measured every compute-dense row (ANN folds, kmeans) ~10%
     # inflated while the scan-bound topk probe moved <2% — scan floor
