@@ -53,6 +53,10 @@ def test_power_iteration_converges_on_planted_structure(spark):
         [(int(i), [float(x) for x in row]) for i, row in enumerate(V)],
         ["vec_id", "embedding"],
     )
+    # pin hygiene: the operator's internal cov pin must not change the
+    # session's cache population (absolute emptiness is NOT asserted —
+    # mid-suite, other modules hold deliberate residue)
+    cache_was_empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
     pc = top_principal_component(df, "embedding", dim=64, iters=3)
     x = np.array(
         [r["loading"] for r in pc.orderBy("i").collect()], dtype=np.float64
@@ -61,7 +65,10 @@ def test_power_iteration_converges_on_planted_structure(spark):
     assert cos > 0.99
     # unit norm up to iterate rounding
     assert abs(np.linalg.norm(x) - 1.0) < 1e-6
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert (
+        spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        == cache_was_empty
+    )
 
 
 def test_pc_scores_is_centered_projection(spark, sf_smoke):
