@@ -1308,3 +1308,63 @@ def q_embedding_pca_scores_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(
         scores, [("_a", True)], 20, tiebreak=["vec_id"]
     ).select("vec_id", "score")
+
+
+@golden(
+    "embedding_pc_variance",
+    _PCA_CTES
+    + """
+    , x3l AS (SELECT list(x ORDER BY i) AS xv FROM x3),
+    y4 AS (
+      SELECT cl.i, list_dot_product(cl.row, x3l.xv) AS y
+      FROM cl, x3l
+    ),
+    lam AS (
+      SELECT ROUND(SUM(x3.x * y4.y), 6) AS eigenvalue
+      FROM x3 JOIN y4 USING (i)
+    ),
+    tr AS (SELECT ROUND(SUM(c), 6) AS total_var FROM cov WHERE i = j)
+    SELECT lam.eigenvalue,
+           tr.total_var,
+           ROUND(lam.eigenvalue / tr.total_var, 6) AS explained_frac
+    FROM lam, tr
+    """,
+)
+def q_embedding_pc_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explained variance of the top PC — the number a curation pipeline
+    reads off a PCA (is there a dominant direction worth whitening?):
+    Rayleigh quotient λ = xᵀCx over the 3-step iterate, total variance =
+    trace(C), their ratio. All on the 64-row covariance table (bounded
+    by embedding width); λ's 64-term sum rounds at 6 dp, far above
+    cross-engine SUM-order noise. Oracle replays the full chain."""
+    from bookstore_aws_lakehouse_spark.operators.linalg import (
+        covariance_rows,
+        power_iteration,
+    )
+    from bookstore_aws_lakehouse_spark.functions.vector import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_rows(emb, "embedding", dim=64, round_dp=6).persist()
+    try:
+        u = power_iteration(cov, dim=64, iters=3, round_dp=9)
+        ul = F.array(*[F.lit(c) for c in u])
+        out = cov.agg(
+            F.round(
+                F.sum(F.element_at(ul, F.col("i") + 1) * dot(F.col("cov"), ul)),
+                6,
+            ).alias("eigenvalue"),
+            F.round(
+                F.sum(F.element_at(F.col("cov"), F.col("i") + 1)), 6
+            ).alias("total_var"),
+        ).select(
+            "eigenvalue",
+            "total_var",
+            F.round(F.col("eigenvalue") / F.col("total_var"), 6).alias(
+                "explained_frac"
+            ),
+        )
+        # materialize before dropping the pin (the agg consumes cov once)
+        rows = out.collect()
+    finally:
+        cov.unpersist()
+    return spark.createDataFrame(rows, out.schema)
