@@ -179,6 +179,65 @@ def _n_cc_capped_input(spark: SparkSession, sf_dir: str) -> int:
     return cap_pair_neighbors(pairs, "id_a", "id_b", "jaccard", k=_CAP_K).count()
 
 
+def _recall_multiprobe(spark: SparkSession, sf_dir: str) -> float:
+    """Planted-neighbor recall@5 of the production ANN row at THIS corpus
+    scale (VERDICT r12 #5): the growth harness previously recorded only
+    cost (candidates, seconds) at 10× — this measures whether the
+    recall/cost dial survives the scale-up (10× denser cells, same
+    nprobe). Mirrors q_ann_recall_floor's plant exactly
+    (queries_similarity.py: 5 deterministic cell-preserving
+    near-duplicates per probe vector, ×(1 + 0.001·((i+j) mod 5))); the
+    documented floor is 0.8. Growth-dir compatibility is by
+    construction: copy ids are odd and ≥ 2·10⁷, so the % 50 == 0
+    centroid seeds stay the base corpus's and the planted ids
+    (≈ 10⁶ + small) collide with nothing."""
+    import functools
+
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        ivfpq_residual_multiprobe,
+    )
+    from bookstore_aws_lakehouse_spark.queries_similarity import N_QUERIES
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def _perturb(j):
+        return lambda x, i: x * (1.0 + 0.001 * ((i + j) % 5))
+
+    planted = [
+        queries.select(
+            (F.col("vec_id") * 10 + j + 1_000_000).alias("vec_id"),
+            F.transform("embedding", _perturb(j)).alias("embedding"),
+            F.col("label"),
+        )
+        for j in range(1, 6)
+    ]
+    corpus = functools.reduce(DataFrame.unionByName, planted, emb)
+    ann = ivfpq_residual_multiprobe(corpus, _centroids(emb), queries, k=5)
+    is_planted_hit = (F.col("vec_id") >= 1_000_000) & (
+        ((F.col("vec_id") - F.lit(1_000_000)) / 10).cast("long")
+        == F.col("query_id")
+    )
+    row = ann.agg(
+        F.sum(is_planted_hit.cast("int")).alias("_hits"),
+        F.count_distinct("query_id").alias("_nq"),
+    ).first()
+    if not row or not row["_nq"]:
+        return 0.0
+    return round(row["_hits"] / (5.0 * row["_nq"]), 3)
+
+
+#: growth-row name → planted-recall probe (returns recall@k as a float in
+#: [0, 1]); recorded at BOTH scales so the growth entry carries the
+#: quality axis next to the cost axis. Floor documented per probe.
+GROWTH_RECALL_PROBES: dict[str, Callable[[SparkSession, str], float]] = {
+    "ann_ivfpq_residual_multiprobe": _recall_multiprobe,
+}
+
+#: the recall contract the probes are graded against (q_ann_recall_floor)
+GROWTH_RECALL_FLOOR = 0.8
+
+
 #: growth-row name → candidate counter. Keys must match bench.py's
 #: _growth_section names; rows absent here (iterative/agg shapes whose
 #: cost isn't candidate-driven) simply record no candidate fields.

@@ -333,6 +333,22 @@ def remove_repeated_passages(
 #: the oracle engine) agree on every match boundary.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    # IBAN: 2-letter country + 2 check digits + 11-30 alphanumerics (the
+    # real length envelope across countries); runs before the digit
+    # patterns so its digit tail can't be half-eaten by one of them
+    "iban": (r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "[IBAN]"),
+    # Luhn-shaped card numbers: network-prefix anchored (Visa 4xxx,
+    # Mastercard 51-55) 16-digit groups with optional -/space joiners —
+    # prefix-anchoring keeps arbitrary 16-digit runs (ids, hashes) out.
+    # No backreference on the joiner (RE2, the oracle engine, has none);
+    # mixed joiners over-match at worst, never under-redact.
+    "credit_card": (
+        r"\b(4\d{3}|5[1-5]\d{2})[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b",
+        "[CARD]",
+    ),
+    # 3-2-4 SSN shape — disjoint from the 3-3-4 phone shape by the
+    # group widths, so neither can match inside the other's plant
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     "ipv4": (r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
     "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
 }

@@ -798,6 +798,71 @@ def q_clustered_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @golden(
+    "snapshot_files",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS num_rows,
+           CAST(sum(CASE WHEN c_custkey % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS num_live_rows,
+           CAST(max(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BOOLEAN)
+               AS has_deletion_vector
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file metadata table (sources/snapshots.py::snapshot_files —
+    Iceberg's ``t.files`` / file-granular DESCRIBE DETAIL): commit
+    customers one file per market segment (deterministic layout:
+    overwrite + appends, each ``coalesce(1)``), DV-delete every 10th
+    custkey, then read the manifest+footer view — footer row counts,
+    DV-adjusted live rows, per-file DV flags, and the recorded
+    min/max stats (min == max == the segment, since each file holds
+    exactly one). NO DATA I/O: the operator answers from manifest and
+    parquet footers only; the oracle recomputes each file's expected
+    numbers relationally from the base table."""
+    import shutil
+
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_delete_dv,
+        snapshot_files,
+        snapshot_overwrite,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # bounded driver read: the 5 TPC-H segments (dim-cardinality class)
+    segs = sorted(
+        r[0] for r in cust.select("c_mktsegment").distinct().collect()
+    )
+    root = tempfile.mkdtemp(prefix="blhs_snapfiles_")
+    try:
+        table = f"{root}/cust_snap"
+        snapshot_overwrite(
+            cust.filter(F.col("c_mktsegment") == segs[0]).coalesce(1),
+            table,
+            stats_cols=["c_mktsegment"],
+        )
+        for seg in segs[1:]:
+            # appends inherit the tip's stats columns (stats continuity)
+            snapshot_append(
+                cust.filter(F.col("c_mktsegment") == seg).coalesce(1), table
+            )
+        snapshot_delete_dv(spark, table, "c_custkey % 10 = 0")
+        # snapshot_files materializes driver-side from footers/manifest —
+        # the result frame holds no reference to the tempdir's files
+        return snapshot_files(spark, table).select(
+            F.col("stats")["c_mktsegment"][0].alias("segment"),
+            "num_rows",
+            "num_live_rows",
+            "has_deletion_vector",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@golden(
     "zorder_sink_roundtrip",
     """
     SELECT l_partkey, l_suppkey,

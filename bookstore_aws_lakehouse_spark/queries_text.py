@@ -697,7 +697,7 @@ def q_text_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exercised on non-trivial counts and the whole replace+count chain is
 # value-verified, not just 0 == 0.
 _PII_PLANT_SQL = """
-WITH planted AS (
+WITH p1 AS (
   SELECT doc_id, source,
          CASE WHEN doc_id % 5 = 0
               THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
@@ -705,28 +705,71 @@ WITH planted AS (
                    || ' tel 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
               ELSE text END AS text
   FROM documents
+),
+p2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                   || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   || ' iban DE' || lpad(CAST(10 + doc_id % 90 AS VARCHAR), 2, '0')
+                   || '370400440532' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              ELSE text END AS text
+  FROM p1
+),
+planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' card 4' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-1111-2222-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE text END AS text
+  FROM p2
 )
 """
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IBAN = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+_PII_CARD = r"\b(4\d{3}|5[1-5]\d{2})[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
 _PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 _PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 
 
 def _pii_planted(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
-    suffix = F.concat(
-        F.col("text"),
-        F.lit(" contact u"), F.col("doc_id").cast("string"),
-        F.lit("@example.com ip 10.0.0."),
-        (F.col("doc_id") % 250).cast("string"),
-        F.lit(" tel 555-123-"),
-        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
-    )
-    return docs.withColumn(
-        "text",
-        F.when(F.col("doc_id") % 5 == 0, suffix).otherwise(F.col("text")),
-    )
+    d = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(
+        d % 5 == 0,
+        F.concat(
+            t,
+            F.lit(" contact u"), d.cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (d % 250).cast("string"),
+            F.lit(" tel 555-123-"),
+            (F.lit(1000) + d % 9000).cast("string"),
+        ),
+    ).otherwise(t)
+    t = F.when(
+        d % 7 == 0,
+        F.concat(
+            t,
+            F.lit(" ssn "), (F.lit(100) + d % 900).cast("string"),
+            F.lit("-"), F.lpad((d % 100).cast("string"), 2, "0"),
+            F.lit("-"), (F.lit(1000) + d % 9000).cast("string"),
+            F.lit(" iban DE"), F.lpad((F.lit(10) + d % 90).cast("string"), 2, "0"),
+            F.lit("370400440532"), F.lpad((d % 1000).cast("string"), 3, "0"),
+        ),
+    ).otherwise(t)
+    t = F.when(
+        d % 11 == 0,
+        F.concat(
+            t,
+            F.lit(" card 4"), F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-1111-2222-"), (F.lit(1000) + d % 9000).cast("string"),
+        ),
+    ).otherwise(t)
+    return docs.withColumn("text", t)
 
 
 @golden(
@@ -734,11 +777,18 @@ def _pii_planted(spark: SparkSession, sf_dir: str):
     _PII_PLANT_SQL
     + f"""
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(text,
            '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_IBAN}', '[IBAN]', 'g'),
+           '{_PII_CARD}', '[CARD]', 'g'),
+           '{_PII_SSN}', '[SSN]', 'g'),
            '{_PII_IPV4}', '[IP]', 'g'),
            '{_PII_PHONE}', '[PHONE]', 'g') AS text_redacted,
        CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_IBAN}')) AS INT) AS n_iban,
+       CAST(len(regexp_extract_all(text, '{_PII_CARD}')) AS INT) AS n_credit_card,
+       CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS INT) AS n_ssn,
        CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INT) AS n_ipv4,
        CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phone
 FROM planted
@@ -756,7 +806,8 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bookstore_aws_lakehouse_spark.operators.text import redact_pii
 
     return redact_pii(_pii_planted(spark, sf_dir), "text").select(
-        "doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone"
+        "doc_id", "text_redacted", "n_email", "n_iban", "n_credit_card",
+        "n_ssn", "n_ipv4", "n_phone",
     )
 
 
@@ -767,9 +818,15 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(regexp_extract_all(text, '{_PII_EMAIL}'))) AS BIGINT) AS n_email,
+       CAST(sum(len(regexp_extract_all(text, '{_PII_IBAN}'))) AS BIGINT) AS n_iban,
+       CAST(sum(len(regexp_extract_all(text, '{_PII_CARD}'))) AS BIGINT) AS n_credit_card,
+       CAST(sum(len(regexp_extract_all(text, '{_PII_SSN}'))) AS BIGINT) AS n_ssn,
        CAST(sum(len(regexp_extract_all(text, '{_PII_IPV4}'))) AS BIGINT) AS n_ipv4,
        CAST(sum(len(regexp_extract_all(text, '{_PII_PHONE}'))) AS BIGINT) AS n_phone,
        CAST(sum(CASE WHEN len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                       + len(regexp_extract_all(text, '{_PII_IBAN}'))
+                       + len(regexp_extract_all(text, '{_PII_CARD}'))
+                       + len(regexp_extract_all(text, '{_PII_SSN}'))
                        + len(regexp_extract_all(text, '{_PII_IPV4}'))
                        + len(regexp_extract_all(text, '{_PII_PHONE}')) > 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
@@ -785,13 +842,12 @@ def q_text_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bookstore_aws_lakehouse_spark.operators.text import redact_pii
 
     red = redact_pii(_pii_planted(spark, sf_dir), "text")
-    has_pii = (
-        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
-    ).cast("int")
+    kinds = ["n_email", "n_iban", "n_credit_card", "n_ssn", "n_ipv4", "n_phone"]
+    total = None
+    for k in kinds:
+        total = F.col(k) if total is None else total + F.col(k)
     return red.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_email").cast("bigint").alias("n_email"),
-        F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
-        F.sum("n_phone").cast("bigint").alias("n_phone"),
-        F.sum(has_pii).cast("bigint").alias("n_docs_with_pii"),
+        *[F.sum(k).cast("bigint").alias(k) for k in kinds],
+        F.sum((total > 0).cast("int")).cast("bigint").alias("n_docs_with_pii"),
     )

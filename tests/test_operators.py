@@ -798,6 +798,9 @@ def test_redact_pii_patterns_and_counts(spark):
         (2, "host 192.168.0.1 and 10.0.0.255, call 555-123-4567"),
         (3, "no pii here"),
         (4, None),
+        # r13 registry extension: IBAN, SSN-class, Luhn-shaped cards
+        (5, "acct DE89370400440532013000 ssn 123-45-6789"),
+        (6, "pay 4111-1111-1111-1234 or 5500 0000 0000 0004 but not 9999-1111-1111-1111"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
@@ -808,3 +811,8 @@ def test_redact_pii_patterns_and_counts(spark):
     assert got[3]["text_redacted"] == "no pii here"
     assert got[4]["text_redacted"] is None
     assert got[4]["n_email"] is None
+    assert got[5]["text_redacted"] == "acct [IBAN] ssn [SSN]"
+    assert (got[5]["n_iban"], got[5]["n_ssn"], got[5]["n_phone"]) == (1, 1, 0)
+    # network-prefix anchoring: 4xxx/5[1-5]xx redact, 9xxx does not
+    assert got[6]["text_redacted"] == "pay [CARD] or [CARD] but not 9999-1111-1111-1111"
+    assert got[6]["n_credit_card"] == 2
