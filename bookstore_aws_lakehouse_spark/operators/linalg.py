@@ -432,6 +432,54 @@ def pc_scores(
     )
 
 
+def pc_project(
+    df: DataFrame,
+    components: list[list[float]],
+    means: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    whiten: list[float] | None = None,
+) -> DataFrame:
+    """Reduce every vector onto r fixed components in ONE map-side pass:
+    (id, reduced array<double>[r]) with reduced[k] = round((v − m)·u_k,
+    round_dp) — the reduce-before-ANN / whitening consumer of
+    ``top_principal_components``. Components and means ride as literals
+    (broadcast by the plan), the centered vector is computed once and
+    shared across the r dot products; nothing shuffles, so at 100 TB
+    this fuses into whatever scan feeds it.
+
+    With ``whiten`` (per-component eigenvalues), each score is divided
+    by √λ_k BEFORE rounding — unit-variance coordinates, the standard
+    pre-ANN normalization. λ_k ≤ 0 (a deflated-away or degenerate
+    direction) yields NULL for that coordinate, never NaN/Inf."""
+    r = len(components)
+    if whiten is not None and len(whiten) != r:
+        raise ValueError(
+            f"pc_project: {r} components but {len(whiten)} eigenvalues"
+        )
+    v = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(
+        v, F.array(*[F.lit(m) for m in means]), lambda a, b: a - b
+    )
+    out = df.withColumn("_c", centered)
+    scores = []
+    for k, comp in enumerate(components):
+        u = F.array(*[F.lit(c) for c in comp])
+        s: Column = dot(F.col("_c"), u)
+        if whiten is not None:
+            lam = float(whiten[k])
+            s = (
+                F.round(s / math.sqrt(lam), round_dp)
+                if lam > 0
+                else F.lit(None).cast("double")
+            )
+        else:
+            s = F.round(s, round_dp)
+        scores.append(s)
+    return out.select(F.col(id_col), F.array(*scores).alias("reduced"))
+
+
 def dim_means(
     df: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> list[float]:

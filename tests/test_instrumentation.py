@@ -111,3 +111,19 @@ def test_semantic_subcell_branch_matches_operator_assignment(spark):
     assert (
         cells_big.select("centroid_id", "_subcell").distinct().count() > n_cells
     )
+
+
+def test_growth_recall_probe_clears_floor_on_fixture(spark, sf_smoke):
+    """The growth recall probe (VERDICT r12 #5) mirrors
+    q_ann_recall_floor's planted contract: on the base fixture it must
+    clear the same documented floor the golden row enforces, so the
+    growth entry's quality axis can't silently drift from the
+    driver-checked one."""
+    from bookstore_aws_lakehouse_spark.instrumentation import (
+        GROWTH_RECALL_FLOOR,
+        GROWTH_RECALL_PROBES,
+    )
+
+    r = GROWTH_RECALL_PROBES["ann_ivfpq_residual_multiprobe"](spark, sf_smoke)
+    assert 0.0 <= r <= 1.0
+    assert r >= GROWTH_RECALL_FLOOR

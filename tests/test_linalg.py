@@ -203,3 +203,46 @@ def test_top_pcs_converge_and_orthogonal_on_planted_structure(spark):
         assert cos > 0.99, f"component {k + 1} misaligned (cos={cos:.4f})"
     G = P @ P.T
     assert np.abs(G - np.eye(3)).max() < 0.01
+
+
+def test_pc_project_reduces_and_whitens(spark):
+    """pc_project: r-dim reduction equals the centered projections
+    column-for-column vs numpy; whitening divides by sqrt(lambda) before
+    rounding and NULLs non-positive directions instead of NaN/Inf."""
+    from bookstore_aws_lakehouse_spark.operators.linalg import pc_project
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(0, 1.0, size=(50, 8))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(V)],
+        ["vec_id", "embedding"],
+    )
+    comps = [[1.0 if j == k else 0.0 for j in range(8)] for k in (2, 5)]
+    m = V.mean(axis=0).tolist()
+    got = {
+        r["vec_id"]: r["reduced"]
+        for r in pc_project(df, comps, m, round_dp=6).collect()
+    }
+    exp = np.round((V - np.array(m))[:, [2, 5]], 6)
+    for i in range(50):
+        assert np.allclose(got[i], exp[i], atol=1.5e-6)
+    # whitened: / sqrt(4.0) on the first, NULL on the degenerate second
+    gw = {
+        r["vec_id"]: r["reduced"]
+        for r in pc_project(df, comps, m, whiten=[4.0, 0.0]).collect()
+    }
+    for i in range(50):
+        assert math.isclose(gw[i][0], round(float(exp[i][0] / 2.0), 6), abs_tol=2e-6)
+        assert gw[i][1] is None
+    # shape guard
+    with pytest.raises(ValueError, match="eigenvalues"):
+        pc_project(df, comps, m, whiten=[1.0])
+
+
+def test_pc_project_is_shuffle_free(spark, sf_smoke):
+    from bookstore_aws_lakehouse_spark.operators.linalg import pc_project
+
+    emb = _emb(spark, sf_smoke)
+    out = pc_project(emb, [[0.125] * 64] * 4, [0.0] * 64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
