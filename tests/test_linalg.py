@@ -246,3 +246,40 @@ def test_pc_project_is_shuffle_free(spark, sf_smoke):
     out = pc_project(emb, [[0.125] * 64] * 4, [0.0] * 64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pca_scores_row_uses_exactly_two_corpus_scans(spark, sf_smoke, monkeypatch):
+    """VERDICT r12 #2 'Done' criterion, pinned: the scores row touches
+    the corpus exactly twice — the covariance scan (under the pin) and
+    the scoring pass. Means come off the pin, so dim_means (the retired
+    third scan) must never be called, and the returned frame's plan
+    holds exactly ONE parquet scan (the scoring pass)."""
+    import bookstore_aws_lakehouse_spark.operators.linalg as linalg
+    from bookstore_aws_lakehouse_spark.registry import load_all
+
+    def _boom(*a, **k):
+        raise AssertionError("dim_means called — that's a third corpus scan")
+
+    monkeypatch.setattr(linalg, "dim_means", _boom)
+    GOLDEN, _ = load_all()
+    out = GOLDEN["embedding_pca_scores_topk"](spark, sf_smoke)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert len(out.collect()) == 20
+
+
+def test_top_pcs_zero_matrix_is_stable(spark):
+    """Deflation degeneracy: on an all-constant corpus (zero covariance)
+    every component's iterates are zero (the norm guard), the Rayleigh
+    eigenvalue is 0, and deflation is the identity — no NaN/Inf/error."""
+    from bookstore_aws_lakehouse_spark.operators.linalg import (
+        top_principal_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [2.0] * 8) for i in range(10)], ["vec_id", "embedding"]
+    )
+    out = top_principal_components(df, "embedding", dim=8, r=3, iters=2)
+    rows = out.collect()
+    assert len(rows) == 3 * 8
+    assert all(r["loading"] == 0.0 for r in rows)
