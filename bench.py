@@ -296,6 +296,9 @@ def main() -> None:
         # and the map-side projection/outlier scan
         "embedding_top_pc",
         "embedding_pca_scores_topk",
+        # r16: top-r deflation and the footer-only file-metadata table
+        "embedding_top_pcs",
+        "snapshot_files",
     ]:
         if extra in GOLDEN:
             headline.append(extra)
@@ -605,6 +608,7 @@ def main() -> None:
             mk_session=mk_session,
             cal_factor=common_vs_prev.get("cal_factor") or 1.0,
             fold_cal_factor=common_vs_prev.get("fold_cal_factor"),
+            prev_probes=(prev_cal, prev_fold_cal),
         )
 
     def _git_head() -> str | None:
@@ -697,7 +701,9 @@ def main() -> None:
                     else None
                 ),
                 "calibration_topk_p50": cal_now,
-                "n_adjudicated": len(adjudication),
+                "n_adjudicated": sum(
+                    1 for a in adjudication.values() if "prev_s" in a
+                ),
                 "detail": "BENCH_DETAIL.json",
             }
         )
@@ -752,6 +758,7 @@ def _adjudicate(
     mk_session=None,
     cal_factor: float = 1.0,
     fold_cal_factor: float | None = None,
+    prev_probes: tuple = (None, None),
 ) -> dict[str, dict]:
     """Re-measure every shared row that regressed >1.3× vs the previous
     record SOLO (median-of-n, warm, own load window).
@@ -796,9 +803,45 @@ def _adjudicate(
         )
     ]
     own_session = mk_session is not None and any(q in GOLDEN for q in suspects)
+    solo_cals: dict[str, float] = {}
     if own_session:
         spark.stop()
         spark = mk_session("bookstore-lakehouse-bench-adjudicate")
+        # SOLO-WINDOW probes (r13): the run-window factors were measured
+        # at the START of a ~half-hour bench; the host's scan and
+        # frequency floors drift on that horizon (r13 saw a 2.1× fold
+        # factor at start while end-of-run solos matched prev raw — the
+        # factors no longer described the window the solos ran in). Re-
+        # probe in the fresh session so each solo divides by the floor
+        # of ITS OWN window; run-window ratios keep the start factors.
+        def _probe(q: str, warm: int = 1, runs: int = 3):
+            if q not in GOLDEN:
+                return None
+            for _ in range(warm):
+                GOLDEN[q](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            ts = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                GOLDEN[q](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(time.monotonic() - t0)
+            return round(sorted(ts)[len(ts) // 2], 3)
+
+        topk_now, fold_now = _probe("topk_books"), _probe("ann_lsh_buckets")
+        prev_topk, prev_fold = prev_probes
+        if topk_now is not None and prev_topk:
+            solo_cals["topk"] = topk_now / prev_topk
+        if fold_now is not None and prev_fold:
+            solo_cals["fold"] = fold_now / prev_fold
+        adjudication["__solo_window__"] = {
+            "topk_p50": topk_now,
+            "fold_p50": fold_now,
+            "topk_factor": round(solo_cals["topk"], 3) if "topk" in solo_cals else None,
+            "fold_factor": round(solo_cals["fold"], 3) if "fold" in solo_cals else None,
+        }
     for q in suspects:
         qcal, qclass = _row_cal(q)
         if q not in GOLDEN:
@@ -822,6 +865,9 @@ def _adjudicate(
             ).save()
             runs.append(time.monotonic() - t0)
         solo = round(sorted(runs)[len(runs) // 2], 3)
+        # the solo divides by its OWN window's probe factor when the
+        # fresh session re-probed; else falls back to the run-window one
+        solo_cal = solo_cals.get(qclass, qcal) or qcal
         adjudication[q] = {
             "prev_s": prev_q[q],
             "run_s": timings[q],
@@ -829,8 +875,9 @@ def _adjudicate(
             "run_ratio": round(timings[q] / prev_q[q], 2),
             "solo_ratio": round(solo / prev_q[q], 2),
             "run_ratio_cal": round(timings[q] / prev_q[q] / qcal, 2),
-            "solo_ratio_cal": round(solo / prev_q[q] / qcal, 2),
+            "solo_ratio_cal": round(solo / prev_q[q] / solo_cal, 2),
             "cal_factor": round(qcal, 3),
+            "solo_cal_factor": round(solo_cal, 3),
             "probe_class": qclass,
             "ext_busy": meter.window(),
             "fresh_session": own_session,

@@ -432,6 +432,58 @@ def pc_scores(
     )
 
 
+def pc_spectrum(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    r: int = 4,
+    iters: int = 3,
+    cov_dp: int = 6,
+    iter_dp: int = 9,
+) -> DataFrame:
+    """(component, eigenvalue, explained_frac, cumulative_frac) for the
+    top ``r`` PCs — the screeplot a curation pipeline reads to pick its
+    reduction rank (how many directions carry the corpus' variance?).
+    Same ONE-corpus-scan deflation loop as ``top_principal_components``
+    with the Rayleigh eigenvalue taken for EVERY component (λ at the
+    coarse 6-dp grain, the deflation contract); total variance is
+    trace(C) off the same pinned matrix. Fractions are round(λ/trace, 6)
+    and their running sum — a near-flat spectrum (random fixtures) shows
+    r·(1/dim)-ish fractions, a planted-structure corpus shows the
+    spike."""
+    spark = df.sparkSession
+    cov = covariance_rows(df, vec_col, dim, cov_dp).persist()
+    lams: list[float] = []
+    try:
+        trace_row = cov.agg(
+            F.round(
+                F.sum(F.element_at(F.col("cov"), F.col("i") + 1)), cov_dp
+            ).alias("t")
+        ).first()
+        trace = float(trace_row["t"]) if trace_row else 0.0
+        cur = cov.select("i", "cov")
+        for k in range(r):
+            x = power_iteration(cur, dim, iters, iter_dp)
+            lam = eigenvalue_of(cur, x, iter_dp, cov_dp)
+            lams.append(lam)
+            if k + 1 < r:
+                cur = deflate(cur, x, lam, cov_dp)
+    finally:
+        cov.unpersist()
+    rows = []
+    cum = 0.0
+    for k, lam in enumerate(lams):
+        frac = round(lam / trace, 6) if trace > 0 else None
+        if frac is not None:
+            cum = round(cum + frac, 6)
+        rows.append((k + 1, lam, frac, cum if frac is not None else None))
+    return spark.createDataFrame(
+        rows,
+        "component bigint, eigenvalue double, explained_frac double, "
+        "cumulative_frac double",
+    )
+
+
 def pc_project(
     df: DataFrame,
     components: list[list[float]],

@@ -91,3 +91,53 @@ def test_adjudication_solo_remeasures_registry_rows():
     )
     assert len(calls) == 3
     assert adj["slow_row"]["solo_ratio"] is not None
+
+
+def test_adjudication_solo_window_probes(monkeypatch):
+    """r13: with a fresh adjudication session, the probes re-run in THAT
+    window and each solo divides by its own window's factor (the start-
+    of-run factors can be stale by the time solos run); the reserved
+    __solo_window__ entry records both probes, and rows carry
+    solo_cal_factor + probe_class."""
+
+    class _FakeDF:
+        @property
+        def write(self):
+            return self
+
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def save(self):
+            pass
+
+    class _StubSpark:
+        def stop(self):
+            pass
+
+    golden = {
+        "topk_books": lambda spark, sf: _FakeDF(),
+        "ann_lsh_buckets": lambda spark, sf: _FakeDF(),
+        "slow_row": lambda spark, sf: _FakeDF(),
+    }
+    adj = bench._adjudicate(
+        _StubSpark(),
+        "/x",
+        golden,
+        {"slow_row": 1.0},
+        {"slow_row": 2.0},
+        _StubMeter(),
+        n_runs=1,
+        mk_session=lambda name: _StubSpark(),
+        prev_probes=(1.0, 2.0),
+    )
+    w = adj["__solo_window__"]
+    assert w["topk_p50"] is not None and w["fold_p50"] is not None
+    assert w["topk_factor"] is not None and w["fold_factor"] is not None
+    row = adj["slow_row"]
+    assert row["probe_class"] == "topk"
+    assert row["solo_cal_factor"] is not None
+    assert row["fresh_session"] is True

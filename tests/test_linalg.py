@@ -283,3 +283,34 @@ def test_top_pcs_zero_matrix_is_stable(spark):
     rows = out.collect()
     assert len(rows) == 3 * 8
     assert all(r["loading"] == 0.0 for r in rows)
+
+
+def test_pc_spectrum_recovers_planted_eigenvalues(spark):
+    """pc_spectrum: on planted 3-direction structure the top-3
+    eigenvalues land near numpy's, fractions are monotone-cumulative and
+    bounded by 1; the trailing flat component carries a small fraction."""
+    from bookstore_aws_lakehouse_spark.operators.linalg import pc_spectrum
+
+    rng = np.random.default_rng(23)
+    U = np.linalg.qr(rng.normal(size=(16, 3)))[0].T
+    coeffs = rng.normal(size=(600, 3)) * np.array([4.0, 2.0, 1.0])
+    V = coeffs @ U + rng.normal(0, 0.03, size=(600, 16))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(V)],
+        ["vec_id", "embedding"],
+    )
+    out = (
+        pc_spectrum(df, "embedding", dim=16, r=4, iters=8)
+        .orderBy("component")
+        .collect()
+    )
+    ev = np.linalg.eigvalsh(np.cov(V.T, bias=True))[::-1]
+    got = [r["eigenvalue"] for r in out]
+    for k in range(3):
+        assert math.isclose(got[k], float(ev[k]), rel_tol=0.02), (k, got[k], ev[k])
+    # spectrum is sorted by construction (deflation removes the top)
+    assert got == sorted(got, reverse=True)
+    cums = [r["cumulative_frac"] for r in out]
+    assert cums == sorted(cums) and cums[-1] <= 1.0 + 1e-6
+    # the planted directions dominate: 3 components ≈ all the variance
+    assert cums[2] > 0.95
