@@ -192,16 +192,26 @@ def _assemble_cov(moments: DataFrame, dim: int, round_dp: int) -> DataFrame:
         )
         .alias("_means")
     )
-    return moments.crossJoin(F.broadcast(means)).select(
-        "i",
-        F.col("_m").alias("mean"),
-        F.zip_with(
-            F.col("_s"),
-            F.col("_means"),
-            lambda s, mj: F.round(
-                s / F.col("_n") - F.col("_m") * mj, round_dp
-            ),
-        ).alias("cov"),
+    # dim rows (KBs) — ALWAYS a single partition: the iteration/deflation
+    # consumers run dozens of tiny jobs over this frame, and with the
+    # aggregation's 32-way layout each job schedules ~33 near-empty tasks
+    # (measured: the task overhead, not the math, dominated the top-r
+    # row). One more 64-row exchange here buys 1-task stages everywhere
+    # downstream.
+    return (
+        moments.crossJoin(F.broadcast(means))
+        .select(
+            "i",
+            F.col("_m").alias("mean"),
+            F.zip_with(
+                F.col("_s"),
+                F.col("_means"),
+                lambda s, mj: F.round(
+                    s / F.col("_n") - F.col("_m") * mj, round_dp
+                ),
+            ).alias("cov"),
+        )
+        .repartition(1)
     )
 
 
@@ -257,28 +267,29 @@ def power_iteration(
     ALL rounding happens JVM-side with ``F.round`` (HALF_UP, the same
     convention the SQL oracles replay) — Python's ``round`` is
     HALF_EVEN and would drift on boundary values."""
+    from pyspark.sql.window import Window
+
     # 1/sqrt(64) = 0.125 exactly; for other dims the start is rounded by
     # the same JVM convention via the first iteration's literal embed
     x = [1.0 / math.sqrt(dim)] * dim
+    # ONE job per step: the norm is a global window sum over the dim rows
+    # (SinglePartition exchange of dim rows — trivial), so matvec +
+    # normalize collect together. The previous agg + broadcast-crossJoin
+    # shape submitted ~3 jobs per step; on a 12-step top-r run the
+    # scheduling overhead dominated the row (r16 plan audit). Sum order
+    # (window vs agg) moves the norm by ~1e-16 relative — far below the
+    # 9-dp iterate grain, the contract's standing argument.
+    w = Window.partitionBy(F.lit(1))
     for _ in range(iters):
-        ydf = cov_rows.select(
-            "i",
-            F.round(
-                dot(F.col("cov"), F.array(*[F.lit(c) for c in x])),
-                round_dp,
-            ).alias("y"),
+        y = F.round(
+            dot(F.col("cov"), F.array(*[F.lit(c) for c in x])), round_dp
         )
-        nrm = ydf.agg(
-            F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("_n")
-        )
+        nrm = F.sqrt(F.sum(F.col("y") * F.col("y")).over(w))
         rows = (
-            ydf.crossJoin(F.broadcast(nrm))
+            cov_rows.select("i", y.alias("y"))
             .select(
                 "i",
-                F.when(
-                    F.col("_n") > 0,
-                    F.round(F.col("y") / F.col("_n"), round_dp),
-                )
+                F.when(nrm > 0, F.round(F.col("y") / nrm, round_dp))
                 .otherwise(F.col("y"))
                 .alias("x"),
             )
@@ -401,13 +412,24 @@ def top_principal_components(
             out.extend((k + 1, i, c) for i, c in enumerate(x))
             if k + 1 < r:
                 lam = eigenvalue_of(cur, x, iter_dp, cov_dp)
-                # the deflated matrix stays a cheap derivation of the
-                # ONE pinned covariance (k zip-transforms over dim rows)
-                # — no per-component pin churn
-                cur = deflate(cur, x, lam, cov_dp)
+                cur = _materialized(spark, deflate(cur, x, lam, cov_dp))
     finally:
         cov.unpersist()
     return spark.createDataFrame(out, ["component", "i", "loading"])
+
+
+def _materialized(spark, cov_rows: DataFrame) -> DataFrame:
+    """Collapse a (lazily) deflated dim-row matrix to materialized JVM
+    blocks. Left lazy, component k's matrix is k NESTED array-transforms
+    — by k=3 the expression tree costs seconds of codegen on EVERY step
+    job (measured: that, not the math, dominated the top-r row). The
+    matrix is dim² ROUNDED doubles (KBs, bounded by the embedding
+    width); ``localCheckpoint`` pins it JVM-side in one job.
+    (A driver round-trip via ``createDataFrame`` was tried first and
+    REGRESSED 7×: a Python-built local relation re-pays Python-worker
+    serialization on every subsequent job — the dozens of tiny iteration
+    jobs each cost ~5 s. Keep bounded materializations JVM-side.)"""
+    return cov_rows.select("i", "cov").coalesce(1).localCheckpoint(eager=True)
 
 
 def pc_scores(
@@ -467,7 +489,7 @@ def pc_spectrum(
             lam = eigenvalue_of(cur, x, iter_dp, cov_dp)
             lams.append(lam)
             if k + 1 < r:
-                cur = deflate(cur, x, lam, cov_dp)
+                cur = _materialized(spark, deflate(cur, x, lam, cov_dp))
     finally:
         cov.unpersist()
     rows = []
