@@ -165,6 +165,21 @@ _FORCE_REVERIFY: dict[str, int] = {
     # rows would crowd the r4 cohort out of the drain window.)
     "stream_snapshot_source_tail": 9,
     "stream_snapshot_native_sink": 9,
+    # r13 (VERDICT r13 #1): the PII registry extension changed output
+    # VALUES (new SSN/IBAN/card patterns + new oracle-side plants), and
+    # the PCA family's plans changed post-green (covariance_rows gained a
+    # mean column + repartition(1), fused power step, localCheckpointed
+    # deflation) — all five earned their greens in r12, before the change.
+    "text_pii_redact": 13,
+    "text_pii_rate_by_source": 13,
+    # r14: the PCA family changed AGAIN this round (fused one-job
+    # trajectory+Rayleigh, zero-norm guard added to the oracle CTEs), so
+    # the force round advances past any r14-predating green; top_pcs'
+    # generated oracle gained the same guard.
+    "embedding_pca_scores_topk": 14,
+    "embedding_top_pc": 14,
+    "embedding_pc_variance": 14,
+    "embedding_top_pcs": 14,
 }
 
 

@@ -522,6 +522,7 @@ def main() -> None:
     common_vs_prev = None
     prev_cal = None
     prev_fold_cal = None
+    prev_solo: dict = {}
     cal_now = load_start.get("calibration_topk_p50")
     fold_cal_now = load_start.get("calibration_fold_p50")
     try:
@@ -543,6 +544,18 @@ def main() -> None:
             prev_q = {
                 q: (v["s"] if isinstance(v, dict) else v)
                 for q, v in raw_prev.items()
+            }
+            # solo-vs-solo baselines (VERDICT r13 #2): entries carry the
+            # last fresh-session solo median alongside the in-run p50, so
+            # a solo re-measure compares like-for-like (cold fresh-session
+            # vs cold fresh-session) instead of against a warm in-run
+            # record — the structural flaw behind r13's unfalsifiable
+            # watch items (dq_snapshot_diff "solo_cal 2.0" on a 0.5 s row
+            # at the SAME commit as the record run).
+            prev_solo = {
+                q: v["solo_s"]
+                for q, v in raw_prev.items()
+                if isinstance(v, dict) and v.get("solo_s")
             }
         except (OSError, ValueError, KeyError, TypeError):
             pass
@@ -609,6 +622,7 @@ def main() -> None:
             cal_factor=common_vs_prev.get("cal_factor") or 1.0,
             fold_cal_factor=common_vs_prev.get("fold_cal_factor"),
             prev_probes=(prev_cal, prev_fold_cal),
+            prev_solo=prev_solo,
         )
 
     def _git_head() -> str | None:
@@ -673,6 +687,12 @@ def main() -> None:
             and query_ext_load.get(q, 0.0) > 0.1
         ):
             baseline[q] = {"s": solo, "src": "solo"}
+        # every measured solo is stored as a PARALLEL baseline (VERDICT
+        # r13 #2): the next run's solo compares against it like-for-like
+        # (fresh session, warmed median, own probe window) while the
+        # in-run "s" keeps serving the run-ratio methodology.
+        if solo is not None and q in baseline:
+            baseline[q]["solo_s"] = solo
     if cal_now:
         baseline[_CAL_KEY] = {"s": cal_now, "src": "cal"}
     if fold_cal_now:
@@ -732,18 +752,24 @@ _FOLD_CLASS = {
     "ann_ivfpq_residual_multiprobe",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk",
+    "dedup_simhash_pairs",
+    "embedding_near_dup",
 }
 
-#: rows force-adjudicated every run regardless of the 1.3× trigger: the
-#: r12 verdict's three ≥1.4 calibrated-solo watch rows, whose prior
-#: adjudications were narrative (the topk probe miscalibrates their
-#: class). A fresh-session solo + the matching fold-probe factor closes
-#: them mechanically; prune once a round's adjudication shows each
-#: properly-calibrated solo ≤ 1.2.
+#: rows force-adjudicated every run regardless of the 1.3× trigger.
+#: Rotation (VERDICT r13 #2): the r12 trio is pruned except
+#: events_observed_metrics (driver raw 1.18 met the ≤1.2 bar but
+#: calibrated 1.36 — one more round); the r13 ≥1.4-calibrated set joins.
+#: All four r13 rows were measured on the SAME commit the record run
+#: benched, so the expected closure is solo-vs-solo ≤1.2 (the new
+#: like-for-like baseline), not a code fix. Prune once a round's
+#: adjudication shows each ≤ 1.2 on a solo-vs-solo comparison.
 _WATCH_ROWS = {
-    "snapshot_zorder_time_prune",
     "events_observed_metrics",
-    "approx_distinct_accuracy",
+    "dq_snapshot_diff",
+    "dedup_simhash_pairs",
+    "embedding_top_pcs",
+    "embedding_near_dup",
 }
 
 
@@ -759,6 +785,7 @@ def _adjudicate(
     cal_factor: float = 1.0,
     fold_cal_factor: float | None = None,
     prev_probes: tuple = (None, None),
+    prev_solo: dict | None = None,
 ) -> dict[str, dict]:
     """Re-measure every shared row that regressed >1.3× vs the previous
     record SOLO (median-of-n, warm, own load window).
@@ -781,6 +808,7 @@ def _adjudicate(
     rows UP (r9 saw a 0.43 s row solo-measure at 0.90 s that way) —
     inflation masquerading as a regression verdict."""
     adjudication: dict[str, dict] = {}
+    prev_solo = prev_solo or {}
     cal = cal_factor if cal_factor and cal_factor > 0 else 1.0
     fold_cal = (
         fold_cal_factor if fold_cal_factor and fold_cal_factor > 0 else cal
@@ -802,6 +830,20 @@ def _adjudicate(
             or q in _WATCH_ROWS
         )
     ]
+    # a lapsed forced adjudication must be visible in the artifact
+    # (ADVICE r13): a watch row absent from the previous record, absent
+    # from this run's timings, or under the 0.3 s floor silently fell
+    # out of the force list's contract — record WHY instead of nothing.
+    for q in sorted(_WATCH_ROWS):
+        if q in suspects:
+            continue
+        if q not in timings:
+            why = "not in this run's headline set"
+        elif q not in prev_q:
+            why = "no previous record at this sf (new or renamed row)"
+        else:
+            why = f"previous record {prev_q[q]} s under the 0.3 s floor"
+        adjudication[q] = {"note": f"watch row NOT adjudicated: {why}"}
     own_session = mk_session is not None and any(q in GOLDEN for q in suspects)
     solo_cals: dict[str, float] = {}
     if own_session:
@@ -858,6 +900,17 @@ def _adjudicate(
             continue
         runs = []
         meter.window()
+        # ONE discarded warmup before the median (VERDICT r13 #7): the
+        # first fresh-session execution pays bimodal cold costs (JIT,
+        # codegen cache, page cache — zorder measured 18.8 s cold vs
+        # ~4 s warm) that the in-run record never paid; mixing it into
+        # the median made solo distributions bimodal. The cold time is
+        # recorded separately so the artifact keeps both modes.
+        t0 = time.monotonic()
+        GOLDEN[q](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cold = round(time.monotonic() - t0, 3)
         for _ in range(n_runs):
             t0 = time.monotonic()
             GOLDEN[q](spark, sf_dir).write.format("noop").mode(
@@ -872,6 +925,7 @@ def _adjudicate(
             "prev_s": prev_q[q],
             "run_s": timings[q],
             "solo_s": solo,
+            "solo_cold_s": cold,
             "run_ratio": round(timings[q] / prev_q[q], 2),
             "solo_ratio": round(solo / prev_q[q], 2),
             "run_ratio_cal": round(timings[q] / prev_q[q] / qcal, 2),
@@ -882,9 +936,18 @@ def _adjudicate(
             "ext_busy": meter.window(),
             "fresh_session": own_session,
         }
+        # like-for-like comparison (VERDICT r13 #2): both sides are
+        # fresh-session warmed medians under their own probe windows —
+        # THE ratio for regression verdicts once a solo baseline exists.
+        if prev_solo.get(q):
+            adjudication[q]["solo_prev_s"] = prev_solo[q]
+            adjudication[q]["solo_vs_solo"] = round(solo / prev_solo[q], 2)
+            adjudication[q]["solo_vs_solo_cal"] = round(
+                solo / prev_solo[q] / solo_cal, 2
+            )
         if q in _WATCH_ROWS:
             adjudication[q]["note"] = (
-                "watch row (VERDICT r12 #1): force-adjudicated against "
+                "watch row (VERDICT r13 #2): force-adjudicated against "
                 "its probe class regardless of the 1.3x trigger"
             )
     if own_session:

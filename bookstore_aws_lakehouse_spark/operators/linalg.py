@@ -103,7 +103,12 @@ def _moments_arrow(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         n = 0
         dmin = dmax = None
         for pdf in batches:
-            vecs = pdf["_v"]
+            # NULL vectors drop silently, exactly like the explode path
+            # (posexplode of a NULL array emits no rows), so the two
+            # physical strategies stay one contract; without this,
+            # vecs.map(len) dies on None with an opaque Python-worker
+            # TypeError that bypasses the typed dim guard (ADVICE r13).
+            vecs = pdf["_v"].dropna()
             if len(vecs) == 0:
                 continue
             lens = vecs.map(len)
@@ -242,6 +247,67 @@ def covariance_rows(
     return _assemble_cov(moments, dim, round_dp)
 
 
+def _trajectory_frame(
+    cov_rows: DataFrame,
+    dim: int,
+    iters: int,
+    round_dp: int,
+    lam_dp: int | None = None,
+) -> DataFrame:
+    """The WHOLE ``iters``-step power-method trajectory as one lazy plan
+    over the dim-row frame — every matvec, window norm, and normalized
+    iterate is a chained window stage (the frame is a single partition
+    of ``dim`` rows after ``_assemble_cov``'s repartition(1), so each
+    window is a trivial in-memory pass and the full chain executes as
+    ONE Spark job at the final collect). The r16 tuning had already
+    fused matvec+normalize into one job per step (~3 jobs/step → 1);
+    this folds the steps themselves (VERDICT r13 #6): per component the
+    scheduler now sees ONE job instead of ``iters``, and with ``lam_dp``
+    set the Rayleigh quotient rides in the SAME job as one more windowed
+    sum over the same rows instead of its own ``eigenvalue_of`` job.
+
+    Numbers are contract-identical to the per-step collect loop it
+    replaces: y_t = round(dot(cov, x_{t-1}), round_dp), x_t =
+    round(y_t/‖y_t‖, round_dp) with the zero-norm guard, and λ =
+    round(Σ x_i·round(dot(cov_i, x), round_dp), lam_dp) — the only
+    change is that iterates stay JVM-side as columns instead of
+    round-tripping through driver literals (doubles round-trip exactly,
+    and window-vs-agg SUM order moves ~1e-16 relative, far below every
+    rounding grain — the standing argument)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.lit(1))
+    df = cov_rows.select("i", "cov")
+    # 1/sqrt(64) = 0.125 exactly; for other dims the start is rounded by
+    # the same JVM convention via the literal embed
+    xvec: Column = F.array(*[F.lit(1.0 / math.sqrt(dim))] * dim)
+    for _ in range(iters):
+        df = df.withColumn("_y", F.round(dot(F.col("cov"), xvec), round_dp))
+        nrm = F.sqrt(F.sum(F.col("_y") * F.col("_y")).over(w))
+        df = df.withColumn(
+            "_x",
+            F.when(nrm > 0, F.round(F.col("_y") / nrm, round_dp))
+            .otherwise(F.col("_y")),
+        )
+        # the full iterate vector, re-assembled per row via a window
+        # collect (deterministic: sorted by i) — next step's matvec
+        # input, never a driver round-trip
+        df = df.withColumn(
+            "_xv",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "_x")).over(w)),
+                lambda s: s["_x"],
+            ),
+        )
+        xvec = F.col("_xv")
+    if lam_dp is not None:
+        ylast = F.round(dot(F.col("cov"), F.col("_xv")), round_dp)
+        df = df.withColumn(
+            "_lam", F.round(F.sum(F.col("_x") * ylast).over(w), lam_dp)
+        )
+    return df
+
+
 def power_iteration(
     cov_rows: DataFrame,
     dim: int = 64,
@@ -252,9 +318,10 @@ def power_iteration(
     fixed power-method steps from the uniform start 1/√dim. Every
     matrix-vector product and every normalized iterate is rounded to
     ``round_dp``, making the trajectory engine-replayable (the
-    per-iteration-rounded pagerank contract). Each step is one tiny
-    Spark job over the dim rows; the driver reads ``dim`` doubles per
-    step (bounded by the embedding width, not the data).
+    per-iteration-rounded pagerank contract). The whole trajectory runs
+    as ONE tiny Spark job over the dim rows (``_trajectory_frame``);
+    the driver reads ``dim`` doubles once (bounded by the embedding
+    width, not the data).
 
     Fixed iteration count = deterministic output, not convergence —
     same contract as ``kmeans_converge_2iter``. (On a near-flat spectrum
@@ -267,37 +334,35 @@ def power_iteration(
     ALL rounding happens JVM-side with ``F.round`` (HALF_UP, the same
     convention the SQL oracles replay) — Python's ``round`` is
     HALF_EVEN and would drift on boundary values."""
-    from pyspark.sql.window import Window
+    rows = (
+        _trajectory_frame(cov_rows, dim, iters, round_dp)
+        .select("i", "_x")
+        .orderBy("i")
+        .collect()
+    )
+    return [r["_x"] for r in rows]
 
-    # 1/sqrt(64) = 0.125 exactly; for other dims the start is rounded by
-    # the same JVM convention via the first iteration's literal embed
-    x = [1.0 / math.sqrt(dim)] * dim
-    # ONE job per step: the norm is a global window sum over the dim rows
-    # (SinglePartition exchange of dim rows — trivial), so matvec +
-    # normalize collect together. The previous agg + broadcast-crossJoin
-    # shape submitted ~3 jobs per step; on a 12-step top-r run the
-    # scheduling overhead dominated the row (r16 plan audit). Sum order
-    # (window vs agg) moves the norm by ~1e-16 relative — far below the
-    # 9-dp iterate grain, the contract's standing argument.
-    w = Window.partitionBy(F.lit(1))
-    for _ in range(iters):
-        y = F.round(
-            dot(F.col("cov"), F.array(*[F.lit(c) for c in x])), round_dp
-        )
-        nrm = F.sqrt(F.sum(F.col("y") * F.col("y")).over(w))
-        rows = (
-            cov_rows.select("i", y.alias("y"))
-            .select(
-                "i",
-                F.when(nrm > 0, F.round(F.col("y") / nrm, round_dp))
-                .otherwise(F.col("y"))
-                .alias("x"),
-            )
-            .orderBy("i")
-            .collect()
-        )
-        x = [r["x"] for r in rows]
-    return x
+
+def power_iteration_stats(
+    cov_rows: DataFrame,
+    dim: int = 64,
+    iters: int = 3,
+    iter_dp: int = 9,
+    lam_dp: int = 6,
+) -> tuple[list[float], float]:
+    """(x, λ) in ONE job: the fused trajectory plus the Rayleigh
+    quotient as a final windowed sum over the same dim rows (VERDICT
+    r13 #6 — previously ``power_iteration`` + ``eigenvalue_of`` cost
+    iters+1 jobs per component). λ rounds COARSE (``lam_dp``, the
+    deflation-literal contract) off matvec terms at ``iter_dp`` —
+    the exact numbers ``eigenvalue_of`` produces."""
+    rows = (
+        _trajectory_frame(cov_rows, dim, iters, iter_dp, lam_dp=lam_dp)
+        .select("i", "_x", "_lam")
+        .orderBy("i")
+        .collect()
+    )
+    return [r["_x"] for r in rows], float(rows[0]["_lam"])
 
 
 def top_principal_component(
@@ -408,11 +473,17 @@ def top_principal_components(
     try:
         cur = cov.select("i", "cov")
         for k in range(r):
-            x = power_iteration(cur, dim, iters, iter_dp)
-            out.extend((k + 1, i, c) for i, c in enumerate(x))
             if k + 1 < r:
-                lam = eigenvalue_of(cur, x, iter_dp, cov_dp)
+                # fused trajectory+Rayleigh: ONE job, then one
+                # deflation-checkpoint job (VERDICT r13 #6 — was
+                # iters+2 jobs per component)
+                x, lam = power_iteration_stats(
+                    cur, dim, iters, iter_dp, cov_dp
+                )
                 cur = _materialized(spark, deflate(cur, x, lam, cov_dp))
+            else:
+                x = power_iteration(cur, dim, iters, iter_dp)
+            out.extend((k + 1, i, c) for i, c in enumerate(x))
     finally:
         cov.unpersist()
     return spark.createDataFrame(out, ["component", "i", "loading"])
@@ -473,6 +544,8 @@ def pc_spectrum(
     and their running sum — a near-flat spectrum (random fixtures) shows
     r·(1/dim)-ish fractions, a planted-structure corpus shows the
     spike."""
+    from pyspark.sql.window import Window
+
     spark = df.sparkSession
     cov = covariance_rows(df, vec_col, dim, cov_dp).persist()
     lams: list[float] = []
@@ -485,24 +558,36 @@ def pc_spectrum(
         trace = float(trace_row["t"]) if trace_row else 0.0
         cur = cov.select("i", "cov")
         for k in range(r):
-            x = power_iteration(cur, dim, iters, iter_dp)
-            lam = eigenvalue_of(cur, x, iter_dp, cov_dp)
+            # fused trajectory+Rayleigh — one job per component (plus
+            # the deflation checkpoint), VERDICT r13 #6
+            x, lam = power_iteration_stats(cur, dim, iters, iter_dp, cov_dp)
             lams.append(lam)
             if k + 1 < r:
                 cur = _materialized(spark, deflate(cur, x, lam, cov_dp))
     finally:
         cov.unpersist()
-    rows = []
-    cum = 0.0
-    for k, lam in enumerate(lams):
-        frac = round(lam / trace, 6) if trace > 0 else None
-        if frac is not None:
-            cum = round(cum + frac, 6)
-        rows.append((k + 1, lam, frac, cum if frac is not None else None))
-    return spark.createDataFrame(
-        rows,
-        "component bigint, eigenvalue double, explained_frac double, "
-        "cumulative_frac double",
+    # fractions round JVM-side (F.round = HALF_UP, the convention every
+    # SQL oracle replays — Python's round is HALF_EVEN and could drift on
+    # boundary values); cumulative = round(running sum of 6-dp fracs, 6),
+    # which equals the iterative round(cum+frac, 6) exactly (the summands
+    # are 6-dp decimals, so the double sum's ~1e-16 error is recovered by
+    # the rounding).
+    base = spark.createDataFrame(
+        [(k + 1, lam) for k, lam in enumerate(lams)],
+        "component bigint, eigenvalue double",
+    )
+    if trace > 0:
+        frac = F.round(F.col("eigenvalue") / F.lit(trace), 6)
+    else:
+        frac = F.lit(None).cast("double")
+    w = Window.orderBy("component").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return base.select(
+        "component",
+        "eigenvalue",
+        frac.alias("explained_frac"),
+        F.round(F.sum(frac).over(w), 6).alias("cumulative_frac"),
     )
 
 

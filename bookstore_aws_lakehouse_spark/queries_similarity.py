@@ -1224,13 +1224,16 @@ _PCA_CTES = """
     cl AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY i),
     x0 AS (SELECT list(CAST(0.125 AS DOUBLE)) AS xv FROM range(64)),
     y1 AS (SELECT i, ROUND(list_dot_product(row, (SELECT xv FROM x0)), 9) AS y FROM cl),
-    x1 AS (SELECT i, ROUND(y / sqrt((SELECT SUM(y * y) FROM y1)), 9) AS x FROM y1),
+    x1 AS (SELECT i, CASE WHEN (SELECT SUM(y * y) FROM y1) > 0
+             THEN ROUND(y / sqrt((SELECT SUM(y * y) FROM y1)), 9) ELSE y END AS x FROM y1),
     x1l AS (SELECT list(x ORDER BY i) AS xv FROM x1),
     y2 AS (SELECT i, ROUND(list_dot_product(row, (SELECT xv FROM x1l)), 9) AS y FROM cl),
-    x2 AS (SELECT i, ROUND(y / sqrt((SELECT SUM(y * y) FROM y2)), 9) AS x FROM y2),
+    x2 AS (SELECT i, CASE WHEN (SELECT SUM(y * y) FROM y2) > 0
+             THEN ROUND(y / sqrt((SELECT SUM(y * y) FROM y2)), 9) ELSE y END AS x FROM y2),
     x2l AS (SELECT list(x ORDER BY i) AS xv FROM x2),
     y3 AS (SELECT i, ROUND(list_dot_product(row, (SELECT xv FROM x2l)), 9) AS y FROM cl),
-    x3 AS (SELECT i, ROUND(y / sqrt((SELECT SUM(y * y) FROM y3)), 9) AS x FROM y3)
+    x3 AS (SELECT i, CASE WHEN (SELECT SUM(y * y) FROM y3) > 0
+             THEN ROUND(y / sqrt((SELECT SUM(y * y) FROM y3)), 9) ELSE y END AS x FROM y3)
 """
 
 
@@ -1390,9 +1393,16 @@ def _pca_topr_sql(r: int, iters: int) -> str:
     for k in range(r):
         xv = "(SELECT xv FROM x0)"
         for t in range(1, iters + 1):
+            # the zero-norm guard mirrors Spark's power iteration
+            # (when(nrm > 0, ...).otherwise(y)) — on a rank-deficient
+            # corpus where the deflated matrix reaches zero before
+            # component r, an unguarded y/sqrt(0) yields NULL/NaN
+            # loadings while Spark emits zeros (ADVICE r13)
             parts.append(f"""
     , p{k}y{t} AS MATERIALIZED (SELECT i, ROUND(list_dot_product(row, {xv}), 9) AS y FROM {cl})
-    , p{k}x{t} AS (SELECT i, ROUND(y / sqrt((SELECT SUM(y * y) FROM p{k}y{t})), 9) AS x FROM p{k}y{t})
+    , p{k}x{t} AS (SELECT i, CASE WHEN (SELECT SUM(y * y) FROM p{k}y{t}) > 0
+                     THEN ROUND(y / sqrt((SELECT SUM(y * y) FROM p{k}y{t})), 9)
+                     ELSE y END AS x FROM p{k}y{t})
     , p{k}x{t}l AS MATERIALIZED (SELECT list(x ORDER BY i) AS xv FROM p{k}x{t})""")
             xv = f"(SELECT xv FROM p{k}x{t}l)"
         selects.append(

@@ -88,9 +88,35 @@ def test_adjudication_solo_remeasures_registry_rows():
         {"slow_row": 2.0},
         _StubMeter(),
         n_runs=3,
+        prev_solo={"slow_row": 1.5},
     )
-    assert len(calls) == 3
+    # n_runs timed + ONE discarded warmup (VERDICT r13 #7): the cold
+    # first execution is recorded separately, never mixed into the median
+    assert len(calls) == 4
     assert adj["slow_row"]["solo_ratio"] is not None
+    assert adj["slow_row"]["solo_cold_s"] is not None
+    # like-for-like solo baseline (VERDICT r13 #2)
+    assert adj["slow_row"]["solo_prev_s"] == 1.5
+    assert adj["slow_row"]["solo_vs_solo"] is not None
+
+
+def test_adjudication_watch_row_skips_are_recorded():
+    """ADVICE r13: a watch row that falls out of the forced-adjudication
+    contract (absent from the run, absent from the previous record, or
+    under the 0.3 s floor) must leave a visible note in the artifact."""
+    watch = sorted(bench._WATCH_ROWS)
+    assert watch, "watch set unexpectedly empty"
+    adj = bench._adjudicate(
+        None, "/x", {}, {}, {}, _StubMeter(), n_runs=1
+    )
+    for q in watch:
+        assert "NOT adjudicated" in adj[q]["note"]
+    # present in the run but with no previous record → the skip names it
+    q0 = watch[0]
+    adj = bench._adjudicate(
+        None, "/x", {}, {}, {q0: 1.0}, _StubMeter(), n_runs=1
+    )
+    assert "no previous record" in adj[q0]["note"]
 
 
 def test_adjudication_solo_window_probes(monkeypatch):
