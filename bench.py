@@ -299,6 +299,12 @@ def main() -> None:
         # r16: top-r deflation and the footer-only file-metadata table
         "embedding_top_pcs",
         "snapshot_files",
+        # r14 (VERDICT r13 #3/#4): the d=256 Arrow Gram-partial
+        # covariance (the production-width physical path), the
+        # eigenvalue spectrum, and the whitened reduce-before-ANN
+        "embedding_wide_covariance",
+        "embedding_pc_spectrum",
+        "embedding_pca_reduce",
     ]:
         if extra in GOLDEN:
             headline.append(extra)

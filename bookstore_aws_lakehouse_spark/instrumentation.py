@@ -184,39 +184,28 @@ def _recall_multiprobe(spark: SparkSession, sf_dir: str) -> float:
     scale (VERDICT r12 #5): the growth harness previously recorded only
     cost (candidates, seconds) at 10× — this measures whether the
     recall/cost dial survives the scale-up (10× denser cells, same
-    nprobe). Mirrors q_ann_recall_floor's plant exactly
-    (queries_similarity.py: 5 deterministic cell-preserving
-    near-duplicates per probe vector, ×(1 + 0.001·((i+j) mod 5))); the
-    documented floor is 0.8. Growth-dir compatibility is by
-    construction: copy ids are odd and ≥ 2·10⁷, so the % 50 == 0
-    centroid seeds stay the base corpus's and the planted ids
-    (≈ 10⁶ + small) collide with nothing."""
-    import functools
-
+    nprobe). Uses the SAME plant + hit predicate as q_ann_recall_floor
+    via the shared ``plant_ann_recall_corpus`` helper (ADVICE r13: the
+    hand-duplicated copy would silently desynchronize if the golden
+    row's plant ever changed); the documented floor is
+    ``ANN_RECALL_FLOOR``. Growth-dir compatibility is by construction:
+    copy ids are odd and ≥ 2·10⁷, so the % 50 == 0 centroid seeds stay
+    the base corpus's and the planted ids (≈ 10⁶ + small) collide with
+    nothing."""
     from bookstore_aws_lakehouse_spark.operators.similarity import (
         ivfpq_residual_multiprobe,
     )
-    from bookstore_aws_lakehouse_spark.queries_similarity import N_QUERIES
+    from bookstore_aws_lakehouse_spark.queries_similarity import (
+        ANN_RECALL_K,
+        N_QUERIES,
+        plant_ann_recall_corpus,
+    )
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-
-    def _perturb(j):
-        return lambda x, i: x * (1.0 + 0.001 * ((i + j) % 5))
-
-    planted = [
-        queries.select(
-            (F.col("vec_id") * 10 + j + 1_000_000).alias("vec_id"),
-            F.transform("embedding", _perturb(j)).alias("embedding"),
-            F.col("label"),
-        )
-        for j in range(1, 6)
-    ]
-    corpus = functools.reduce(DataFrame.unionByName, planted, emb)
-    ann = ivfpq_residual_multiprobe(corpus, _centroids(emb), queries, k=5)
-    is_planted_hit = (F.col("vec_id") >= 1_000_000) & (
-        ((F.col("vec_id") - F.lit(1_000_000)) / 10).cast("long")
-        == F.col("query_id")
+    corpus, is_planted_hit = plant_ann_recall_corpus(emb, queries)
+    ann = ivfpq_residual_multiprobe(
+        corpus, _centroids(emb), queries, k=ANN_RECALL_K
     )
     row = ann.agg(
         F.sum(is_planted_hit.cast("int")).alias("_hits"),
@@ -224,7 +213,7 @@ def _recall_multiprobe(spark: SparkSession, sf_dir: str) -> float:
     ).first()
     if not row or not row["_nq"]:
         return 0.0
-    return round(row["_hits"] / (5.0 * row["_nq"]), 3)
+    return round(row["_hits"] / (float(ANN_RECALL_K) * row["_nq"]), 3)
 
 
 #: growth-row name → planted-recall probe (returns recall@k as a float in
@@ -235,7 +224,9 @@ GROWTH_RECALL_PROBES: dict[str, Callable[[SparkSession, str], float]] = {
 }
 
 #: the recall contract the probes are graded against (q_ann_recall_floor)
-GROWTH_RECALL_FLOOR = 0.8
+from bookstore_aws_lakehouse_spark.queries_similarity import (  # noqa: E402
+    ANN_RECALL_FLOOR as GROWTH_RECALL_FLOOR,
+)
 
 
 #: growth-row name → candidate counter. Keys must match bench.py's

@@ -32,6 +32,43 @@ _COS = (
 
 N_QUERIES = 10  # vec_id < 10 are the probe vectors
 
+#: the ANN accuracy contract both the driver-checked floor row and the
+#: growth recall probe grade against
+ANN_RECALL_K = 5
+ANN_RECALL_FLOOR = 0.8
+
+
+def plant_ann_recall_corpus(emb: DataFrame, queries: DataFrame):
+    """(corpus ∪ planted near-duplicates, planted-hit predicate) — THE
+    shared plant for the ANN recall contract (ADVICE r13: previously
+    hand-duplicated between q_ann_recall_floor and instrumentation.py's
+    growth probe, where any change to one would silently desynchronize
+    the other). Each probe vector gets ``ANN_RECALL_K`` deterministic,
+    tiny, cell-preserving near-duplicates (element-wise
+    ×(1 + 0.001·((i+j) mod 5))) which become its true top-k by any
+    metric. Copy ids are ≥ 10⁶ + small, so the % 50 == 0 centroid seeds
+    stay the base corpus's and the ids collide with nothing (including
+    the growth dirs' odd ≥ 2·10⁷ mutation ids)."""
+    import functools
+
+    def _perturb(j):  # bind j outside the lambda: transform passes (x, i)
+        return lambda x, i: x * (1.0 + 0.001 * ((i + j) % 5))
+
+    planted = [
+        queries.select(
+            (F.col("vec_id") * 10 + j + 1_000_000).alias("vec_id"),
+            F.transform("embedding", _perturb(j)).alias("embedding"),
+            F.col("label"),
+        )
+        for j in range(1, ANN_RECALL_K + 1)
+    ]
+    corpus = functools.reduce(DataFrame.unionByName, planted, emb)
+    is_planted_hit = (F.col("vec_id") >= 1_000_000) & (
+        ((F.col("vec_id") - F.lit(1_000_000)) / 10).cast("long")
+        == F.col("query_id")
+    )
+    return corpus, is_planted_hit
+
 
 @golden(
     "embedding_topk_cosine",
@@ -1054,34 +1091,20 @@ def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver-checked value; misses concentrate where a random same-cell
     candidate collides with the query's full PQ code tuple and wins the
     vec_id tiebreak."""
-    import functools
-
     from bookstore_aws_lakehouse_spark.operators.similarity import (
         ivfpq_residual_multiprobe,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-
-    def _perturb(j):  # bind j outside the lambda: transform passes (x, i)
-        return lambda x, i: x * (1.0 + 0.001 * ((i + j) % 5))
-
-    planted = [
-        queries.select(
-            (F.col("vec_id") * 10 + j + 1_000_000).alias("vec_id"),
-            F.transform("embedding", _perturb(j)).alias("embedding"),
-            F.col("label"),
-        )
-        for j in range(1, 6)
-    ]
-    corpus = functools.reduce(DataFrame.unionByName, planted, emb)
+    # the plant and hit predicate are SHARED with the growth recall
+    # probe (instrumentation.py) — one definition, two graders
+    corpus, is_planted_hit = plant_ann_recall_corpus(emb, queries)
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    ann = ivfpq_residual_multiprobe(corpus, centroids, queries, k=5)
-    is_planted_hit = (F.col("vec_id") >= 1_000_000) & (
-        ((F.col("vec_id") - F.lit(1_000_000)) / 10).cast("long")
-        == F.col("query_id")
+    ann = ivfpq_residual_multiprobe(
+        corpus, centroids, queries, k=ANN_RECALL_K
     )
     hits = ann.agg(
         F.sum(is_planted_hit.cast("int")).alias("_hits"),
@@ -1089,11 +1112,12 @@ def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.select(
         F.col("_nq").cast("bigint").alias("n_queries"),
-        F.lit(5).cast("bigint").alias("k"),
-        F.lit(0.8).cast("double").alias("floor"),
-        (F.col("_hits") / (F.lit(5) * F.col("_nq")) >= F.lit(0.8)).alias(
-            "within_floor"
-        ),
+        F.lit(ANN_RECALL_K).cast("bigint").alias("k"),
+        F.lit(ANN_RECALL_FLOOR).cast("double").alias("floor"),
+        (
+            F.col("_hits") / (F.lit(ANN_RECALL_K) * F.col("_nq"))
+            >= F.lit(ANN_RECALL_FLOOR)
+        ).alias("within_floor"),
     )
 
 
@@ -1378,18 +1402,23 @@ def q_embedding_pc_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
-def _pca_topr_sql(r: int, iters: int) -> str:
-    """DuckDB replay of the top-r deflation chain (operators/linalg.py::
-    top_principal_components), generated so the CTE count scales with
-    (r, iters) instead of being hand-unrolled: per component, ``iters``
-    matvec/normalize steps from the shared uniform start (iterates at
-    9 dp), then the Rayleigh eigenvalue at 6 dp and the Hotelling
-    deflation round(C − λ·x_i·x_j, 6) — the same literal multiply order
-    Spark uses, so every deflated entry is bit-identically computed
-    from the identical 6-dp inputs."""
+def _pca_deflation_chain(r: int, iters: int, lam_all: bool = False) -> str:
+    """Shared DuckDB replay of the power-iteration + Hotelling-deflation
+    chain (operators/linalg.py::top_principal_components), generated so
+    the CTE count scales with (r, iters) instead of being hand-unrolled:
+    per component, ``iters`` matvec/normalize steps from the shared
+    uniform start (iterates at 9 dp), then the Rayleigh eigenvalue at
+    6 dp and the deflation round(C − λ·x_i·x_j, 6) — the same literal
+    multiply order Spark uses, so every deflated entry is bit-identically
+    computed from the identical 6-dp inputs.
+
+    Returns the CTE prefix only (no final SELECT). Component k's final
+    iterate lives in ``p{k}x{iters}`` (rows) / ``p{k}x{iters}l`` (list);
+    its eigenvalue in ``p{k}lam`` — emitted for k < r-1 always (the
+    deflation needs it) and for the last component too when ``lam_all``
+    (the spectrum/whitening consumers)."""
     parts = [_PCA_CTES]
     cl = "cl"
-    selects = []
     for k in range(r):
         xv = "(SELECT xv FROM x0)"
         for t in range(1, iters + 1):
@@ -1405,15 +1434,13 @@ def _pca_topr_sql(r: int, iters: int) -> str:
                      ELSE y END AS x FROM p{k}y{t})
     , p{k}x{t}l AS MATERIALIZED (SELECT list(x ORDER BY i) AS xv FROM p{k}x{t})""")
             xv = f"(SELECT xv FROM p{k}x{t}l)"
-        selects.append(
-            f"SELECT CAST({k + 1} AS BIGINT) AS component, i, x AS loading "
-            f"FROM p{k}x{iters}"
-        )
-        if k + 1 < r:
+        if lam_all or k + 1 < r:
             parts.append(f"""
     , p{k}lam AS (
       SELECT ROUND(SUM(x.x * ROUND(list_dot_product(c.row, {xv}), 9)), 6) AS lam
-      FROM {cl} c JOIN p{k}x{iters} x USING (i))
+      FROM {cl} c JOIN p{k}x{iters} x USING (i))""")
+        if k + 1 < r:
+            parts.append(f"""
     , cl{k + 1} AS MATERIALIZED (
       SELECT c.i,
              list_transform(generate_series(1, 64),
@@ -1421,8 +1448,77 @@ def _pca_topr_sql(r: int, iters: int) -> str:
                           * xl.xv[c.i + 1] * xl.xv[j], 6)) AS row
       FROM {cl} c, p{k}x{iters}l xl, p{k}lam lm)""")
             cl = f"cl{k + 1}"
-    parts.append("\n    " + "\n    UNION ALL\n    ".join(selects))
     return "".join(parts)
+
+
+def _pca_topr_sql(r: int, iters: int) -> str:
+    """(component, i, loading) for the top-r deflation chain."""
+    selects = [
+        f"SELECT CAST({k + 1} AS BIGINT) AS component, i, x AS loading "
+        f"FROM p{k}x{iters}"
+        for k in range(r)
+    ]
+    return (
+        _pca_deflation_chain(r, iters)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+def _pca_spectrum_sql(r: int, iters: int) -> str:
+    """(component, eigenvalue, explained_frac, cumulative_frac): every
+    component's Rayleigh eigenvalue over the same deflation chain, plus
+    trace(C) off the shared cov CTE. Fractions round at 6 dp and the
+    cumulative is the rounded running sum of the 6-dp fractions —
+    exactly operators/linalg.py::pc_spectrum's JVM-side arithmetic."""
+    chain = _pca_deflation_chain(r, iters, lam_all=True)
+    lam_union = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS component, "
+        f"(SELECT lam FROM p{k}lam) + 0.0 AS eigenvalue"
+        for k in range(r)
+    )
+    return (
+        chain
+        + f"""
+    , tr AS (SELECT ROUND(SUM(c), 6) AS t FROM cov WHERE i = j)
+    , lams AS (
+      {lam_union})
+    SELECT component, eigenvalue,
+           CASE WHEN (SELECT t FROM tr) > 0
+                THEN ROUND(eigenvalue / (SELECT t FROM tr), 6) + 0.0
+           END AS explained_frac,
+           CASE WHEN (SELECT t FROM tr) > 0
+                THEN ROUND(SUM(ROUND(eigenvalue / (SELECT t FROM tr), 6))
+                           OVER (ORDER BY component), 6) + 0.0
+           END AS cumulative_frac
+    FROM lams
+    """
+    )
+
+
+def _pca_project_sql(iters: int) -> str:
+    """(vec_id, pc1, pc2): every vector's mean-centered, √λ-whitened
+    projection onto the top-2 components — the reduce-before-ANN
+    consumer. λ ≤ 0 yields NULL (pc_project's guard). Scores surface as
+    SCALAR columns, never an array (engines render arrays differently —
+    the q_array_functions convention). `+ 0.0` canonicalizes signed
+    zero: DuckDB's ROUND preserves -0.0 where Spark's BigDecimal HALF_UP
+    emits +0.0."""
+    chain = _pca_deflation_chain(2, iters, lam_all=True)
+    proj = (
+        "ROUND(list_dot_product(list_transform(generate_series(1, 64), "
+        "k -> e.v[k] - ml.mv[k]), {xl}.xv) / sqrt({lm}.lam), 6) + 0.0"
+    )
+    return (
+        chain
+        + f"""
+    , ml AS (SELECT list(m ORDER BY i) AS mv FROM m)
+    SELECT e.vec_id,
+           CASE WHEN l0.lam > 0 THEN {proj.format(xl="x0l", lm="l0")} END AS pc1,
+           CASE WHEN l1.lam > 0 THEN {proj.format(xl="x1l", lm="l1")} END AS pc2
+    FROM e, ml, p0x{iters}l x0l, p1x{iters}l x1l, p0lam l0, p1lam l1
+    """
+    )
 
 
 @golden("embedding_top_pcs", _pca_topr_sql(r=4, iters=3))
@@ -1443,3 +1539,128 @@ def q_embedding_top_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return top_principal_components(emb, "embedding", dim=64, r=4, iters=3)
+
+
+@golden("embedding_pc_spectrum", _pca_spectrum_sql(r=4, iters=3))
+def q_embedding_pc_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvalue spectrum / screeplot (operators/linalg.py::
+    pc_spectrum): the Rayleigh eigenvalue of each of the top-4 PCs over
+    the one-scan deflation loop, plus explained and cumulative variance
+    fractions off trace(C) — the number a curation pipeline reads to
+    pick its reduction rank. Per component ONE fused Spark job
+    (trajectory + λ as chained window stages over the single-partition
+    dim-row frame, VERDICT r13 #6); fractions round JVM-side (HALF_UP,
+    the oracle's convention). The oracle replays all four trajectories,
+    eigenvalues, the trace, and the rounded running fraction sum."""
+    from bookstore_aws_lakehouse_spark.operators.linalg import pc_spectrum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pc_spectrum(emb, "embedding", dim=64, r=4, iters=3)
+
+
+@golden("embedding_pca_reduce", _pca_project_sql(iters=3))
+def q_embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened 2-component reduction (operators/linalg.py::pc_project)
+    — the reduce-before-ANN consumer of the PCA family: every vector's
+    mean-centered projection onto the top-2 components, each divided by
+    √λ (unit-variance coordinates, the standard pre-ANN normalization).
+    The projection pass is pure map-side (components, means, and 1/√λ
+    ride as literals; the centered vector is computed once and shared
+    across both dot products) — at 100 TB it fuses into whatever scan
+    feeds it. EXACTLY TWO corpus scans: the pinned covariance (means
+    ride on its ``mean`` column) and the projection. Scores surface as
+    scalar pc1/pc2 columns (the array-rendering convention). The oracle
+    replays the full chain: both trajectories, both eigenvalues, the
+    centered whitened dots."""
+    from bookstore_aws_lakehouse_spark.operators.linalg import (
+        _materialized,
+        covariance_rows,
+        deflate,
+        pc_project,
+        power_iteration_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_rows(emb, "embedding", dim=64, round_dp=6).persist()
+    comps: list[list[float]] = []
+    lams: list[float] = []
+    try:
+        cur = cov.select("i", "cov")
+        for k in range(2):
+            x, lam = power_iteration_stats(
+                cur, dim=64, iters=3, iter_dp=9, lam_dp=6
+            )
+            comps.append(x)
+            lams.append(lam)
+            if k == 0:
+                cur = _materialized(spark, deflate(cur, x, lam, 6))
+        means = [
+            r["mean"] for r in cov.select("i", "mean").orderBy("i").collect()
+        ]
+    finally:
+        cov.unpersist()
+    red = pc_project(emb, comps, means, whiten=lams)
+    return red.select(
+        "vec_id",
+        F.element_at("reduced", 1).alias("pc1"),
+        F.element_at("reduced", 2).alias("pc2"),
+    )
+
+
+# the wide-dim covariance row derives a deterministic 256-dim vector
+# from the 64-dim fixture embedding: four blocks whose element-wise ops
+# (reverse, ×0.5, negate) are EXACT in binary floating point, so both
+# engines build the bit-identical wide corpus. `+ 0.0` canonicalizes
+# signed zero (DuckDB's ROUND preserves -0.0; Spark's emits +0.0).
+_WIDE_COV_SQL = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             (v || list_reverse(v)
+                || list_transform(v, x -> x * 0.5)
+                || list_transform(v, x -> -x)) AS w
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    comp AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i, w[i] AS x
+      FROM e, (SELECT unnest(generate_series(1, 256)) AS i)
+    ),
+    m AS MATERIALIZED (SELECT i, avg(x) AS m FROM comp GROUP BY i),
+    s AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS s
+          FROM comp a JOIN comp b USING (vec_id) GROUP BY a.i, b.i)
+    SELECT s.i, s.j,
+           ROUND(s.s / (SELECT n FROM n) - mi.m * mj.m, 6) + 0.0 AS c,
+           ROUND(mi.m, 6) + 0.0 AS mean
+    FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+"""
+
+
+@golden("embedding_wide_covariance", _WIDE_COV_SQL)
+def q_embedding_wide_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width covariance via the Arrow Gram-partial path
+    (operators/linalg.py::_moments_arrow — VERDICT r13 #3: the d>128
+    physical strategy, the actual production path at 768-1536 dims, had
+    no driver-green row; all prior PCA oracles run d=64/explode). A
+    deterministic 256-dim corpus is derived from the fixture embeddings
+    (four exact element-wise blocks), then ONE corpus scan computes
+    per-partition d×d Gram partials with a vectorized X.T @ X per Arrow
+    batch (`mapInPandas`) and ships dim rows per partition — the
+    exchange moves partitions×256 rows, never the corpus, vs the
+    explode path's ~d× scan amplification at this width (measured 5.4×
+    at d=512, NOTES_r16 §5). Output is the exploded (i, j, entry, mean)
+    scalar grid — 65,536 oracle-checked values."""
+    from bookstore_aws_lakehouse_spark.operators.linalg import covariance_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    w = F.concat(
+        v,
+        F.reverse(v),
+        F.transform(v, lambda x: x * F.lit(0.5)),
+        F.transform(v, lambda x: -x),
+    )
+    wide = emb.select(F.col("vec_id"), w.alias("w"))
+    cov = covariance_rows(wide, "w", dim=256, round_dp=6, method="arrow")
+    return cov.select(
+        "i", F.round("mean", 6).alias("mean"), F.posexplode("cov").alias("j", "c")
+    ).select("i", "j", "c", "mean")

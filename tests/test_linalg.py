@@ -314,3 +314,37 @@ def test_pc_spectrum_recovers_planted_eigenvalues(spark):
     assert cums == sorted(cums) and cums[-1] <= 1.0 + 1e-6
     # the planted directions dominate: 3 components ≈ all the variance
     assert cums[2] > 0.95
+
+
+def test_covariance_null_vectors_drop_identically_in_both_paths(spark):
+    """ADVICE r13: NULL embedding vectors must behave identically under
+    both physical strategies — posexplode drops them silently in the
+    explode path, and the arrow path must drop them the same way (it
+    used to die on len(None) in the Python worker, bypassing the typed
+    dim guard)."""
+    rng = np.random.default_rng(7)
+    V = rng.normal(0, 1.0, size=(40, 8))
+    rows = [(int(i), [float(x) for x in r]) for i, r in enumerate(V)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    a = covariance_rows(df, "embedding", 8, method="explode").orderBy("i").collect()
+    b = covariance_rows(df, "embedding", 8, method="arrow").orderBy("i").collect()
+    assert [r["cov"] for r in a] == [r["cov"] for r in b]
+    # the NULL rows are excluded from n on both paths: covariance equals
+    # the non-null corpus' covariance at the rounding grain
+    C = np.cov(V.T, bias=True)
+    Cs = np.array([r["cov"] for r in a])
+    assert np.abs(Cs - C).max() <= 5.1e-7
+
+
+def test_wide_covariance_row_uses_arrow_gram_stage(spark, sf_smoke):
+    """The registered embedding_wide_covariance row (VERDICT r13 #3)
+    must exercise the mapInPandas Gram-partial stage — the production-
+    width physical path — and emit the exploded scalar grid."""
+    from bookstore_aws_lakehouse_spark.registry import load_all
+
+    GOLDEN, _ = load_all()
+    df = GOLDEN["embedding_wide_covariance"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert df.columns == ["i", "j", "c", "mean"]

@@ -816,3 +816,72 @@ def test_redact_pii_patterns_and_counts(spark):
     # network-prefix anchoring: 4xxx/5[1-5]xx redact, 9xxx does not
     assert got[6]["text_redacted"] == "pay [CARD] or [CARD] but not 9999-1111-1111-1111"
     assert got[6]["n_credit_card"] == 2
+
+
+def test_redact_pii_near_misses_do_not_match(spark):
+    """VERDICT r13 #8: adversarial NEAR-miss corpus for the PII registry.
+    Every string here is one edit away from a true plant and must NOT
+    match its named pattern class — on BOTH engines (Spark's Java regex
+    and DuckDB's RE2, the oracle side), pinning the documented
+    no-false-positive claims: 16-digit card parses die inside longer
+    digit runs (\\b), network-prefix anchoring, the 3-2-4 SSN vs 3-3-4
+    phone shape disjointness, the IBAN length floor and case."""
+    import duckdb
+
+    from bookstore_aws_lakehouse_spark.operators.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    near_misses = [
+        # (text, nearly-matched class, expect NO class to match at all)
+        ("41111111111111111", "credit_card", True),  # 17-digit run
+        ("x4111111111111111", "credit_card", True),  # no left boundary
+        ("9999111111111111", "credit_card", True),  # no network prefix
+        ("5611 1111 1111 1111", "credit_card", True),  # 56 ∉ 51-55
+        ("4111-1111-1111-11111", "credit_card", True),  # 5-digit tail
+        ("123-456-7890", "ssn", False),  # 3-3-4 is the PHONE shape
+        ("123-45-6789", "phone", False),  # 3-2-4 is the SSN shape
+        ("1234-45-6789", "ssn", True),  # 4-digit lead group
+        ("123-45-67890", "ssn", True),  # 5-digit tail group
+        ("123-456-78901", "phone", True),  # 5-digit tail group
+        ("de89370400440532013000", "iban", True),  # lowercase country
+        ("DE89370400440", "iban", True),  # 9 alnums < the 11 floor
+        ("user@host", "email", True),  # no TLD
+        ("a@b.c", "email", True),  # 1-char TLD
+        ("1.2.3", "ipv4", True),  # 3 octets
+        ("1234.1.1.1", "ipv4", True),  # 4-digit octet breaks the parse
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(near_misses)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    con = duckdb.connect()
+    for i, (t, cls, fully_clean) in enumerate(near_misses):
+        assert got[i][f"n_{cls}"] == 0, (t, cls)
+        if fully_clean:
+            assert got[i]["text_redacted"] == t, (t, "unexpected redaction")
+        # the oracle engine (RE2) must agree match-for-match
+        pat = PII_PATTERNS[cls][0]
+        (n_re2,) = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+        ).fetchone()
+        assert n_re2 == 0, (t, cls, "RE2 disagreement")
+    # …and one edit back across the boundary, the plant DOES match
+    positives = [
+        ("4111111111111111", "credit_card"),  # exactly 16, boundary-clean
+        ("DE893704004405320", "iban"),  # 11 alnums: at the floor
+    ]
+    dfp = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(positives)],
+        "doc_id bigint, text string",
+    )
+    gotp = {r["doc_id"]: r for r in redact_pii(dfp, "text").collect()}
+    for i, (t, cls) in enumerate(positives):
+        assert gotp[i][f"n_{cls}"] == 1, (t, cls)
+        pat = PII_PATTERNS[cls][0]
+        (n_re2,) = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+        ).fetchone()
+        assert n_re2 == 1, (t, cls, "RE2 disagreement")
