@@ -247,64 +247,116 @@ def covariance_rows(
     return _assemble_cov(moments, dim, round_dp)
 
 
-def _trajectory_frame(
+def _deflation_frame(
     cov_rows: DataFrame,
     dim: int,
+    r: int,
     iters: int,
-    round_dp: int,
-    lam_dp: int | None = None,
+    iter_dp: int = 9,
+    lam_dp: int = 6,
+    lam_all: bool = False,
+    with_trace: bool = False,
 ) -> DataFrame:
-    """The WHOLE ``iters``-step power-method trajectory as one lazy plan
-    over the dim-row frame — every matvec, window norm, and normalized
-    iterate is a chained window stage (the frame is a single partition
-    of ``dim`` rows after ``_assemble_cov``'s repartition(1), so each
-    window is a trivial in-memory pass and the full chain executes as
-    ONE Spark job at the final collect). The r16 tuning had already
-    fused matvec+normalize into one job per step (~3 jobs/step → 1);
-    this folds the steps themselves (VERDICT r13 #6): per component the
-    scheduler now sees ONE job instead of ``iters``, and with ``lam_dp``
-    set the Rayleigh quotient rides in the SAME job as one more windowed
-    sum over the same rows instead of its own ``eigenvalue_of`` job.
+    """The WHOLE top-r power-iteration + Hotelling-deflation loop as ONE
+    lazy plan over the dim-row frame (VERDICT r13 #6, taken to its
+    fixed point): every matvec, window norm, normalized iterate, the
+    Rayleigh quotient, AND the deflated matrices chain as sequential
+    window/projection stages (the frame is a single partition of
+    ``dim`` rows after ``_assemble_cov``'s repartition(1), so each
+    stage is a trivial in-memory pass). The full r-component loop
+    executes as ONE Spark job at consumption — the r16 shape paid
+    iters+2 scheduler round-trips per component (per-step collects,
+    an eigenvalue job, a localCheckpoint per deflation).
 
-    Numbers are contract-identical to the per-step collect loop it
-    replaces: y_t = round(dot(cov, x_{t-1}), round_dp), x_t =
-    round(y_t/‖y_t‖, round_dp) with the zero-norm guard, and λ =
-    round(Σ x_i·round(dot(cov_i, x), round_dp), lam_dp) — the only
-    change is that iterates stay JVM-side as columns instead of
-    round-tripping through driver literals (doubles round-trip exactly,
-    and window-vs-agg SUM order moves ~1e-16 relative, far below every
-    rounding grain — the standing argument)."""
+    Adds per component k (0-based): ``_x{k}`` (that row's final-iterate
+    loading), ``_lam{k}`` (the Rayleigh eigenvalue — for k < r-1
+    always, and for the last component too when ``lam_all``); plus
+    ``_trace`` when ``with_trace``. Input columns (i, cov, mean, …)
+    pass through untouched.
+
+    Numbers are contract-identical to the collect-loop it replaces:
+    y_t = round(dot(C_k, x_{t-1}), iter_dp), x_t = round(y_t/‖y_t‖,
+    iter_dp) with the zero-norm guard, λ_k = round(Σ x_i·round(dot(C_k,
+    x), iter_dp), lam_dp), C_{k+1} = round(C_k − λ_k·x_i·x_j, lam_dp)
+    with the same left-to-right multiply order. Iterates and matrices
+    stay JVM-side as columns instead of round-tripping through driver
+    literals (doubles round-trip exactly either way). Codegen depth is
+    bounded: each deflated matrix is a column computed ONCE per row —
+    the Window operators between components are projection barriers, so
+    CollapseProject can never re-nest component k's transform inside
+    component k+1's (the lazy-nesting blowup the r16 localCheckpoint
+    existed to stop)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(F.lit(1))
-    df = cov_rows.select("i", "cov")
-    # 1/sqrt(64) = 0.125 exactly; for other dims the start is rounded by
-    # the same JVM convention via the literal embed
-    xvec: Column = F.array(*[F.lit(1.0 / math.sqrt(dim))] * dim)
-    for _ in range(iters):
-        df = df.withColumn("_y", F.round(dot(F.col("cov"), xvec), round_dp))
-        nrm = F.sqrt(F.sum(F.col("_y") * F.col("_y")).over(w))
+    df = cov_rows
+    if with_trace:
         df = df.withColumn(
-            "_x",
-            F.when(nrm > 0, F.round(F.col("_y") / nrm, round_dp))
-            .otherwise(F.col("_y")),
-        )
-        # the full iterate vector, re-assembled per row via a window
-        # collect (deterministic: sorted by i) — next step's matvec
-        # input, never a driver round-trip
-        df = df.withColumn(
-            "_xv",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "_x")).over(w)),
-                lambda s: s["_x"],
+            "_trace",
+            F.round(
+                F.sum(F.element_at(F.col("cov"), F.col("i") + 1)).over(w),
+                lam_dp,
             ),
         )
-        xvec = F.col("_xv")
-    if lam_dp is not None:
-        ylast = F.round(dot(F.col("cov"), F.col("_xv")), round_dp)
-        df = df.withColumn(
-            "_lam", F.round(F.sum(F.col("_x") * ylast).over(w), lam_dp)
-        )
+    covcol = "cov"
+    for k in range(r):
+        need_lam = lam_all or k + 1 < r
+        # 1/sqrt(64) = 0.125 exactly; for other dims the start is
+        # rounded by the same JVM convention via the literal embed
+        # (array_repeat: one constant-folded expression, not dim lits)
+        xvec: Column = F.array_repeat(F.lit(1.0 / math.sqrt(dim)), dim)
+        for t in range(iters):
+            # matvec + normalize in ONE projection stage: the rounded
+            # matvec y is inlined into both the window norm and the
+            # quotient (recomputing a 64-term fold twice per row is
+            # cheaper than another Window stage in a 30-stage plan)
+            y = F.round(dot(F.col(covcol), xvec), iter_dp)
+            nrm = F.sqrt(F.sum(y * y).over(w))
+            df = df.withColumn(
+                "_x",
+                F.when(nrm > 0, F.round(y / nrm, iter_dp)).otherwise(y),
+            )
+            if t + 1 < iters or need_lam:
+                # the full iterate vector, re-assembled per row via a
+                # window collect (deterministic: sorted by i) — next
+                # stage's matvec input, never a driver round-trip.
+                # Skipped when nothing downstream consumes it.
+                df = df.withColumn(
+                    "_xv",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", "_x")).over(w)
+                        ),
+                        lambda s: s["_x"],
+                    ),
+                )
+                xvec = F.col("_xv")
+        df = df.withColumn(f"_x{k}", F.col("_x"))
+        if need_lam:
+            # Rayleigh quotient as one more windowed sum over the same
+            # rows — λ rounds COARSE (lam_dp): it feeds the deflation
+            # literal (module docstring)
+            ylast = F.round(dot(F.col(covcol), F.col("_xv")), iter_dp)
+            df = df.withColumn(
+                f"_lam{k}",
+                F.round(F.sum(F.col("_x") * ylast).over(w), lam_dp),
+            )
+        if k + 1 < r:
+            # Hotelling deflation as a column: C_{k+1}[i][j] =
+            # round(C_k[i][j] − λ·x_i·x_j, lam_dp), multiply order fixed
+            # (λ·x_i then ·x_j) so both engines compute every entry
+            # bit-identically from the identical rounded inputs
+            lam, x_i, xv = F.col(f"_lam{k}"), F.col("_x"), F.col("_xv")
+            df = df.withColumn(
+                f"_c{k + 1}",
+                F.transform(
+                    F.col(covcol),
+                    lambda c, j: F.round(
+                        c - lam * x_i * F.element_at(xv, j + 1), lam_dp
+                    ),
+                ),
+            )
+            covcol = f"_c{k + 1}"
     return df
 
 
@@ -319,7 +371,7 @@ def power_iteration(
     matrix-vector product and every normalized iterate is rounded to
     ``round_dp``, making the trajectory engine-replayable (the
     per-iteration-rounded pagerank contract). The whole trajectory runs
-    as ONE tiny Spark job over the dim rows (``_trajectory_frame``);
+    as ONE tiny Spark job over the dim rows (``_deflation_frame``);
     the driver reads ``dim`` doubles once (bounded by the embedding
     width, not the data).
 
@@ -335,34 +387,12 @@ def power_iteration(
     convention the SQL oracles replay) — Python's ``round`` is
     HALF_EVEN and would drift on boundary values."""
     rows = (
-        _trajectory_frame(cov_rows, dim, iters, round_dp)
-        .select("i", "_x")
+        _deflation_frame(cov_rows.select("i", "cov"), dim, 1, iters, round_dp)
+        .select("i", "_x0")
         .orderBy("i")
         .collect()
     )
-    return [r["_x"] for r in rows]
-
-
-def power_iteration_stats(
-    cov_rows: DataFrame,
-    dim: int = 64,
-    iters: int = 3,
-    iter_dp: int = 9,
-    lam_dp: int = 6,
-) -> tuple[list[float], float]:
-    """(x, λ) in ONE job: the fused trajectory plus the Rayleigh
-    quotient as a final windowed sum over the same dim rows (VERDICT
-    r13 #6 — previously ``power_iteration`` + ``eigenvalue_of`` cost
-    iters+1 jobs per component). λ rounds COARSE (``lam_dp``, the
-    deflation-literal contract) off matvec terms at ``iter_dp`` —
-    the exact numbers ``eigenvalue_of`` produces."""
-    rows = (
-        _trajectory_frame(cov_rows, dim, iters, iter_dp, lam_dp=lam_dp)
-        .select("i", "_x", "_lam")
-        .orderBy("i")
-        .collect()
-    )
-    return [r["_x"] for r in rows], float(rows[0]["_lam"])
+    return [r["_x0"] for r in rows]
 
 
 def top_principal_component(
@@ -384,60 +414,14 @@ def top_principal_component(
     never flip an entry and both engines iterate from the literally
     identical matrix; the iterates round FINE (9 dp) because from equal
     inputs the matrix-vector folds are bit-identical and only the scalar
-    norm carries ~1e-16 relative noise."""
-    spark = df.sparkSession
-    cov = covariance_rows(df, vec_col, dim, cov_dp).persist()
-    try:
-        x = power_iteration(cov, dim, iters, iter_dp)
-    finally:
-        cov.unpersist()
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(x)], ["i", "loading"]
-    )
+    norm carries ~1e-16 relative noise.
 
-
-def eigenvalue_of(
-    cov_rows: DataFrame, x: list[float], iter_dp: int = 9, lam_dp: int = 6
-) -> float:
-    """Rayleigh quotient λ = xᵀCx of a unit iterate over the dim-row
-    matrix, with the matvec rounded at ``iter_dp`` (the iterate
-    convention) and λ itself at ``lam_dp`` — COARSE, because λ feeds the
-    deflation literal (module docstring). One tiny job; the driver reads
-    one double."""
-    xl = F.array(*[F.lit(c) for c in x])
-    row = cov_rows.agg(
-        F.round(
-            F.sum(
-                F.element_at(xl, F.col("i") + 1)
-                * F.round(dot(F.col("cov"), xl), iter_dp)
-            ),
-            lam_dp,
-        ).alias("lam")
-    ).first()
-    return float(row["lam"])
-
-
-def deflate(
-    cov_rows: DataFrame, x: list[float], lam: float, round_dp: int = 6
-) -> DataFrame:
-    """Hotelling deflation C ← round(C − λ·xxᵀ, round_dp) as a transform
-    over the dim-row table — x and λ ride as literals, the multiply
-    order (λ·x_i·x_j, left-to-right) is fixed so both engines compute
-    every entry bit-identically from the identical 6-dp inputs."""
-    xl = F.array(*[F.lit(c) for c in x])
-    cols = [c for c in cov_rows.columns if c not in ("cov",)]
-    return cov_rows.select(
-        *cols,
-        F.transform(
-            F.col("cov"),
-            lambda c, j: F.round(
-                c
-                - F.lit(lam)
-                * F.element_at(xl, F.col("i") + 1)
-                * F.element_at(xl, j + 1),
-                round_dp,
-            ),
-        ).alias("cov"),
+    Fully lazy: covariance → one-job trajectory chain, consumed as ONE
+    corpus scan + one tiny job — no pin, no driver round-trip (the loop
+    used to collect per step and re-create via createDataFrame)."""
+    cov = covariance_rows(df, vec_col, dim, cov_dp).select("i", "cov")
+    return _deflation_frame(cov, dim, 1, iters, iter_dp, cov_dp).select(
+        F.col("i").cast("bigint").alias("i"), F.col("_x0").alias("loading")
     )
 
 
@@ -452,12 +436,16 @@ def top_principal_components(
 ) -> DataFrame:
     """(component, i, loading): the top ``r`` PCs by power iteration +
     Hotelling deflation — one component is rarely enough for whitening /
-    reduction-before-ANN (VERDICT r12 #3). ONE corpus scan total: the
-    covariance is pinned once, and every per-component step (iters
-    matvecs, one Rayleigh quotient, one deflation) runs on the dim-row
-    table with the previous components as literals. Driver reads per
-    component: iters·dim + 1 doubles — bounded by the embedding width
-    and r, never the corpus.
+    reduction-before-ANN (VERDICT r12 #3). ONE corpus scan, ONE job
+    total: the whole r-component loop (every matvec, Rayleigh quotient,
+    and deflated matrix) chains as window/projection stages over the
+    dim-row frame (``_deflation_frame``) and the per-component loadings
+    un-pivot via posexplode — fully lazy, no pin, no checkpoint, no
+    driver round-trip. (History: r15 ran iters+2 driver-mediated jobs
+    per component with localCheckpointed deflations; r14-final fuses
+    them — the checkpoint existed only to stop CollapseProject from
+    re-nesting lazy deflations into every step job, which the Window
+    barriers between components now prevent structurally.)
 
     The full trajectory is engine-replayable: iterates at ``iter_dp``
     (9), eigenvalues and deflated matrices at ``cov_dp`` (6, the coarse
@@ -467,40 +455,20 @@ def top_principal_components(
     non-orthogonality is bounded by the 6-dp deflation grain and is
     asserted on planted-structure data in tests/test_linalg.py.
     ``component`` is 1-based."""
-    spark = df.sparkSession
-    cov = covariance_rows(df, vec_col, dim, cov_dp).persist()
-    out: list[tuple[int, int, float]] = []
-    try:
-        cur = cov.select("i", "cov")
-        for k in range(r):
-            if k + 1 < r:
-                # fused trajectory+Rayleigh: ONE job, then one
-                # deflation-checkpoint job (VERDICT r13 #6 — was
-                # iters+2 jobs per component)
-                x, lam = power_iteration_stats(
-                    cur, dim, iters, iter_dp, cov_dp
-                )
-                cur = _materialized(spark, deflate(cur, x, lam, cov_dp))
-            else:
-                x = power_iteration(cur, dim, iters, iter_dp)
-            out.extend((k + 1, i, c) for i, c in enumerate(x))
-    finally:
-        cov.unpersist()
-    return spark.createDataFrame(out, ["component", "i", "loading"])
-
-
-def _materialized(spark, cov_rows: DataFrame) -> DataFrame:
-    """Collapse a (lazily) deflated dim-row matrix to materialized JVM
-    blocks. Left lazy, component k's matrix is k NESTED array-transforms
-    — by k=3 the expression tree costs seconds of codegen on EVERY step
-    job (measured: that, not the math, dominated the top-r row). The
-    matrix is dim² ROUNDED doubles (KBs, bounded by the embedding
-    width); ``localCheckpoint`` pins it JVM-side in one job.
-    (A driver round-trip via ``createDataFrame`` was tried first and
-    REGRESSED 7×: a Python-built local relation re-pays Python-worker
-    serialization on every subsequent job — the dozens of tiny iteration
-    jobs each cost ~5 s. Keep bounded materializations JVM-side.)"""
-    return cov_rows.select("i", "cov").coalesce(1).localCheckpoint(eager=True)
+    cov = covariance_rows(df, vec_col, dim, cov_dp).select("i", "cov")
+    frame = _deflation_frame(cov, dim, r, iters, iter_dp, cov_dp)
+    per_comp = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).cast("bigint").alias("component"),
+                F.col(f"_x{k}").alias("loading"),
+            )
+            for k in range(r)
+        ]
+    )
+    return frame.select(
+        F.col("i").cast("bigint").alias("i"), F.explode(per_comp).alias("_s")
+    ).select("_s.component", "i", "_s.loading")
 
 
 def pc_scores(
@@ -537,57 +505,53 @@ def pc_spectrum(
     """(component, eigenvalue, explained_frac, cumulative_frac) for the
     top ``r`` PCs — the screeplot a curation pipeline reads to pick its
     reduction rank (how many directions carry the corpus' variance?).
-    Same ONE-corpus-scan deflation loop as ``top_principal_components``
-    with the Rayleigh eigenvalue taken for EVERY component (λ at the
-    coarse 6-dp grain, the deflation contract); total variance is
-    trace(C) off the same pinned matrix. Fractions are round(λ/trace, 6)
-    and their running sum — a near-flat spectrum (random fixtures) shows
-    r·(1/dim)-ish fractions, a planted-structure corpus shows the
-    spike."""
+    Same ONE-corpus-scan, ONE-job deflation chain as
+    ``top_principal_components`` with the Rayleigh eigenvalue taken for
+    EVERY component (λ at the coarse 6-dp grain, the deflation
+    contract); total variance is trace(C) as one more window sum over
+    the same rows. Fractions round JVM-side (F.round = HALF_UP, the
+    convention every SQL oracle replays — Python's round is HALF_EVEN
+    and could drift on boundary values); cumulative = round(running sum
+    of the 6-dp fracs, 6), which equals the iterative round(cum+frac, 6)
+    exactly (the summands are 6-dp decimals, so the double sum's ~1e-16
+    error is recovered by the rounding). A near-flat spectrum (random
+    fixtures) shows r·(1/dim)-ish fractions, a planted-structure corpus
+    shows the spike. Fully lazy — no pin, no driver round-trip."""
     from pyspark.sql.window import Window
 
-    spark = df.sparkSession
-    cov = covariance_rows(df, vec_col, dim, cov_dp).persist()
-    lams: list[float] = []
-    try:
-        trace_row = cov.agg(
-            F.round(
-                F.sum(F.element_at(F.col("cov"), F.col("i") + 1)), cov_dp
-            ).alias("t")
-        ).first()
-        trace = float(trace_row["t"]) if trace_row else 0.0
-        cur = cov.select("i", "cov")
-        for k in range(r):
-            # fused trajectory+Rayleigh — one job per component (plus
-            # the deflation checkpoint), VERDICT r13 #6
-            x, lam = power_iteration_stats(cur, dim, iters, iter_dp, cov_dp)
-            lams.append(lam)
-            if k + 1 < r:
-                cur = _materialized(spark, deflate(cur, x, lam, cov_dp))
-    finally:
-        cov.unpersist()
-    # fractions round JVM-side (F.round = HALF_UP, the convention every
-    # SQL oracle replays — Python's round is HALF_EVEN and could drift on
-    # boundary values); cumulative = round(running sum of 6-dp fracs, 6),
-    # which equals the iterative round(cum+frac, 6) exactly (the summands
-    # are 6-dp decimals, so the double sum's ~1e-16 error is recovered by
-    # the rounding).
-    base = spark.createDataFrame(
-        [(k + 1, lam) for k, lam in enumerate(lams)],
-        "component bigint, eigenvalue double",
+    cov = covariance_rows(df, vec_col, dim, cov_dp).select("i", "cov")
+    frame = _deflation_frame(
+        cov, dim, r, iters, iter_dp, cov_dp, lam_all=True, with_trace=True
     )
-    if trace > 0:
-        frac = F.round(F.col("eigenvalue") / F.lit(trace), 6)
-    else:
-        frac = F.lit(None).cast("double")
+    # one row (i=0) carries every _lam{k} plus _trace; un-pivot to
+    # (component, eigenvalue) and window the fraction running sum
+    per_comp = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).cast("bigint").alias("component"),
+                F.col(f"_lam{k}").alias("eigenvalue"),
+            )
+            for k in range(r)
+        ]
+    )
+    rows = (
+        frame.filter(F.col("i") == 0)
+        .select(F.col("_trace").alias("_t"), F.explode(per_comp).alias("_s"))
+        .select("_s.component", "_s.eigenvalue", "_t")
+    )
+    frac = F.when(
+        F.col("_t") > 0, F.round(F.col("eigenvalue") / F.col("_t"), 6)
+    )
     w = Window.orderBy("component").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return base.select(
+    return rows.select(
         "component",
         "eigenvalue",
         frac.alias("explained_frac"),
-        F.round(F.sum(frac).over(w), 6).alias("cumulative_frac"),
+        F.when(F.col("_t") > 0, F.round(F.sum(frac).over(w), 6)).alias(
+            "cumulative_frac"
+        ),
     )
 
 

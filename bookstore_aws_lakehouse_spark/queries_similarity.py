@@ -1527,9 +1527,10 @@ def q_embedding_top_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_principal_components): power iteration + Hotelling deflation on
     the ONE-scan covariance — the whitening/reduction basis a curation
     pipeline actually wants (one component is rarely enough, VERDICT
-    r12 #3). After the single corpus scan every per-component step runs
-    on the 64-row matrix with previous components as literals; driver
-    reads are iters·dim + 1 doubles per component. The oracle replays
+    r12 #3). ONE corpus scan, ONE job: the whole r-component loop
+    (trajectories, eigenvalues, deflated matrices) chains as window
+    stages over the 64-row single-partition frame and un-pivots lazily
+    — nothing driver-mediated, nothing checkpointed. The oracle replays
     all 4 trajectories: every iterate at 9 dp, every eigenvalue and
     deflated matrix entry at 6 dp (λ rounds coarse so both engines
     deflate from the literally identical scalar)."""
@@ -1547,10 +1548,11 @@ def q_embedding_pc_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc_spectrum): the Rayleigh eigenvalue of each of the top-4 PCs over
     the one-scan deflation loop, plus explained and cumulative variance
     fractions off trace(C) — the number a curation pipeline reads to
-    pick its reduction rank. Per component ONE fused Spark job
-    (trajectory + λ as chained window stages over the single-partition
-    dim-row frame, VERDICT r13 #6); fractions round JVM-side (HALF_UP,
-    the oracle's convention). The oracle replays all four trajectories,
+    pick its reduction rank. ONE corpus scan, ONE Spark job for the
+    WHOLE loop (all trajectories, eigenvalues, deflations, and the
+    trace chain as window stages over the single-partition dim-row
+    frame, VERDICT r13 #6); fractions round JVM-side (HALF_UP, the
+    oracle's convention). The oracle replays all four trajectories,
     eigenvalues, the trace, and the rounded running fraction sum."""
     from bookstore_aws_lakehouse_spark.operators.linalg import pc_spectrum
 
@@ -1573,32 +1575,25 @@ def q_embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the full chain: both trajectories, both eigenvalues, the
     centered whitened dots."""
     from bookstore_aws_lakehouse_spark.operators.linalg import (
-        _materialized,
+        _deflation_frame,
         covariance_rows,
-        deflate,
         pc_project,
-        power_iteration_stats,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cov = covariance_rows(emb, "embedding", dim=64, round_dp=6).persist()
-    comps: list[list[float]] = []
-    lams: list[float] = []
-    try:
-        cur = cov.select("i", "cov")
-        for k in range(2):
-            x, lam = power_iteration_stats(
-                cur, dim=64, iters=3, iter_dp=9, lam_dp=6
-            )
-            comps.append(x)
-            lams.append(lam)
-            if k == 0:
-                cur = _materialized(spark, deflate(cur, x, lam, 6))
-        means = [
-            r["mean"] for r in cov.select("i", "mean").orderBy("i").collect()
-        ]
-    finally:
-        cov.unpersist()
+    # ONE job reads the whole chained frame: both trajectories, both
+    # eigenvalues, and the means riding on the covariance output —
+    # 64 rows / ~130 doubles to the driver, bounded by embedding width
+    cov = covariance_rows(emb, "embedding", dim=64, round_dp=6)
+    frame = _deflation_frame(cov, 64, 2, 3, iter_dp=9, lam_dp=6, lam_all=True)
+    rows = (
+        frame.select("i", "mean", "_x0", "_x1", "_lam0", "_lam1")
+        .orderBy("i")
+        .collect()
+    )
+    means = [r["mean"] for r in rows]
+    comps = [[r["_x0"] for r in rows], [r["_x1"] for r in rows]]
+    lams = [float(rows[0]["_lam0"]), float(rows[0]["_lam1"])]
     red = pc_project(emb, comps, means, whiten=lams)
     return red.select(
         "vec_id",
