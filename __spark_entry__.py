@@ -132,6 +132,12 @@ _PROBE_EXCLUDE = frozenset(
         "ann_recall_floor",  # runs the multiprobe pipeline on build
         "dataset_temperature_mix",
         "join_salted_hot",  # detect_hot_keys runs its count job on build
+        # r14: these three collect the dim-row covariance/trajectory
+        # frame on build (loadings/means become projection literals);
+        # top_pc/top_pcs/pc_spectrum are fully lazy and stay probed
+        "embedding_pca_scores_topk",
+        "embedding_pc_variance",
+        "embedding_pca_reduce",
     }
 )
 
