@@ -31,6 +31,15 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 #: artifacts alone (VERDICT r11 #1)
 _CAL_KEY = "__calibration_topk_p50__"
 _CAL_FOLD_KEY = "__calibration_fold_p50__"
+#: reserved keys for the SOLO-WINDOW probes (the fresh adjudication
+#: session's own machine-speed measurements): the stored solo_s
+#: baselines were measured under THESE probes, not the start-of-run
+#: ones, so solo-vs-solo calibration must divide era-over-era by them
+#: (r14 review: using the previous run's START probe as the denominator
+#: re-imports the very start-vs-end floor drift the solo-window probes
+#: were added to remove)
+_CAL_SOLO_KEY = "__calibration_solo_topk_p50__"
+_CAL_SOLO_FOLD_KEY = "__calibration_solo_fold_p50__"
 
 
 def _read_psi_cpu() -> dict | None:
@@ -528,6 +537,8 @@ def main() -> None:
     common_vs_prev = None
     prev_cal = None
     prev_fold_cal = None
+    prev_solo_cal = None
+    prev_solo_fold_cal = None
     prev_solo: dict = {}
     cal_now = load_start.get("calibration_topk_p50")
     fold_cal_now = load_start.get("calibration_fold_p50")
@@ -544,6 +555,10 @@ def main() -> None:
             prev_cal = rc["s"] if isinstance(rc, dict) else rc
             rf = raw_prev.pop(_CAL_FOLD_KEY, None)
             prev_fold_cal = rf["s"] if isinstance(rf, dict) else rf
+            rs = raw_prev.pop(_CAL_SOLO_KEY, None)
+            prev_solo_cal = rs["s"] if isinstance(rs, dict) else rs
+            rsf = raw_prev.pop(_CAL_SOLO_FOLD_KEY, None)
+            prev_solo_fold_cal = rsf["s"] if isinstance(rsf, dict) else rsf
             # entries are {"s": seconds, "src": "run"|"solo"} since r10
             # (ADVICE r9: per-entry provenance); bare floats are the
             # pre-provenance format — accept both
@@ -629,6 +644,7 @@ def main() -> None:
             fold_cal_factor=common_vs_prev.get("fold_cal_factor"),
             prev_probes=(prev_cal, prev_fold_cal),
             prev_solo=prev_solo,
+            prev_solo_probes=(prev_solo_cal, prev_solo_fold_cal),
         )
 
     def _git_head() -> str | None:
@@ -699,6 +715,25 @@ def main() -> None:
         # in-run "s" keeps serving the run-ratio methodology.
         if solo is not None and q in baseline:
             baseline[q]["solo_s"] = solo
+    # a solo baseline survives quiet rounds (r14 review #1): a row
+    # adjudicated in round N and quiet in N+1 must still carry its
+    # solo_s into N+2, else the next regression falls back to the
+    # cold-solo-vs-warm-record comparison this mechanism retires. The
+    # carried value is replaced whenever a fresh solo is measured.
+    for q, s in prev_solo.items():
+        if q in baseline and "solo_s" not in baseline[q]:
+            baseline[q]["solo_s"] = s
+    # persist the solo-window probes beside the solo baselines: stored
+    # solo_s values were measured under THESE floors, so the next run's
+    # solo-vs-solo calibration divides era-over-era by them (r14 review
+    # #2). Carried forward like the baselines when no fresh session ran.
+    sw = adjudication.get("__solo_window__") or {}
+    solo_topk = sw.get("topk_p50") or prev_solo_cal
+    solo_fold = sw.get("fold_p50") or prev_solo_fold_cal
+    if solo_topk:
+        baseline[_CAL_SOLO_KEY] = {"s": solo_topk, "src": "cal"}
+    if solo_fold:
+        baseline[_CAL_SOLO_FOLD_KEY] = {"s": solo_fold, "src": "cal"}
     if cal_now:
         baseline[_CAL_KEY] = {"s": cal_now, "src": "cal"}
     if fold_cal_now:
@@ -792,6 +827,7 @@ def _adjudicate(
     fold_cal_factor: float | None = None,
     prev_probes: tuple = (None, None),
     prev_solo: dict | None = None,
+    prev_solo_probes: tuple = (None, None),
 ) -> dict[str, dict]:
     """Re-measure every shared row that regressed >1.3× vs the previous
     record SOLO (median-of-n, warm, own load window).
@@ -852,6 +888,7 @@ def _adjudicate(
         adjudication[q] = {"note": f"watch row NOT adjudicated: {why}"}
     own_session = mk_session is not None and any(q in GOLDEN for q in suspects)
     solo_cals: dict[str, float] = {}
+    solo_era_cals: dict[str, float] = {}
     if own_session:
         spark.stop()
         spark = mk_session("bookstore-lakehouse-bench-adjudicate")
@@ -884,6 +921,16 @@ def _adjudicate(
             solo_cals["topk"] = topk_now / prev_topk
         if fold_now is not None and prev_fold:
             solo_cals["fold"] = fold_now / prev_fold
+        # solo-ERA factors (r14 review #2): the stored solo_s baselines
+        # were measured under the PREVIOUS run's solo-window probes, so
+        # solo-vs-solo divides this window's probe by THAT window's —
+        # never by the previous run's start-of-run probe, whose floor
+        # can drift over the ~30 min bench (the r13 incident).
+        prev_solo_topk, prev_solo_fold = prev_solo_probes
+        if topk_now is not None and prev_solo_topk:
+            solo_era_cals["topk"] = topk_now / prev_solo_topk
+        if fold_now is not None and prev_solo_fold:
+            solo_era_cals["fold"] = fold_now / prev_solo_fold
         adjudication["__solo_window__"] = {
             "topk_p50": topk_now,
             "fold_p50": fold_now,
@@ -905,7 +952,6 @@ def _adjudicate(
             }
             continue
         runs = []
-        meter.window()
         # ONE discarded warmup before the median (VERDICT r13 #7): the
         # first fresh-session execution pays bimodal cold costs (JIT,
         # codegen cache, page cache — zorder measured 18.8 s cold vs
@@ -917,6 +963,10 @@ def _adjudicate(
             "overwrite"
         ).save()
         cold = round(time.monotonic() - t0, 3)
+        # the load meter window opens AFTER the warmup so ext_busy
+        # attributes to exactly the timed runs (r14 review #4: a spike
+        # confined to the long cold run must not taint a clean median)
+        meter.window()
         for _ in range(n_runs):
             t0 = time.monotonic()
             GOLDEN[q](spark, sf_dir).write.format("noop").mode(
@@ -945,12 +995,17 @@ def _adjudicate(
         # like-for-like comparison (VERDICT r13 #2): both sides are
         # fresh-session warmed medians under their own probe windows —
         # THE ratio for regression verdicts once a solo baseline exists.
+        # Calibration divides era-over-era by the SOLO-window probes
+        # (this window's over the baseline window's); the run-window
+        # factor is only the fallback when no solo-era probe was stored.
         if prev_solo.get(q):
+            svs_cal = solo_era_cals.get(qclass) or solo_cal
             adjudication[q]["solo_prev_s"] = prev_solo[q]
             adjudication[q]["solo_vs_solo"] = round(solo / prev_solo[q], 2)
             adjudication[q]["solo_vs_solo_cal"] = round(
-                solo / prev_solo[q] / solo_cal, 2
+                solo / prev_solo[q] / svs_cal, 2
             )
+            adjudication[q]["solo_vs_solo_cal_factor"] = round(svs_cal, 3)
         if q in _WATCH_ROWS:
             adjudication[q]["note"] = (
                 "watch row (VERDICT r13 #2): force-adjudicated against "

@@ -247,7 +247,7 @@ def covariance_rows(
     return _assemble_cov(moments, dim, round_dp)
 
 
-def _deflation_frame(
+def deflation_frame(
     cov_rows: DataFrame,
     dim: int,
     r: int,
@@ -371,7 +371,7 @@ def power_iteration(
     matrix-vector product and every normalized iterate is rounded to
     ``round_dp``, making the trajectory engine-replayable (the
     per-iteration-rounded pagerank contract). The whole trajectory runs
-    as ONE tiny Spark job over the dim rows (``_deflation_frame``);
+    as ONE tiny Spark job over the dim rows (``deflation_frame``);
     the driver reads ``dim`` doubles once (bounded by the embedding
     width, not the data).
 
@@ -387,7 +387,7 @@ def power_iteration(
     convention the SQL oracles replay) — Python's ``round`` is
     HALF_EVEN and would drift on boundary values."""
     rows = (
-        _deflation_frame(cov_rows.select("i", "cov"), dim, 1, iters, round_dp)
+        deflation_frame(cov_rows.select("i", "cov"), dim, 1, iters, round_dp)
         .select("i", "_x0")
         .orderBy("i")
         .collect()
@@ -420,7 +420,7 @@ def top_principal_component(
     corpus scan + one tiny job — no pin, no driver round-trip (the loop
     used to collect per step and re-create via createDataFrame)."""
     cov = covariance_rows(df, vec_col, dim, cov_dp).select("i", "cov")
-    return _deflation_frame(cov, dim, 1, iters, iter_dp, cov_dp).select(
+    return deflation_frame(cov, dim, 1, iters, iter_dp, cov_dp).select(
         F.col("i").cast("bigint").alias("i"), F.col("_x0").alias("loading")
     )
 
@@ -439,7 +439,7 @@ def top_principal_components(
     reduction-before-ANN (VERDICT r12 #3). ONE corpus scan, ONE job
     total: the whole r-component loop (every matvec, Rayleigh quotient,
     and deflated matrix) chains as window/projection stages over the
-    dim-row frame (``_deflation_frame``) and the per-component loadings
+    dim-row frame (``deflation_frame``) and the per-component loadings
     un-pivot via posexplode — fully lazy, no pin, no checkpoint, no
     driver round-trip. (History: r15 ran iters+2 driver-mediated jobs
     per component with localCheckpointed deflations; r14-final fuses
@@ -456,7 +456,7 @@ def top_principal_components(
     asserted on planted-structure data in tests/test_linalg.py.
     ``component`` is 1-based."""
     cov = covariance_rows(df, vec_col, dim, cov_dp).select("i", "cov")
-    frame = _deflation_frame(cov, dim, r, iters, iter_dp, cov_dp)
+    frame = deflation_frame(cov, dim, r, iters, iter_dp, cov_dp)
     per_comp = F.array(
         *[
             F.struct(
@@ -520,7 +520,7 @@ def pc_spectrum(
     from pyspark.sql.window import Window
 
     cov = covariance_rows(df, vec_col, dim, cov_dp).select("i", "cov")
-    frame = _deflation_frame(
+    frame = deflation_frame(
         cov, dim, r, iters, iter_dp, cov_dp, lam_all=True, with_trace=True
     )
     # one row (i=0) carries every _lam{k} plus _trace; un-pivot to

@@ -1435,8 +1435,10 @@ def _pca_deflation_chain(r: int, iters: int, lam_all: bool = False) -> str:
     , p{k}x{t}l AS MATERIALIZED (SELECT list(x ORDER BY i) AS xv FROM p{k}x{t})""")
             xv = f"(SELECT xv FROM p{k}x{t}l)"
         if lam_all or k + 1 < r:
+            # MATERIALIZED: double-referenced (deflation + the spectrum's
+            # lams union) — DuckDB inlines plain multi-referenced CTEs
             parts.append(f"""
-    , p{k}lam AS (
+    , p{k}lam AS MATERIALIZED (
       SELECT ROUND(SUM(x.x * ROUND(list_dot_product(c.row, {xv}), 9)), 6) AS lam
       FROM {cl} c JOIN p{k}x{iters} x USING (i))""")
         if k + 1 < r:
@@ -1477,10 +1479,13 @@ def _pca_spectrum_sql(r: int, iters: int) -> str:
         f"(SELECT lam FROM p{k}lam) + 0.0 AS eigenvalue"
         for k in range(r)
     )
+    # trace off the MATERIALIZED cl (row[i+1] is the diagonal), never a
+    # second reference to the plain cov CTE — DuckDB re-runs the whole
+    # O(n·dim²) moments aggregation for each reference to an inlined CTE
     return (
         chain
         + f"""
-    , tr AS (SELECT ROUND(SUM(c), 6) AS t FROM cov WHERE i = j)
+    , tr AS (SELECT ROUND(SUM(row[i + 1]), 6) AS t FROM cl)
     , lams AS (
       {lam_union})
     SELECT component, eigenvalue,
@@ -1575,7 +1580,7 @@ def q_embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the full chain: both trajectories, both eigenvalues, the
     centered whitened dots."""
     from bookstore_aws_lakehouse_spark.operators.linalg import (
-        _deflation_frame,
+        deflation_frame,
         covariance_rows,
         pc_project,
     )
@@ -1585,7 +1590,7 @@ def q_embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eigenvalues, and the means riding on the covariance output —
     # 64 rows / ~130 doubles to the driver, bounded by embedding width
     cov = covariance_rows(emb, "embedding", dim=64, round_dp=6)
-    frame = _deflation_frame(cov, 64, 2, 3, iter_dp=9, lam_dp=6, lam_all=True)
+    frame = deflation_frame(cov, 64, 2, 3, iter_dp=9, lam_dp=6, lam_all=True)
     rows = (
         frame.select("i", "mean", "_x0", "_x1", "_lam0", "_lam1")
         .orderBy("i")
@@ -1613,7 +1618,8 @@ _WIDE_COV_SQL = """
              (v || list_reverse(v)
                 || list_transform(v, x -> x * 0.5)
                 || list_transform(v, x -> -x)) AS w
-      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE embedding IS NOT NULL)
     ),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
     comp AS MATERIALIZED (

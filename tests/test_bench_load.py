@@ -167,3 +167,53 @@ def test_adjudication_solo_window_probes(monkeypatch):
     assert row["probe_class"] == "topk"
     assert row["solo_cal_factor"] is not None
     assert row["fresh_session"] is True
+
+
+def test_adjudication_solo_vs_solo_uses_solo_era_probes(monkeypatch):
+    """r14 review #2: solo_vs_solo_cal must divide by this solo window's
+    probe over the PREVIOUS solo window's probe (the era the stored
+    solo_s was measured in), not the previous run's start-of-run probe."""
+
+    class _FakeDF:
+        @property
+        def write(self):
+            return self
+
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def save(self):
+            pass
+
+    class _StubSpark:
+        def stop(self):
+            pass
+
+    golden = {
+        "topk_books": lambda spark, sf: _FakeDF(),
+        "ann_lsh_buckets": lambda spark, sf: _FakeDF(),
+        "slow_row": lambda spark, sf: _FakeDF(),
+    }
+    times = iter(range(1000))
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(times) * 0.1)
+    adj = bench._adjudicate(
+        _StubSpark(),
+        "/x",
+        golden,
+        {"slow_row": 1.0},
+        {"slow_row": 2.0},
+        _StubMeter(),
+        n_runs=1,
+        mk_session=lambda name: _StubSpark(),
+        prev_probes=(1.0, 2.0),
+        prev_solo={"slow_row": 1.5},
+        prev_solo_probes=(4.0, 8.0),
+    )
+    row = adj["slow_row"]
+    w = adj["__solo_window__"]
+    # era factor = this solo window's topk probe / previous solo probe
+    assert row["solo_vs_solo_cal_factor"] == round(w["topk_p50"] / 4.0, 3)
+    assert row["solo_vs_solo"] is not None
