@@ -162,6 +162,119 @@ def temperature_cuts(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "wsamp",
+    key_decimals: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    every row draws a deterministic uniform u ∈ (0, 1] from its id hash
+    and computes the race key u^(1/w); the k LARGEST keys are the sample.
+    Inclusion probability is proportional to weight, no row can repeat,
+    and — because u comes from the id hash, not an RNG — the same rows
+    win on every engine, run, partitioning, and cluster size. New rows
+    entering the corpus only ever displace losers near the boundary; the
+    established winners' keys never change (an RNG reshuffles everything).
+
+    Scale shape: the key is one map-side expression; ``ORDER BY key LIMIT
+    k`` compiles to TakeOrderedAndProject — each partition keeps its local
+    top-k heap and only k rows per partition reach the driver-side merge,
+    so there is NO global sort and NO full shuffle at any corpus size.
+    That makes this the 100 TB way to draw a token-budget-weighted subset
+    (weight = token count ⇒ long documents sampled proportionally more,
+    the standard budgeted-subcorpus draw).
+
+    Cross-engine contract: u = (ppm_bucket + 1)/10⁶ is integer-exact;
+    ``pow(u, 1/w)`` is the one float op, and the key is ROUNDED to
+    ``key_decimals`` before ordering with the id as tiebreaker — engines
+    can only disagree if pow lands within an ulp of a half-grain
+    boundary, the same documented risk class as ``temperature_cuts``.
+    Rows with NULL id (no bucket), NULL weight, or weight ≤ 0 are
+    excluded (a non-positive weight has zero inclusion mass).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        split_bucket(id_col, salt, modulus=SAMPLE_PPM) + F.lit(1)
+    ) / F.lit(float(SAMPLE_PPM))
+    key = F.round(F.pow(u, F.lit(1.0) / w.cast("double")), key_decimals)
+    return (
+        df.filter(w.isNotNull() & (w > 0) & F.col(id_col).isNotNull())
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def shard_assignment(
+    id_col: Column | str, n_shards: int, salt: str = "shard"
+) -> Column:
+    """Deterministic training-export shard for a record: a stable id-hash
+    bucket in [0, n_shards). The content-addressed analogue of
+    ``pmod(hash, n)`` file routing: re-running the export reproduces the
+    exact same shard membership, so downstream dataloader order, resume
+    points, and per-shard caches all survive a rebuild. NULL ids get a
+    NULL shard (callers decide the policy; a silent bucket-0 default
+    would hide id corruption)."""
+    return split_bucket(id_col, salt, modulus=n_shards)
+
+
+def shard_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Per-shard balance report for a sharded training export: row count,
+    total whitespace tokens, total UTF-8 bytes, and the id range. One
+    aggregation over the corpus (map-side combine into ≤ n_shards groups —
+    the shuffle moves n_shards·partitions tiny rows, nothing else), which
+    is exactly the audit a 100 TB export runs before publishing: a shard
+    whose byte count is 2× its siblings means a skewed hash or corrupt
+    ids, caught here instead of in dataloader throughput."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .groupBy(shard_assignment(id_col, n_shards, salt).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("n_tokens"),
+            F.sum(F.octet_length(F.col(text_col))).cast("bigint").alias("n_bytes"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize a deterministic sharded export: tag each row with its
+    ``shard_assignment`` and write ``shard=<i>/`` partition directories,
+    repartitioned BY the shard column first so each shard is exactly one
+    task's output (one file per shard instead of tasks×shards fragments).
+    At 100 TB the per-shard file count is then controlled with
+    ``spark.sql.files.maxRecordsPerFile`` rather than more shards — the
+    shard is the dataloader addressing unit, the file is the IO unit, and
+    conflating them forces a re-export every time IO sizing changes."""
+    (
+        df.withColumn("shard", shard_assignment(id_col, n_shards, salt))
+        .repartition(n_shards, F.col("shard"))
+        .write.partitionBy("shard")
+        .format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
 def temperature_source_mix(
     df: DataFrame,
     id_col: str,

@@ -385,6 +385,88 @@ def q_dataset_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_SAMPLE_K = 64
+
+
+@golden(
+    "dataset_weighted_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             ({_BUCKET_PPM.format(salt="wsamp")} + 1) / 1000000.0 AS u
+      FROM documents
+      WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           round(pow(u, 1.0 / n_tokens), 9) AS sample_key
+    FROM d
+    WHERE n_tokens IS NOT NULL AND n_tokens > 0
+    ORDER BY sample_key DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    pending=True,  # registration budgeted for r15 (driver window math)
+)
+def q_dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    operators/sampling.py::weighted_sample_topk): draw 64 documents with
+    inclusion probability ∝ token count — the token-budget-weighted
+    subcorpus draw. Deterministic uniforms from the id hash (u =
+    (ppm_bucket+1)/10⁶), race key u^(1/w) rounded to 9 dp with the id as
+    tiebreaker; ORDER BY + LIMIT compiles to TakeOrderedAndProject, so
+    each partition ships only its local top-64 — no global sort at any
+    corpus size. The oracle replays hash, key, and cut row-exactly."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return weighted_sample_topk(
+        d, "doc_id", "n_tokens", k=WEIGHTED_SAMPLE_K, salt="wsamp"
+    )
+
+
+EXPORT_SHARDS = 16
+
+_BUCKET_MOD = (
+    "((('0x' || substring(md5('{salt}:' || CAST(doc_id AS STRING)), 1, 15))::BIGINT"
+    " % {m}) + {m}) % {m}"
+)
+
+
+@golden(
+    "dataset_export_shards",
+    f"""
+    SELECT {_BUCKET_MOD.format(salt="shard", m=EXPORT_SHARDS)} AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM documents
+    WHERE doc_id IS NOT NULL
+    GROUP BY 1
+    """,
+    pending=True,  # registration budgeted for r15 (driver window math)
+)
+def q_dataset_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-training-export balance audit (operators/sampling.py::
+    shard_stats): every document hashes to a stable shard in [0,16), and
+    the report aggregates per-shard row count, whitespace-token total,
+    UTF-8 byte total (Spark octet_length ≡ DuckDB strlen), and id range —
+    the pre-publish check that catches hash skew or id corruption before
+    it becomes dataloader-throughput debugging. One aggregation, map-side
+    combine into ≤16 groups: the shuffle moves shards×partitions tiny
+    rows regardless of corpus size. `write_shards` materializes the same
+    assignment as shard=<i>/ partition directories (tested roundtrip in
+    tests/test_operators.py)."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import shard_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_stats(docs, "doc_id", "text", n_shards=EXPORT_SHARDS, salt="shard")
+
+
 @golden(
     "dataset_temperature_mix",
     f"""

@@ -24,6 +24,17 @@ ORACLE: dict[str, str] = {}
 #: ordering in __spark_entry__.queries()
 MODULE: dict[str, str] = {}
 
+#: built-and-verified queries NOT yet exposed through queries(): the
+#: driver checks a fixed window of ~50 rows per round, so registrations
+#: are budgeted per round (VERDICT r13 #4 capped them at the count that
+#: still drains the stalest green tier). Pending rows get the full local
+#: verification treatment — tests/test_golden_parity.py runs them against
+#: their DuckDB twins exactly like registered rows — and flip to GOLDEN
+#: (delete the ``pending=True``) at the next round boundary, arriving
+#: pre-verified instead of consuming build time inside that round.
+PENDING_GOLDEN: dict[str, QueryFn] = {}
+PENDING_ORACLE: dict[str, str] = {}
+
 _QUERY_MODULES = (
     "bookstore_aws_lakehouse_spark.golden",
     "bookstore_aws_lakehouse_spark.queries_sql",
@@ -43,14 +54,24 @@ _QUERY_MODULES = (
 )
 
 
-def golden(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query (and optionally its DuckDB oracle) under ``name``."""
+def golden(
+    name: str, oracle: str | None = None, *, pending: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optionally its DuckDB oracle) under ``name``.
+
+    ``pending=True`` routes the row to the PENDING registries: locally
+    verified (parity tests cover it) but invisible to the driver until a
+    later round's registration budget flips it live.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
-        GOLDEN[name] = fn
+        target, target_oracle = (
+            (PENDING_GOLDEN, PENDING_ORACLE) if pending else (GOLDEN, ORACLE)
+        )
+        target[name] = fn
         MODULE[name] = fn.__module__.rsplit(".", 1)[-1]
         if oracle is not None:
-            ORACLE[name] = dedent(oracle).strip()
+            target_oracle[name] = dedent(oracle).strip()
         return fn
 
     return deco

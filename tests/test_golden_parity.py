@@ -11,7 +11,11 @@ import os
 
 import pytest
 
-from bookstore_aws_lakehouse_spark.registry import load_all
+from bookstore_aws_lakehouse_spark.registry import (
+    PENDING_GOLDEN,
+    PENDING_ORACLE,
+    load_all,
+)
 from tests.oracle import compare, duckdb_connection
 
 GOLDEN, ORACLE = load_all()
@@ -27,6 +31,25 @@ def con():
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_golden_matches_oracle(spark, con, name):
     compare(GOLDEN[name](spark, SF_DIR), con, ORACLE[name], name)
+
+
+@pytest.mark.parametrize("name", sorted(PENDING_ORACLE))
+def test_pending_matches_oracle(spark, con, name):
+    """Pending rows (built this round, registration deferred to the next
+    round's driver-window budget) get the exact same parity gate as live
+    rows — they must arrive at registration pre-verified."""
+    compare(PENDING_GOLDEN[name](spark, SF_DIR), con, PENDING_ORACLE[name], name)
+
+
+def test_pending_rows_hidden_from_driver():
+    """Pending rows must not leak into the driver contract early: the
+    per-round registration budget (VERDICT r13 #4) is enforced by keeping
+    them out of queries()/oracle_sql() until the flip."""
+    import __spark_entry__ as e
+
+    assert not set(PENDING_GOLDEN) & set(e.queries())
+    assert not set(PENDING_ORACLE) & set(e.oracle_sql())
+    assert not set(PENDING_GOLDEN) & set(GOLDEN)
 
 
 def test_all_golden_queries_run(spark):

@@ -381,6 +381,64 @@ def test_temperature_mix_properties(spark):
     assert rate["big"] < rate["mid"] < rate["small"] + 1e-9
 
 
+def test_weighted_sample_topk_properties(spark):
+    """Efraimidis–Spirakis draw: weight-proportional inclusion (heavy
+    rows dominate the sample), partition-invariant determinism, w≤0 /
+    NULL-weight / NULL-id exclusion, and the no-global-sort plan shape
+    (TakeOrderedAndProject, local top-k per partition)."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 1) for i in range(200)] + [(i + 1000, 20) for i in range(200)]
+    rows += [(5000, 0), (5001, None), (None, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+
+    got = weighted_sample_topk(df, "doc_id", "w", k=60)
+    picked = [r.doc_id for r in got.collect()]
+    assert len(picked) == 60
+    heavy = sum(1 for d in picked if d >= 1000)
+    # inclusion ∝ weight: with 20:1 weights the light class is a rounding
+    # error — a uniform draw would give ~30/60 heavy instead
+    assert heavy >= 50, heavy
+    assert 5000 not in picked and 5001 not in picked and None not in picked
+
+    again = {
+        r.doc_id
+        for r in weighted_sample_topk(df.repartition(7), "doc_id", "w", k=60).collect()
+    }
+    assert again == set(picked)  # partitioning must not change membership
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+def test_shard_stats_and_write_shards_roundtrip(spark, tmp_path):
+    """Shard assignment is stable and total-preserving; write_shards
+    materializes exactly one file per shard=<i>/ directory and the read-
+    back per-shard counts equal the shard_stats audit."""
+    import glob as _glob
+
+    from bookstore_aws_lakehouse_spark.operators.sampling import (
+        shard_stats,
+        write_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_shards = 8
+    stats = shard_stats(docs, "doc_id", "text", n_shards=n_shards).collect()
+    assert sum(r.n_docs for r in stats) == docs.filter("doc_id IS NOT NULL").count()
+    assert {r.shard for r in stats} <= set(range(n_shards))
+    assert all(r.n_bytes >= r.n_docs for r in stats)  # ≥1 byte per doc
+
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, "doc_id", n_shards=n_shards)
+    back = spark.read.parquet(out)
+    by_shard = {r.shard: r["count"] for r in back.groupBy("shard").count().collect()}
+    assert by_shard == {r.shard: r.n_docs for r in stats}
+    for shard_dir in _glob.glob(f"{out}/shard=*"):
+        files = _glob.glob(f"{shard_dir}/*.parquet")
+        assert len(files) == 1, (shard_dir, files)
+
+
 def test_mg_candidates_guarantee_and_exact_topk(spark):
     """Misra–Gries: candidates must contain every value above N/capacity
     even with a tiny capacity and adversarial partitioning, and
