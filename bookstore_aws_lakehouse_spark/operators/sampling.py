@@ -208,6 +208,49 @@ def weighted_sample_topk(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    group_col: str,
+    k: int,
+    salt: str = "wsampg",
+    key_decimals: int = 9,
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: the A-Res race of
+    :func:`weighted_sample_topk`, run independently inside every group —
+    draw k documents per language/source with inclusion ∝ weight. The
+    standard per-stratum token-budget draw (`stratified_sample` equalizes
+    COUNTS uniformly; this draws a fixed-size weighted subset per class).
+
+    Shape: one map-side key expression + ``row_number() ≤ k`` over
+    (group, key DESC, id). Spark rewrites that filter into
+    WindowGroupLimit (plan-pinned in tests): each task keeps only its
+    local top-k PER GROUP before the exchange, so the shuffle moves at
+    most k·partitions rows per group instead of the whole group — the
+    reason this survives a skewed 100 TB language distribution where a
+    naive window sort would funnel the dominant language through one
+    task. NULL groups form their own stratum (both engines partition
+    NULLs together); NULL/non-positive weights and NULL ids are excluded
+    as in the global draw."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        split_bucket(id_col, salt, modulus=SAMPLE_PPM) + F.lit(1)
+    ) / F.lit(float(SAMPLE_PPM))
+    key = F.round(F.pow(u, F.lit(1.0) / w.cast("double")), key_decimals)
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("sample_key").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0) & F.col(id_col).isNotNull())
+        .withColumn("sample_key", key)
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def shard_assignment(
     id_col: Column | str, n_shards: int, salt: str = "shard"
 ) -> Column:
@@ -246,6 +289,43 @@ def shard_stats(
             F.min(id_col).alias("min_id"),
             F.max(id_col).alias("max_id"),
         )
+    )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    epoch: int = 0,
+    salt: str = "shard",
+) -> DataFrame:
+    """Reproducible per-epoch training order: every record gets its shard
+    (:func:`shard_assignment`) and a position within that shard, ordered
+    by an EPOCH-SEEDED id hash — a different but fully deterministic
+    permutation per epoch, with no RNG anywhere. This is the dataloader
+    contract a 100 TB run needs: any worker can recompute "epoch 3,
+    shard 17, positions 40960-49151" bit-identically after a preemption,
+    and two training runs on the same corpus see the same example order
+    without shipping a shuffled copy of the data.
+
+    Shape: two map-side hash expressions + one ``row_number`` window per
+    shard. The window shuffles by shard — n_shards is the parallelism
+    dial, and because the shard hash is uniform there is no skewed
+    partition for the sort to funnel through (unlike ordering by a data
+    key). Ties cannot happen: the order key is (hash, id) and ids are
+    unique."""
+    from pyspark.sql import Window
+
+    order_key = split_bucket(id_col, f"epoch{epoch}", modulus=SAMPLE_PPM)
+    win = Window.partitionBy("shard").orderBy(
+        F.col("_order_key"), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("shard", shard_assignment(id_col, n_shards, salt))
+        .withColumn("_order_key", order_key)
+        .withColumn("position", F.row_number().over(win) - F.lit(1))
+        .drop("_order_key")
     )
 
 

@@ -427,6 +427,57 @@ def q_dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_SAMPLE_K = 16
+
+
+@golden(
+    "dataset_weighted_sample_per_lang",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             ({_BUCKET_PPM.format(salt="wsampg")} + 1) / 1000000.0 AS u
+      FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    r AS (
+      SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+             round(pow(u, 1.0 / n_tokens), 9) AS sample_key,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY round(pow(u, 1.0 / n_tokens), 9) DESC, doc_id
+             ) AS INT) AS rk
+      FROM d
+      WHERE n_tokens IS NOT NULL AND n_tokens > 0
+    )
+    SELECT doc_id, lang, n_tokens, sample_key, rk
+    FROM r WHERE rk <= {GROUP_SAMPLE_K}
+    """,
+    pending=True,  # registration budgeted for r15 (driver window math)
+)
+def q_dataset_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted sampling without replacement (operators/
+    sampling.py::weighted_sample_per_group): 16 documents PER LANGUAGE
+    with inclusion ∝ token count — the per-stratum token-budget draw
+    (stratified_sample equalizes counts; this draws a fixed-size weighted
+    subset per class). row_number ≤ k over (lang, race key DESC, id)
+    rewrites to WindowGroupLimit (plan-pinned): tasks keep their local
+    top-16 per language BEFORE the exchange, so a skewed language never
+    funnels through one task. Oracle replays hash, key, window, and cut
+    row-exactly."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return weighted_sample_per_group(
+        d, "doc_id", "n_tokens", "lang", k=GROUP_SAMPLE_K, salt="wsampg"
+    ).select("doc_id", "lang", "n_tokens", "sample_key", "rk")
+
+
 EXPORT_SHARDS = 16
 
 _BUCKET_MOD = (
@@ -465,6 +516,43 @@ def q_dataset_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shard_stats(docs, "doc_id", "text", n_shards=EXPORT_SHARDS, salt="shard")
+
+
+TRAIN_ORDER_EPOCH = 1
+
+
+@golden(
+    "dataset_training_order",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_BUCKET_MOD.format(salt="shard", m=EXPORT_SHARDS)} AS shard,
+             {_BUCKET_PPM.format(salt=f"epoch{TRAIN_ORDER_EPOCH}")} AS ok
+      FROM documents
+      WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1
+                AS INT) AS position
+    FROM d
+    """,
+    pending=True,  # registration budgeted for r15 (driver window math)
+)
+def q_dataset_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch training order (operators/sampling.py::
+    training_order, epoch=1, 16 shards): every document gets (shard,
+    position) from epoch-seeded id hashes — a deterministic permutation
+    that changes per epoch with no RNG, so any dataloader worker can
+    recompute its slice bit-identically after preemption and two runs see
+    the same example order. One row_number window per uniform hash shard
+    (no skewed sort key); the oracle replays both hashes and the window
+    row-exactly."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import training_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return training_order(
+        docs, "doc_id", n_shards=EXPORT_SHARDS, epoch=TRAIN_ORDER_EPOCH
+    ).select("doc_id", "shard", "position")
 
 
 @golden(

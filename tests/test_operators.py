@@ -411,6 +411,63 @@ def test_weighted_sample_topk_properties(spark):
     assert "TakeOrderedAndProject" in plan, plan[:500]
 
 
+def test_weighted_sample_per_group_properties(spark):
+    """Per-group A-Res draw: exactly min(k, |group|) rows per group,
+    NULL group is its own stratum, membership is partition-invariant,
+    and the rank filter rewrites to WindowGroupLimit (local top-k per
+    task BEFORE the exchange — the skew-survival contract)."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = (
+        [(i, "en", 5) for i in range(100)]
+        + [(i + 1000, "fr", 5) for i in range(3)]
+        + [(i + 2000, None, 5) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w int")
+    got = weighted_sample_per_group(df, "doc_id", "w", "lang", k=8)
+    by_grp = {r.lang: r["count"] for r in got.groupBy("lang").count().collect()}
+    assert by_grp == {"en": 8, "fr": 3, None: 8}
+
+    again = {
+        (r.lang, r.doc_id)
+        for r in weighted_sample_per_group(
+            df.repartition(5), "doc_id", "w", "lang", k=8
+        ).collect()
+    }
+    assert again == {(r.lang, r.doc_id) for r in got.collect()}
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:800]
+
+
+def test_training_order_dense_epoch_varying_deterministic(spark):
+    """Positions are dense 0..n-1 within each shard, epochs give
+    different permutations over the same shard membership, and the
+    assignment is partition-invariant."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import training_order
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    e0 = training_order(df, "doc_id", n_shards=4, epoch=0).collect()
+    by_shard: dict = {}
+    for r in e0:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(len(pos))), shard
+
+    e1 = training_order(df, "doc_id", n_shards=4, epoch=1).collect()
+    assert {(r.shard, r.doc_id) for r in e0} == {(r.shard, r.doc_id) for r in e1}
+    assert {(r.doc_id, r.position) for r in e0} != {
+        (r.doc_id, r.position) for r in e1
+    }  # the epoch seed actually permutes
+
+    again = training_order(df.repartition(7), "doc_id", n_shards=4, epoch=0)
+    assert {(r.doc_id, r.shard, r.position) for r in again.collect()} == {
+        (r.doc_id, r.shard, r.position) for r in e0
+    }
+
+
 def test_shard_stats_and_write_shards_roundtrip(spark, tmp_path):
     """Shard assignment is stable and total-preserving; write_shards
     materializes exactly one file per shard=<i>/ directory and the read-
