@@ -369,3 +369,28 @@ def test_semantic_cell_assignment_empty(spark):
     )
     # auto-granularity's counts are 0/0 → 0 planes; assignment is empty
     assert semantic_cell_assignment(emb, cents).count() == 0
+
+
+def test_sampling_export_ops_empty_and_overdraw(spark):
+    """The new export family on degenerate inputs: empty frames yield
+    empty results everywhere, and k > |corpus| returns the whole corpus
+    (a weighted draw can never invent rows)."""
+    from bookstore_aws_lakehouse_spark.operators.sampling import (
+        shard_stats,
+        training_order,
+        weighted_sample_per_group,
+        weighted_sample_topk,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, w int, text string")
+    assert weighted_sample_topk(empty, "doc_id", "w", k=5).count() == 0
+    assert weighted_sample_per_group(empty, "doc_id", "w", "lang", k=5).count() == 0
+    assert shard_stats(empty, "doc_id", "text", n_shards=4).count() == 0
+    assert training_order(empty, "doc_id", n_shards=4).count() == 0
+
+    tiny = spark.createDataFrame(
+        [(1, "en", 3), (2, "en", 9), (3, "fr", 1)], "doc_id long, lang string, w int"
+    )
+    assert weighted_sample_topk(tiny, "doc_id", "w", k=100).count() == 3
+    got = weighted_sample_per_group(tiny, "doc_id", "w", "lang", k=100)
+    assert got.count() == 3
