@@ -82,3 +82,30 @@ def test_decimal_sum_is_order_independent(spark):
         )
         results.add(r)
     assert len(results) == 1
+
+
+@pytest.mark.parametrize(
+    "u,w",
+    [
+        # the A-Res race key pow(u, 1/w) across the weight extremes the
+        # weighted-sample operators document: tiny weights (exponent >> 1
+        # drives keys toward 0), huge weights (exponent ~0 drives keys
+        # toward 1, the rounding-sensitive regime), w=1 (key == u), and
+        # representative fixture-scale token counts
+        (0.000001, 1), (0.999999, 1),
+        (0.5, 10), (0.5, 99), (0.123456, 37),
+        (0.25, 1000000000),          # 1/w ~ 1e-9: keys collapse near 1
+        (0.75, 1000000000),
+        (0.9, 0.001),                # sub-unit weight: exponent 1000
+        (0.314159, 2), (0.271828, 3),
+    ],
+)
+def test_ares_race_key_agrees(spark, duck, u, w):
+    """pow + round(…, 9) — the only float ops in weighted_sample_topk /
+    weighted_sample_per_group — must produce the identical 9-dp key on
+    both engines across the documented weight range, including the
+    near-1 collapse regime where huge weights compress all keys into
+    one rounding grain (membership then falls to the id tiebreak, which
+    is exact)."""
+    expr = f"round(pow(CAST({u} AS DOUBLE), 1.0 / CAST({w} AS DOUBLE)), 9)"
+    assert spark_scalar(spark, expr) == duck_scalar(duck, expr), expr
