@@ -52,6 +52,41 @@ def test_pending_rows_hidden_from_driver():
     assert not set(PENDING_GOLDEN) & set(GOLDEN)
 
 
+def test_pending_flip_orders_as_never_checked():
+    """De-risk the r15 flip: once pending rows enter GOLDEN they must
+    sort as never-checked — after any forced re-verifications, before
+    every green row — so they land inside the driver's verification
+    window on their first registered round."""
+    import __spark_entry__ as e
+    from bookstore_aws_lakehouse_spark import registry
+
+    if not registry.PENDING_GOLDEN:
+        pytest.skip("no pending rows")
+    saved_cache = e._PROBE_CACHE
+    e._PROBE_CACHE = set()  # analysis probe already covered elsewhere
+    try:
+        for n, fn in registry.PENDING_GOLDEN.items():
+            e.GOLDEN[n] = fn
+        ordered = list(e.queries())
+        latest = e._driver_rows()
+        green_positions = [
+            i
+            for i, n in enumerate(ordered)
+            if latest.get(n, (False, 0))[0]
+            and not (
+                n in e._FORCE_REVERIFY
+                and latest[n][1] < e._FORCE_REVERIFY[n]
+            )
+        ]
+        first_green = min(green_positions)
+        for n in registry.PENDING_GOLDEN:
+            assert ordered.index(n) < first_green, (n, ordered.index(n), first_green)
+    finally:
+        for n in registry.PENDING_GOLDEN:
+            e.GOLDEN.pop(n, None)
+        e._PROBE_CACHE = saved_cache
+
+
 def test_all_golden_queries_run(spark):
     """Queries without an oracle must still execute and return a schema."""
     for name, fn in GOLDEN.items():
