@@ -1226,3 +1226,73 @@ def semantic_dedup(
         .join(F.broadcast(dropped), id_col, "left")
         .select(id_col, "centroid_id", F.col("_dup").isNull().alias("kept"))
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-class mean embedding as a (label, dim, c) scalar grid — the
+    corpus-mixture monitoring primitive (per-source/per-language
+    centroids; drift between ingestion batches; contamination smell
+    tests). ONE exploded aggregation over the corpus, map-side combined
+    down to |labels|·dim rows — the only stage that touches data; at
+    100 TB the exchange still moves only the tiny grid. NULL vectors are
+    dropped (the covariance family's contract); centroid values round to
+    ``round_dp`` at the aggregation — the documented tolerance for
+    partition-order ulps, and the pinned input to every downstream
+    comparison (both engines compare ROUNDED centroids, the same
+    round-then-consume discipline as the PCA family's λ). ``dim`` is
+    1-based to match the SQL twins' array indexing."""
+    comp = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")),
+        )
+        .select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x"))
+    )
+    # n rides the same aggregation (the r13 "fused means" rule: expose
+    # the sub-statistic the scan already paid for) — every non-null
+    # vector contributes one row per dim, so any dim's count IS the
+    # label's vector count; callers read it off the grid instead of
+    # re-scanning the corpus
+    return comp.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), round_dp).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def centroid_cosine_pairs(centroids: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Pairwise cosine similarity between label centroids: (label_a,
+    label_b, cosine) for label_a < label_b, computed FROM the rounded
+    grid (never from raw data — both engines consume identical scalars).
+    Centroid-space only: the join and aggregation see |labels|²·dim tiny
+    rows regardless of corpus size, so the drift matrix costs nothing
+    beyond the one centroid aggregation. NULL labels drop out of the
+    strict inequality on both engines (SQL NULL comparison semantics)."""
+    a = centroids.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = centroids.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    # callers pass a PINNED grid (localCheckpoint) — self-joining an
+    # unpinned grid re-runs the corpus aggregation once per side
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                round_dp,
+            ).alias("cosine")
+        )
+    )

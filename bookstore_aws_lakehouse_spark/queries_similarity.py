@@ -1665,3 +1665,65 @@ def q_embedding_wide_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.select(
         "i", F.round("mean", 6).alias("mean"), F.posexplode("cov").alias("j", "c")
     ).select("i", "j", "c", "mean")
+
+
+@golden(
+    "embedding_label_drift",
+    """
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    n AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+    c AS (
+      SELECT label, i AS dim, round(avg(v[i]), 6) AS c
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY label, i
+    ),
+    p AS (
+      -- + 0.0 canonicalizes DuckDB ROUND's -0.0 (Spark HALF_UP emits
+      -- +0.0) — near-random centroids make near-zero cosines routine
+      SELECT a.label AS label_a, b.label AS label_b,
+             round(sum(a.c * b.c)
+                   / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 6)
+               + 0.0 AS cosine
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT p.label_a, p.label_b, na.n AS n_a, nb.n AS n_b, p.cosine
+    FROM p JOIN n na ON na.label = p.label_a
+           JOIN n nb ON nb.label = p.label_b
+    """,
+    pending=True,  # registration budgeted for r15+ (driver window math)
+)
+def q_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture drift matrix (operators/similarity.py::
+    label_centroids + centroid_cosine_pairs): per-label mean embedding
+    (one exploded aggregation, map-side combined to |labels|·64 rows —
+    the only stage touching data) and the pairwise cosine between the
+    ROUNDED centroids plus per-label counts. The monitoring table a
+    training pipeline checks between ingestion batches: a source whose
+    centroid suddenly cosines ~1.0 against another is a duplication or
+    contamination smell, drift of a centroid against its own history is
+    distribution shift. Centroid-space join: |labels|²·64 rows whatever
+    the corpus size."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        centroid_cosine_pairs,
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ONE corpus scan: the grid (|labels|·64 rows, counts fused into the
+    # same aggregation) is pinned, and the self-join + both count joins
+    # read the pin. Executes on build — needs _PROBE_EXCLUDE at flip
+    # time, like dataset_temperature_mix.
+    cent = label_centroids(emb, "label", "embedding").localCheckpoint(eager=True)
+    pairs = centroid_cosine_pairs(cent.select("label", "dim", "c"))
+    counts = cent.filter(F.col("dim") == 1).select("label", "n")
+    na = counts.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select("label_a", "label_b", "n_a", "n_b", "cosine")
+    )

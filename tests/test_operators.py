@@ -1000,3 +1000,35 @@ def test_redact_pii_near_misses_do_not_match(spark):
             "SELECT len(regexp_extract_all(?, ?))", [t, pat]
         ).fetchone()
         assert n_re2 == 1, (t, cls, "RE2 disagreement")
+
+
+def test_label_centroids_fused_counts_and_null_vectors(spark):
+    """The centroid grid's fused n equals the label's non-NULL vector
+    count at every dim, NULL vectors are excluded, and the pairwise
+    cosine of identical centroids is exactly 1.0."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        centroid_cosine_pairs,
+        label_centroids,
+    )
+
+    rows = [
+        (0, [1.0, 2.0]), (0, [3.0, 4.0]), (0, None),
+        (1, [1.0, 2.0]), (1, [3.0, 4.0]),
+        (2, [-1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    grid = label_centroids(df, "label", "embedding").collect()
+    n_by_label = {}
+    for r in grid:
+        n_by_label.setdefault(r.label, set()).add(r.n)
+    assert n_by_label == {0: {2}, 1: {2}, 2: {1}}  # NULL vector dropped
+    c0 = {r.dim: r.c for r in grid if r.label == 0}
+    assert c0 == {1: 2.0, 2: 3.0}
+
+    cent = label_centroids(df, "label", "embedding")
+    pairs = {
+        (r.label_a, r.label_b): r.cosine
+        for r in centroid_cosine_pairs(cent.select("label", "dim", "c")).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical centroids
+    assert (0, 2) in pairs and (1, 2) in pairs and len(pairs) == 3
