@@ -1281,18 +1281,21 @@ def centroid_cosine_pairs(centroids: DataFrame, round_dp: int = 6) -> DataFrame:
     )
     # callers pass a PINNED grid (localCheckpoint) — self-joining an
     # unpinned grid re-runs the corpus aggregation once per side
+    # zero-norm guard (the power_iteration rule): a centroid whose every
+    # dim rounds to 0 has no direction — emit NULL cosine. Spark runs
+    # ANSI mode where x/0 RAISES, while DuckDB's x/0 is NULL; without
+    # the guard the engines don't diverge, they differ by crash-vs-NULL.
+    nrm = F.sqrt(F.sum(F.col("ca") * F.col("ca"))) * F.sqrt(
+        F.sum(F.col("cb") * F.col("cb"))
+    )
     return (
         a.join(b, "dim")
         .filter(F.col("label_a") < F.col("label_b"))
         .groupBy("label_a", "label_b")
         .agg(
-            F.round(
-                F.sum(F.col("ca") * F.col("cb"))
-                / (
-                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
-                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
-                ),
-                round_dp,
+            F.when(
+                nrm > 0,
+                F.round(F.sum(F.col("ca") * F.col("cb")) / nrm, round_dp),
             ).alias("cosine")
         )
     )

@@ -1032,3 +1032,18 @@ def test_label_centroids_fused_counts_and_null_vectors(spark):
     }
     assert pairs[(0, 1)] == 1.0  # identical centroids
     assert (0, 2) in pairs and (1, 2) in pairs and len(pairs) == 3
+
+
+def test_centroid_cosine_zero_norm_is_null_not_crash(spark):
+    """ANSI-mode trap: a zero-rounded centroid must yield a NULL cosine
+    (DuckDB's x/0 semantics), not a Spark DIVIDE_BY_ZERO error."""
+    from bookstore_aws_lakehouse_spark.operators.similarity import (
+        centroid_cosine_pairs,
+        label_centroids,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    cent = label_centroids(df, "label", "embedding")
+    out = centroid_cosine_pairs(cent.select("label", "dim", "c")).collect()
+    assert len(out) == 1 and out[0].cosine is None
