@@ -851,6 +851,116 @@ def winnowed_pairs(
             p.unpersist()
 
 
+def verify_candidate_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    pin: bool = True,
+) -> DataFrame:
+    """Exact-Jaccard VERIFY stage over a candidate pair set — the second
+    half of the canonical two-stage fuzzy-dedup pipeline (LSH generates
+    candidates, exact similarity confirms them; cf. the reference's
+    single-pass ETL shape, workflow/Transformer.py:105-123, which never
+    needs one because it dedups exact keys only).
+
+    Cost contract: O(|candidates|), never O(n²). Each doc's distinct
+    shingle set is hashed (md5, 60-bit — the portable-hash policy) into
+    ONE array column, computed once and shuffled once per pair side; the
+    intersection is a JVM-side ``array_intersect`` per candidate row, so
+    the verify stage touches exactly the pairs the generator emitted. At
+    100 TB the pair frame shuffles by id (fixed-width keys + one array
+    whose length is bounded by doc token count) — no postings re-join,
+    no index rebuild.
+
+    Output: every input pair row + ``n_shared``/``n_a``/``n_b`` (distinct
+    shingle-set sizes), exact ``jaccard`` (NULL when both sets are empty
+    — candidates from shingle-based generators always have n_a, n_b ≥ 1),
+    and ``accepted`` (jaccard ≥ threshold, decided by exact integer
+    cross-multiplication, ppm-rounded — no float-compare drift).
+
+    ``pin=True`` (default): the shingle-set frame is persisted (its a/b
+    aliases defeat ReusedExchange — the ``_shingle_shared`` lesson) and
+    the result localCheckpointed eagerly; ``pin=False`` returns the lazy
+    plan for plan-shape tests."""
+    toks = docs.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    sets = toks.select(
+        F.col(id_col),
+        F.transform(
+            _shingles_of_tokens(F.col("_toks"), shingle_k), md5_hash64
+        ).alias("_sh"),
+    )
+    if pin:
+        sets = sets.persist()
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    t_ppm = int(round(threshold * 1_000_000))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    try:
+        out = (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("n_shared", F.size(F.array_intersect("_sh_a", "_sh_b")))
+            .withColumn("n_a", F.size("_sh_a"))
+            .withColumn("n_b", F.size("_sh_b"))
+            .withColumn(
+                "jaccard",
+                F.when(union > 0, F.col("n_shared") / union),
+            )
+            .withColumn(
+                "accepted", F.col("n_shared") * 1_000_000 >= F.lit(t_ppm) * union
+            )
+            .drop("_sh_a", "_sh_b")
+        )
+        if not pin:
+            return out
+        return out.localCheckpoint(eager=True)
+    finally:
+        if pin:
+            sets.unpersist()
+
+
+def pair_label_matrix(
+    pairs: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Cross-label duplication matrix: aggregate a candidate/verified
+    pair set by the UNORDERED label pair of its endpoints — the corpus
+    overlap report a curation run reads to find sources that plagiarize
+    each other (high n_pairs off-diagonal) or are internally duplicative
+    (the diagonal). Output: (label_lo, label_hi, n_pairs, n_docs) with
+    n_docs = distinct docs participating in that cell's pairs.
+
+    Scale shape: two thin (id, label) projection joins shuffle the pair
+    frame by each endpoint id; the endpoint explode doubles it once; the
+    final aggregation lands on ≤ |labels|² cells — constants at any
+    corpus size. No full-document columns ever move."""
+    la = labels.select(
+        F.col(id_col).alias("id_a"), F.col(label_col).alias("_lab_a")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("id_b"), F.col(label_col).alias("_lab_b")
+    )
+    ends = (
+        pairs.select("id_a", "id_b")
+        .join(la, "id_a")
+        .join(lb, "id_b")
+        .select(
+            F.least("_lab_a", "_lab_b").alias("label_lo"),
+            F.greatest("_lab_a", "_lab_b").alias("label_hi"),
+            F.explode(F.array("id_a", "id_b")).alias("_doc"),
+        )
+    )
+    return ends.groupBy("label_lo", "label_hi").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+        F.count_distinct(F.col("_doc")).alias("n_docs"),
+    )
+
+
 def cap_pair_neighbors(
     pairs: DataFrame,
     id_a: str = "id_a",

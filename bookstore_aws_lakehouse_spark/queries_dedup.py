@@ -575,3 +575,163 @@ def q_dedup_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-count threshold value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
     return winnowed_pairs(docs, "doc_id", "text", k=3, window=4, min_shared=2)
+
+
+# --- two-stage LSH → exact-Jaccard verify (pending: r15 flip budget) ------
+
+_VERIFY_THRESHOLD = 0.2
+_VERIFY_PPM = int(round(_VERIFY_THRESHOLD * 1_000_000))
+
+_LSH_VERIFIED_SQL = (
+    _minhash_bands_cte()
+    + f""",
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_shared_bands,
+       COALESCE(i.n_shared, 0) AS n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       COALESCE(i.n_shared, 0)
+         / CAST(sa.n + sb.n - COALESCE(i.n_shared, 0) AS DOUBLE) AS jaccard,
+       (COALESCE(i.n_shared, 0) * 1000000
+         >= {_VERIFY_PPM} * (sa.n + sb.n - COALESCE(i.n_shared, 0))) AS accepted
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+"""
+)
+
+
+@golden("dedup_lsh_verified", _LSH_VERIFIED_SQL, pending=True)
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage fuzzy-dedup pipeline: MinHash+LSH banding
+    GENERATES candidate pairs (sublinear, bucketed), then exact 3-gram
+    Jaccard VERIFIES each one (operators/dedup.py::verify_candidate_pairs
+    — array_intersect over per-doc hashed shingle sets, cost strictly
+    O(|candidates|)). Emits every candidate with its exact overlap stats
+    and an ``accepted`` verdict at θ=0.2 — the precision report that
+    tells a curation run how much LSH over-generates. The oracle replays
+    shingling, minhashing, banding, then computes the same exact
+    intersections restricted to the candidate set."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        verify_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_band_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_rows=2, shingle_k=3
+    )
+    return verify_candidate_pairs(
+        docs, cand, "doc_id", "text", shingle_k=3, threshold=_VERIFY_THRESHOLD
+    )
+
+
+_CROSS_SOURCE_SQL = (
+    _minhash_bands_cte()
+    + """,
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+lab AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi,
+         c.id_a, c.id_b
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.id_a
+  JOIN documents db ON db.doc_id = c.id_b
+),
+ends AS (
+  SELECT source_lo, source_hi, unnest([id_a, id_b]) AS doc FROM lab
+)
+SELECT source_lo, source_hi,
+       count(*) // 2 AS n_pairs,
+       count(DISTINCT doc) AS n_docs
+FROM ends GROUP BY 1, 2
+"""
+)
+
+
+@golden("dedup_cross_source_matrix", _CROSS_SOURCE_SQL, pending=True)
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap matrix: MinHash+LSH candidate pairs aggregated by
+    the UNORDERED source pair of their endpoints (operators/dedup.py::
+    pair_label_matrix) — the report that finds sources plagiarizing each
+    other (off-diagonal mass) vs internally duplicative ones (diagonal).
+    Scale: thin (id, source) joins + one ≤|sources|² aggregation on top
+    of the already-bucketed pair generator. The oracle replays the LSH
+    chain and the same least/greatest cell assignment."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import pair_label_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_band_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_rows=2, shingle_k=3
+    ).select("id_a", "id_b")
+    out = pair_label_matrix(cand, docs, "doc_id", "source")
+    return out.select(
+        F.col("label_lo").alias("source_lo"),
+        F.col("label_hi").alias("source_hi"),
+        "n_pairs",
+        "n_docs",
+    )
+
+
+_TRIANGLES_SQL = (
+    _SHINGLES_CTE
+    + ","
+    + _jaccard_core_cte(max_df=100)
+    + """,
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_shared * 1000 >= 100 * (sa.n_shingles + sb.n_shingles - n_shared)
+)
+SELECT e1.id_a AS doc_a, e1.id_b AS doc_b, e2.id_b AS doc_c
+FROM pairs e1
+JOIN pairs e2 ON e2.id_a = e1.id_b
+JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+"""
+)
+
+
+@golden("graph_similarity_triangles", _TRIANGLES_SQL, pending=True)
+def q_graph_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the Jaccard(θ=0.1) similarity graph —
+    the graph-motif operator (mutual near-dup triples are the densest
+    duplication cores; triangle density per cluster separates true
+    re-posts from chains of marginal overlaps). Uses the ORIENTED edge
+    list (id_a < id_b, already the pair generator's convention): each
+    triangle a<b<c is found exactly once via (a,b)⋈(b,c)⋈(a,c) — the
+    standard distributed triangle join, two hash joins on endpoint keys
+    over the bucketed pair set, never touching documents again. The
+    oracle replays the pair chain and the same three-way join."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1).select(
+        "id_a", "id_b"
+    )
+    e1 = p.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    e2 = p.select(F.col("id_a").alias("doc_b"), F.col("id_b").alias("doc_c"))
+    e3 = p.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_c"))
+    return e1.join(e2, "doc_b").join(e3, ["doc_a", "doc_c"]).select(
+        "doc_a", "doc_b", "doc_c"
+    )

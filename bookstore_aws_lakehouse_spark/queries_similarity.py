@@ -1727,3 +1727,92 @@ def q_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "label_b")
         .select("label_a", "label_b", "n_a", "n_b", "cosine")
     )
+
+
+def _pca_outlier_sql(iters: int, k: int) -> str:
+    """(vec_id, sq_norm, pc1, pc2, residual) for the top-k PCA-residual
+    outliers: centered squared norm minus the energy captured by the
+    top-2 components — the mass the reduction CANNOT explain. All three
+    dots are the proven bit-identical sequential folds; residual is pure
+    arithmetic over the already-rounded 6-dp scalars, so both engines
+    compute it from literally identical doubles. `+ 0.0` canonicalizes
+    signed zero (the wide-cov convention); ties break on vec_id."""
+    chain = _pca_deflation_chain(2, iters)
+    return (
+        chain
+        + f"""
+    , ml AS (SELECT list(m ORDER BY i) AS mv FROM m)
+    , ctr AS (
+      SELECT e.vec_id,
+             list_transform(generate_series(1, 64), j -> e.v[j] - ml.mv[j]) AS cv
+      FROM e, ml
+    ),
+    sc AS (
+      SELECT c.vec_id,
+             ROUND(list_dot_product(c.cv, c.cv), 6) AS sq_norm,
+             ROUND(list_dot_product(c.cv, x0l.xv), 6) AS pc1,
+             ROUND(list_dot_product(c.cv, x1l.xv), 6) AS pc2
+      FROM ctr c, p0x{iters}l x0l, p1x{iters}l x1l
+    )
+    SELECT vec_id, sq_norm + 0.0 AS sq_norm, pc1 + 0.0 AS pc1,
+           pc2 + 0.0 AS pc2,
+           ROUND(sq_norm - pc1 * pc1 - pc2 * pc2, 6) + 0.0 AS residual
+    FROM sc
+    ORDER BY ROUND(sq_norm - pc1 * pc1 - pc2 * pc2, 6) DESC, vec_id
+    LIMIT {k}
+    """
+    )
+
+
+@golden("embedding_pca_outliers", _pca_outlier_sql(iters=3, k=20), pending=True)
+def q_embedding_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-residual outliers (the anomaly consumer of the PCA family):
+    the top-20 vectors by centered energy NOT captured by the top-2
+    principal components — residual = ‖v−m‖² − s₁² − s₂², the standard
+    reconstruction-error screen for corrupted embeddings, mis-encoded
+    rows, and distribution-tail documents before they poison a training
+    mix. EXACTLY TWO corpus scans: the pinned one-job covariance chain
+    (means + both components off ``deflation_frame``) and one map-side
+    scoring pass (components/means ride as literals; the centered vector
+    computes once and feeds all three dots) ending in
+    TakeOrderedAndProject — per-partition top-k heaps, no global sort at
+    any corpus size. The oracle replays both trajectories and the same
+    rounded residual arithmetic."""
+    from bookstore_aws_lakehouse_spark.functions.vector import dot
+    from bookstore_aws_lakehouse_spark.operators.linalg import (
+        covariance_rows,
+        deflation_frame,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_rows(emb, "embedding", dim=64, round_dp=6)
+    frame = deflation_frame(cov, 64, 2, 3, iter_dp=9, lam_dp=6)
+    # ONE job reads the whole chained frame: means + both final iterates
+    # — 64 rows / ~192 doubles to the driver, bounded by embedding width
+    rows = frame.select("i", "mean", "_x0", "_x1").orderBy("i").collect()
+    means = [r["mean"] for r in rows]
+    u0 = F.array(*[F.lit(r["_x0"]) for r in rows])
+    u1 = F.array(*[F.lit(r["_x1"]) for r in rows])
+    v = F.col("embedding").cast("array<double>")
+    centered = F.zip_with(
+        v, F.array(*[F.lit(m) for m in means]), lambda a, b: a - b
+    )
+    scored = (
+        emb.withColumn("_c", centered)
+        .select(
+            "vec_id",
+            F.round(dot(F.col("_c"), F.col("_c")), 6).alias("sq_norm"),
+            F.round(dot(F.col("_c"), u0), 6).alias("pc1"),
+            F.round(dot(F.col("_c"), u1), 6).alias("pc2"),
+        )
+        .withColumn(
+            "residual",
+            F.round(
+                F.col("sq_norm")
+                - F.col("pc1") * F.col("pc1")
+                - F.col("pc2") * F.col("pc2"),
+                6,
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("residual"), "vec_id").limit(20)

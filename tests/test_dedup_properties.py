@@ -462,3 +462,79 @@ def test_cap_pair_neighbors_invariants_randomized(spark):
             for r in cap_pair_neighbors(df, k=max_deg).collect()
         }
         assert uncapped == set(edges), (seed, k)
+
+
+def test_verify_candidate_pairs_matches_python_mirror(spark):
+    """The verify stage's exact stats must equal the set-theoretic
+    definition on EVERY candidate fed to it — including pairs sharing
+    nothing (n_shared=0), pairs with a sub-k-token side (empty shingle
+    set → NULL jaccard), and the accepted verdict at the ppm boundary."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        verify_candidate_pairs,
+    )
+
+    rng = random.Random(20260816)
+    docs = _mk_corpus(rng, 30)
+    ids = [i for i, _ in docs]
+    # arbitrary candidate set: random pairs, not LSH output — the
+    # operator contract is per-pair, independent of the generator
+    cand = sorted(
+        {
+            (a, b)
+            for a, b in (
+                sorted(rng.sample(ids, 2)) for _ in range(60)
+            )
+        }
+    )
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pairs = spark.createDataFrame(cand, "id_a bigint, id_b bigint")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in verify_candidate_pairs(
+            df, pairs, "doc_id", "text", shingle_k=3, threshold=0.2
+        ).collect()
+    }
+    assert set(out) == set(cand)
+
+    def shset(text):
+        if text is None:
+            return set()
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    texts = dict(docs)
+    for a, b in cand:
+        sa, sb = shset(texts[a]), shset(texts[b])
+        inter, union = len(sa & sb), len(sa | sb)
+        r = out[(a, b)]
+        assert (r["n_shared"], r["n_a"], r["n_b"]) == (inter, len(sa), len(sb))
+        if union == 0:
+            assert r["jaccard"] is None
+        else:
+            assert abs(r["jaccard"] - inter / union) < 1e-12
+        assert r["accepted"] == (inter * 1_000_000 >= 200_000 * union)
+
+
+def test_pair_label_matrix_exact_counts(spark):
+    from bookstore_aws_lakehouse_spark.operators.dedup import pair_label_matrix
+
+    labels = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "code"), (5, "books")],
+        "doc_id bigint, source string",
+    )
+    pairs = spark.createDataFrame(
+        # (web,web) ×1; (books,web) ×2 sharing doc 3; (books,code) ×1
+        [(1, 2), (2, 3), (1, 3), (4, 5)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r["label_lo"], r["label_hi"]): (r["n_pairs"], r["n_docs"])
+        for r in pair_label_matrix(pairs, labels, "doc_id", "source").collect()
+    }
+    assert got == {
+        ("web", "web"): (1, 2),
+        ("books", "web"): (2, 3),
+        ("books", "code"): (1, 2),
+    }

@@ -394,3 +394,26 @@ def test_sampling_export_ops_empty_and_overdraw(spark):
     assert weighted_sample_topk(tiny, "doc_id", "w", k=100).count() == 3
     got = weighted_sample_per_group(tiny, "doc_id", "w", "lang", k=100)
     assert got.count() == 3
+
+
+def test_verify_candidate_pairs_empty_pairs_and_docs(spark):
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        verify_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert verify_candidate_pairs(docs, no_pairs, "doc_id", "text").count() == 0
+    empty_docs = _empty_docs(spark)
+    assert (
+        verify_candidate_pairs(empty_docs, no_pairs, "doc_id", "text").count()
+        == 0
+    )
+
+
+def test_pair_label_matrix_empty(spark):
+    from bookstore_aws_lakehouse_spark.operators.dedup import pair_label_matrix
+
+    labels = spark.createDataFrame([], "doc_id long, source string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert pair_label_matrix(pairs, labels, "doc_id", "source").count() == 0

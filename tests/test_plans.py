@@ -612,3 +612,23 @@ def test_capped_clusters_cap_stage_shape(spark, sf_smoke):
     assert "Window" in plan
     # the window shuffles on the endpoint id, not a global range sort
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_verify_pairs_plan_never_cartesian(spark, sf_smoke):
+    """The verify stage's lazy plan must join candidates to the shingle
+    sets on endpoint ids — never a nested-loop/cartesian shape, and the
+    intersection must stay a projection (array_intersect), not a
+    re-exploded postings join."""
+    from bookstore_aws_lakehouse_spark.catalog import load_table
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        verify_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    plan = plan_of(
+        verify_candidate_pairs(docs, pairs, "doc_id", "text", pin=False)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan
