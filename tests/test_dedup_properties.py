@@ -538,3 +538,42 @@ def test_pair_label_matrix_exact_counts(spark):
         ("books", "web"): (2, 3),
         ("books", "code"): (1, 2),
     }
+
+
+def test_similarity_triangles_match_bruteforce_mirror(spark):
+    """Every triangle the oriented three-way join emits must be exactly
+    the a<b<c triples whose three edges all pass the mirror's jaccard
+    threshold — found once each, no permutation duplicates."""
+    from itertools import combinations
+
+    rng = random.Random(77)
+    # denser near-dup families than the default corpus so triangles exist
+    base = [" ".join(rng.choices(VOCAB, k=8)) for _ in range(4)]
+    docs = []
+    for i in range(24):
+        toks = rng.choice(base).split(" ")
+        if rng.random() < 0.5:
+            toks = toks + [rng.choice(VOCAB)]
+        docs.append((i, " ".join(toks)))
+    pairs = set(_mirror_pairs(docs, k=3, threshold=0.1, max_df=100))
+    want = {
+        (a, b, c)
+        for a, b, c in combinations(sorted(i for i, _ in docs), 3)
+        if (a, b) in pairs and (b, c) in pairs and (a, c) in pairs
+    }
+    assert want, "corpus produced no triangles — test is vacuous"
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import jaccard_pairs
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    p = jaccard_pairs(df, "doc_id", "text", shingle_k=3, threshold=0.1).select(
+        "id_a", "id_b"
+    )
+    e1 = p.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = p.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = p.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    got_rows = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c").collect()
+    got = [(r["a"], r["b"], r["c"]) for r in got_rows]
+    assert len(got) == len(set(got)), "duplicate triangles emitted"
+    assert set(got) == want

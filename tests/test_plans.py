@@ -632,3 +632,19 @@ def test_verify_pairs_plan_never_cartesian(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_intersect" in plan
+
+
+def test_pca_outliers_scoring_plan_is_one_scan_topk(spark, sf_smoke):
+    """The outlier row's scoring pass must stay map-side: exactly one
+    FileScan, no Exchange, ending in TakeOrderedAndProject — the
+    covariance chain runs at build and rides in as literals."""
+    from bookstore_aws_lakehouse_spark.registry import PENDING_GOLDEN, load_all
+
+    load_all()
+    df = PENDING_GOLDEN["embedding_pca_outliers"](spark, sf_smoke)
+    plan = plan_of(df)
+    # one "Location:" line per FileScan node detail (the tree summary
+    # repeats the node name, so counting "Scan parquet" would double)
+    assert plan.count("Location:") == 1
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
