@@ -122,3 +122,87 @@ def split_by_expectations(
     clean = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
     quarantine = tagged.filter(F.size("failed_rules") > 0)
     return clean, quarantine
+
+
+def distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int = 100,
+    max_bucket: int = 20,
+    pin: bool = True,
+) -> DataFrame:
+    """Per-group distribution drift of a bucketed numeric column against
+    the whole corpus — the mixture-monitoring check a curation pipeline
+    runs per source/shard/ingestion batch: a source whose length (or
+    score) histogram diverges from the corpus is mis-parsed, truncated,
+    or off-distribution. One corpus scan; everything after the
+    (group, bucket) count is constant-sized (≤ |groups|·(max_bucket+1)
+    rows), so the report costs the same at any corpus size.
+
+    Output per group: ``n_docs``, ``n_buckets`` (occupied), ``tvd``
+    (total-variation distance vs the corpus histogram) and
+    ``max_abs_dev`` (worst single-bucket share deviation).
+
+    ``pin=True`` (default) localCheckpoints the (group, bucket) count
+    frame EAGERLY — it feeds four consumers (group totals, bucket
+    totals, the corpus total, and the grid's left join), which would
+    otherwise re-scan the corpus once each (the label-drift lesson,
+    NOTES_r17 §14: plan audit found FOUR FileScans); with the pin the
+    final plan has exactly one corpus scan and zero FileScans
+    downstream of it. ``pin=False`` keeps the plan fully lazy for
+    plan-shape tests.
+
+    Determinism contract: TVD's numerator Σ_b |c_gb·N − c_b·n_g| is an
+    EXACT integer sum (DECIMAL(38,0) products — bigint·bigint overflows
+    at ~10¹² docs), so the float appears only in one final division of
+    identical values — no order-dependent float accumulation anywhere
+    (a Σ(p−q)²/q chi-square would drift across engines; TVD + max are
+    reduction-order-free). NULL values are excluded and counted via
+    ``n_docs`` against the caller's row count if needed."""
+    dec = "decimal(38,0)"
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        # clamp to [0, max_bucket]: negative values land in bucket 0 on
+        # BOTH engines (Spark floor(-x/w) = -1 but DuckDB's // truncates
+        # toward zero — the clamp removes the divergence)
+        F.greatest(
+            F.least(
+                F.floor(F.col(value_col) / bucket_width), F.lit(max_bucket)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    sb = d.groupBy("g", "b").agg(F.count(F.lit(1)).alias("c_gb"))
+    if pin:
+        # ≤ |groups|·(max_bucket+1) rows — KBs at any corpus size
+        sb = sb.localCheckpoint(eager=True)
+    s = sb.groupBy("g").agg(F.sum("c_gb").alias("n_g"))
+    bb = sb.groupBy("b").agg(F.sum("c_gb").alias("c_b"))
+    tot = bb.agg(F.sum("c_b").alias("n_tot"))
+    grid = s.crossJoin(F.broadcast(bb)).crossJoin(F.broadcast(tot))
+    j = grid.join(sb, ["g", "b"], "left").withColumn(
+        "c_gb", F.coalesce(F.col("c_gb"), F.lit(0))
+    )
+    num = F.abs(
+        F.col("c_gb").cast(dec) * F.col("n_tot").cast(dec)
+        - F.col("c_b").cast(dec) * F.col("n_g").cast(dec)
+    )
+    dev = F.abs(
+        F.col("c_gb") / F.col("n_g") - F.col("c_b") / F.col("n_tot")
+    )
+    return j.groupBy("g").agg(
+        F.max("n_g").alias("n_docs"),
+        F.count_if(F.col("c_gb") > 0).alias("n_buckets"),
+        (
+            F.sum(num).cast("double")
+            / (
+                F.lit(2.0)
+                * F.max("n_g").cast("double")
+                * F.max("n_tot").cast("double")
+            )
+        ).alias("tvd"),
+        F.max(dev).alias("max_abs_dev"),
+    ).withColumnRenamed("g", group_col)

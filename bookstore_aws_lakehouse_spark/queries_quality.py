@@ -205,3 +205,52 @@ def q_dq_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_SOURCE_DRIFT_SQL = """
+WITH d AS (
+  SELECT source AS g, greatest(least(n_chars // 100, 20), 0) AS b
+  FROM documents WHERE n_chars IS NOT NULL
+),
+sb AS (SELECT g, b, count(*) AS c_gb FROM d GROUP BY 1, 2),
+s AS (SELECT g, CAST(sum(c_gb) AS BIGINT) AS n_g FROM sb GROUP BY 1),
+bb AS (SELECT b, CAST(sum(c_gb) AS BIGINT) AS c_b FROM sb GROUP BY 1),
+tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_tot FROM bb),
+grid AS (
+  SELECT s.g, s.n_g, bb.b, bb.c_b, (SELECT n_tot FROM tot) AS n_tot
+  FROM s, bb
+),
+j AS (
+  SELECT grid.g, grid.n_g, grid.b, grid.c_b, grid.n_tot,
+         COALESCE(sb.c_gb, 0) AS c_gb
+  FROM grid LEFT JOIN sb ON sb.g = grid.g AND sb.b = grid.b
+)
+SELECT g AS source,
+       max(n_g) AS n_docs,
+       CAST(count_if(c_gb > 0) AS BIGINT) AS n_buckets,
+       CAST(sum(abs(c_gb * n_tot - c_b * n_g)) AS DOUBLE)
+         / (2.0 * CAST(max(n_g) AS DOUBLE) * CAST(max(n_tot) AS DOUBLE)) AS tvd,
+       max(abs(CAST(c_gb AS DOUBLE) / n_g - CAST(c_b AS DOUBLE) / n_tot)) AS max_abs_dev
+FROM j GROUP BY g
+"""
+
+
+@golden("dq_source_drift", _SOURCE_DRIFT_SQL, pending=True)
+def q_dq_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution drift vs the corpus
+    (operators/quality.py::distribution_drift): 100-char buckets capped
+    at 20, total-variation distance + worst-bucket deviation +
+    occupied-bucket count per source — the mixture-monitoring table
+    that catches a mis-parsed or truncated source before it poisons a
+    training mix. TVD's numerator is an exact integer sum (no
+    order-dependent float accumulation — the reason it's TVD and not a
+    chi-square), so both engines divide literally identical values.
+    One corpus scan; everything downstream is ≤ |sources|·21 rows."""
+    from bookstore_aws_lakehouse_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distribution_drift(
+        docs, "source", "n_chars", bucket_width=100, max_bucket=20
+    )

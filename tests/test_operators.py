@@ -1047,3 +1047,56 @@ def test_centroid_cosine_zero_norm_is_null_not_crash(spark):
     cent = label_centroids(df, "label", "embedding")
     out = centroid_cosine_pairs(cent.select("label", "dim", "c")).collect()
     assert len(out) == 1 and out[0].cosine is None
+
+
+def test_distribution_drift_identical_group_has_zero_tvd(spark):
+    """A group whose histogram IS the corpus histogram (single group)
+    must report tvd = 0 and max_abs_dev = 0 exactly — the integer
+    numerator makes this an exact zero, not an epsilon."""
+    from bookstore_aws_lakehouse_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    rows = [("only", v) for v in [10, 150, 150, 420, 2500, 99999]]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = distribution_drift(df, "source", "n_chars").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 6
+    assert r["tvd"] == 0.0 and r["max_abs_dev"] == 0.0
+    # 10→b0, 150×2→b1, 420→b4, 2500 and 99999 → capped b20
+    assert r["n_buckets"] == 4
+
+
+def test_distribution_drift_hand_computed(spark):
+    from bookstore_aws_lakehouse_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    # a: 2 docs in b0; b: 1 doc b0 + 1 doc b1. corpus: b0=3/4, b1=1/4.
+    rows = [("a", 10), ("a", 20), ("b", 30), ("b", 150)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {
+        r["source"]: r
+        for r in distribution_drift(df, "source", "n_chars").collect()
+    }
+    # a: |1 - 3/4| + |0 - 1/4| = 1/2 → tvd 1/4 ; max_dev 1/4
+    assert got["a"]["tvd"] == 0.25 and got["a"]["max_abs_dev"] == 0.25
+    # b: |1/2 - 3/4| + |1/2 - 1/4| = 1/2 → tvd 1/4 ; max_dev 1/4
+    assert got["b"]["tvd"] == 0.25 and got["b"]["max_abs_dev"] == 0.25
+    assert got["a"]["n_buckets"] == 1 and got["b"]["n_buckets"] == 2
+
+
+def test_distribution_drift_negative_values_clamp_to_bucket_zero(spark):
+    """Cross-engine totality: Spark's floor(-x/w) is -1 where DuckDB's
+    // truncates to 0 — the operator clamps to bucket 0 so a negative
+    value can never silently diverge the histograms."""
+    from bookstore_aws_lakehouse_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    df = spark.createDataFrame(
+        [("a", -5), ("a", 10)], "source string, n_chars long"
+    )
+    r = distribution_drift(df, "source", "n_chars").collect()[0]
+    assert r["n_buckets"] == 1 and r["n_docs"] == 2
