@@ -876,10 +876,17 @@ def verify_candidate_pairs(
     no index rebuild.
 
     Output: every input pair row + ``n_shared``/``n_a``/``n_b`` (distinct
-    shingle-set sizes), exact ``jaccard`` (NULL when both sets are empty
-    — candidates from shingle-based generators always have n_a, n_b ≥ 1),
-    and ``accepted`` (jaccard ≥ threshold, decided by exact integer
-    cross-multiplication, ppm-rounded — no float-compare drift).
+    shingle-set sizes), exact ``jaccard``, and ``accepted`` (jaccard ≥
+    threshold, decided by exact integer cross-multiplication,
+    ppm-rounded — no float-compare drift). Degenerate inputs surface,
+    never silently resolve: a pair whose endpoints are BOTH sub-k-token
+    (union = 0 — similarity undefined) gets NULL jaccard AND NULL
+    accepted; a pair referencing an id absent from ``docs`` (stale
+    candidate set) is KEPT with NULL stats via left joins, so a consumer
+    can distinguish 'verified and rejected' (accepted = false) from
+    'never verifiable' (accepted IS NULL). Candidates from shingle-based
+    generators over the same ``docs`` always have n_a, n_b ≥ 1 and
+    non-NULL verdicts.
 
     ``pin=True`` (default): the shingle-set frame is persisted (its a/b
     aliases defeat ReusedExchange — the ``_shingle_shared`` lesson) and
@@ -900,8 +907,8 @@ def verify_candidate_pairs(
     union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
     try:
         out = (
-            pairs.join(a, "id_a")
-            .join(b, "id_b")
+            pairs.join(a, "id_a", "left")
+            .join(b, "id_b", "left")
             .withColumn("n_shared", F.size(F.array_intersect("_sh_a", "_sh_b")))
             .withColumn("n_a", F.size("_sh_a"))
             .withColumn("n_b", F.size("_sh_b"))
@@ -910,7 +917,13 @@ def verify_candidate_pairs(
                 F.when(union > 0, F.col("n_shared") / union),
             )
             .withColumn(
-                "accepted", F.col("n_shared") * 1_000_000 >= F.lit(t_ppm) * union
+                "accepted",
+                # NULL verdict when similarity is undefined (union = 0 or
+                # a missing endpoint) — never a vacuous 0 >= 0 accept
+                F.when(
+                    union > 0,
+                    F.col("n_shared") * 1_000_000 >= F.lit(t_ppm) * union,
+                ),
             )
             .drop("_sh_a", "_sh_b")
         )
@@ -938,7 +951,14 @@ def pair_label_matrix(
     Scale shape: two thin (id, label) projection joins shuffle the pair
     frame by each endpoint id; the endpoint explode doubles it once; the
     final aggregation lands on ≤ |labels|² cells — constants at any
-    corpus size. No full-document columns ever move."""
+    corpus size. No full-document columns ever move.
+
+    Contract: a pair with an endpoint ABSENT from ``labels`` has no
+    cell and is EXCLUDED (inner joins) — pass a label table covering
+    every id in the pair set (the registered row derives both from the
+    same ``documents`` scan, so nothing can be missing). Audit the
+    assumption when the tables have different lineages:
+    ``pairs.join(labels, pairs.id_a == labels[id_col], "anti")``."""
     la = labels.select(
         F.col(id_col).alias("id_a"), F.col(label_col).alias("_lab_a")
     )

@@ -125,3 +125,29 @@ def pagerank(
         # session-lifetime cache.
         for df in pinned:
             df.unpersist()
+
+
+def triangle_motifs(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Triangle enumeration over an ORIENTED edge list (every edge has
+    ``id_a < id_b`` — the pair generators' convention): emit each
+    a<b<c triple whose three edges all exist, exactly once, as
+    (doc_a, doc_b, doc_c). The standard distributed triangle join —
+    (a,b)⋈(b,c) on the middle vertex, then a key-pair join against the
+    (a,c) edge; both are hash/sort-merge equi-joins keyed on vertex
+    ids, never a cross product. Join volume is bounded by Σ deg²(v)
+    over the (already capped/bucketed) pair set; the underlying corpus
+    is never touched. Input edges violating the orientation contract
+    cannot form a triple (the join keys simply never meet reversed
+    edges), so orient first: least/greatest if the input is unordered.
+    """
+    p = pairs.select(id_a, id_b)
+    e1 = p.select(F.col(id_a).alias("doc_a"), F.col(id_b).alias("doc_b"))
+    e2 = p.select(F.col(id_a).alias("doc_b"), F.col(id_b).alias("doc_c"))
+    e3 = p.select(F.col(id_a).alias("doc_a"), F.col(id_b).alias("doc_c"))
+    return (
+        e1.join(e2, "doc_b")
+        .join(e3, ["doc_a", "doc_c"])
+        .select("doc_a", "doc_b", "doc_c")
+    )

@@ -158,10 +158,15 @@ def distribution_drift(
     at ~10¹² docs), so the float appears only in one final division of
     identical values — no order-dependent float accumulation anywhere
     (a Σ(p−q)²/q chi-square would drift across engines; TVD + max are
-    reduction-order-free). NULL values are excluded and counted via
-    ``n_docs`` against the caller's row count if needed."""
+    reduction-order-free). Rows with a NULL value OR a NULL group are
+    excluded up front — a NULL group would otherwise fall through the
+    null-unsafe grid join with every bucket count zeroed and report a
+    fake tvd of 0.5 (review finding); callers wanting an 'unknown'
+    group should coalesce the label before calling."""
     dec = "decimal(38,0)"
-    d = df.filter(F.col(value_col).isNotNull()).select(
+    d = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         F.col(group_col).alias("g"),
         # clamp to [0, max_bucket]: negative values land in bucket 0 on
         # BOTH engines (Spark floor(-x/w) = -1 but DuckDB's // truncates

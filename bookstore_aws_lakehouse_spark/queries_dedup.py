@@ -604,8 +604,10 @@ SELECT c.id_a, c.id_b, c.n_shared_bands,
        sa.n AS n_a, sb.n AS n_b,
        COALESCE(i.n_shared, 0)
          / CAST(sa.n + sb.n - COALESCE(i.n_shared, 0) AS DOUBLE) AS jaccard,
-       (COALESCE(i.n_shared, 0) * 1000000
-         >= {_VERIFY_PPM} * (sa.n + sb.n - COALESCE(i.n_shared, 0))) AS accepted
+       CASE WHEN sa.n + sb.n - COALESCE(i.n_shared, 0) > 0
+            THEN (COALESCE(i.n_shared, 0) * 1000000
+                  >= {_VERIFY_PPM} * (sa.n + sb.n - COALESCE(i.n_shared, 0)))
+       END AS accepted
 FROM cand c
 LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = c.id_a
@@ -723,15 +725,8 @@ def q_graph_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard distributed triangle join, two hash joins on endpoint keys
     over the bucketed pair set, never touching documents again. The
     oracle replays the pair chain and the same three-way join."""
-    from pyspark.sql import functions as F
+    from bookstore_aws_lakehouse_spark.operators.graph import triangle_motifs
 
     docs = load_table(spark, sf_dir, "documents")
-    p = jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1).select(
-        "id_a", "id_b"
-    )
-    e1 = p.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    e2 = p.select(F.col("id_a").alias("doc_b"), F.col("id_b").alias("doc_c"))
-    e3 = p.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_c"))
-    return e1.join(e2, "doc_b").join(e3, ["doc_a", "doc_c"]).select(
-        "doc_a", "doc_b", "doc_c"
-    )
+    pairs = jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1)
+    return triangle_motifs(pairs)

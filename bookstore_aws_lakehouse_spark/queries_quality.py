@@ -210,7 +210,7 @@ def q_dq_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_DRIFT_SQL = """
 WITH d AS (
   SELECT source AS g, greatest(least(n_chars // 100, 20), 0) AS b
-  FROM documents WHERE n_chars IS NOT NULL
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
 ),
 sb AS (SELECT g, b, count(*) AS c_gb FROM d GROUP BY 1, 2),
 s AS (SELECT g, CAST(sum(c_gb) AS BIGINT) AS n_g FROM sb GROUP BY 1),

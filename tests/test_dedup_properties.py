@@ -511,10 +511,12 @@ def test_verify_candidate_pairs_matches_python_mirror(spark):
         r = out[(a, b)]
         assert (r["n_shared"], r["n_a"], r["n_b"]) == (inter, len(sa), len(sb))
         if union == 0:
-            assert r["jaccard"] is None
+            # undefined similarity → undefined verdict, never a vacuous
+            # 0 >= 0 accept (review finding)
+            assert r["jaccard"] is None and r["accepted"] is None
         else:
             assert abs(r["jaccard"] - inter / union) < 1e-12
-        assert r["accepted"] == (inter * 1_000_000 >= 200_000 * union)
+            assert r["accepted"] == (inter * 1_000_000 >= 200_000 * union)
 
 
 def test_pair_label_matrix_exact_counts(spark):
@@ -564,16 +566,34 @@ def test_similarity_triangles_match_bruteforce_mirror(spark):
     assert want, "corpus produced no triangles — test is vacuous"
 
     from bookstore_aws_lakehouse_spark.operators.dedup import jaccard_pairs
-    from pyspark.sql import functions as F
+    from bookstore_aws_lakehouse_spark.operators.graph import triangle_motifs
 
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
-    p = jaccard_pairs(df, "doc_id", "text", shingle_k=3, threshold=0.1).select(
-        "id_a", "id_b"
-    )
-    e1 = p.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = p.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    e3 = p.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
-    got_rows = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c").collect()
-    got = [(r["a"], r["b"], r["c"]) for r in got_rows]
+    p = jaccard_pairs(df, "doc_id", "text", shingle_k=3, threshold=0.1)
+    got_rows = triangle_motifs(p).collect()
+    got = [(r["doc_a"], r["doc_b"], r["doc_c"]) for r in got_rows]
     assert len(got) == len(set(got)), "duplicate triangles emitted"
     assert set(got) == want
+
+
+def test_verify_candidate_pairs_keeps_stale_candidates_with_null_verdict(spark):
+    """A candidate referencing an id absent from docs must SURVIVE with
+    NULL stats/verdict (left-join contract) — silently dropping it would
+    make the precision report undercount (review finding)."""
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        verify_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 99)], "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in verify_candidate_pairs(docs, pairs, "doc_id", "text").collect()
+    }
+    assert set(out) == {(1, 2), (1, 99)}
+    ok, stale = out[(1, 2)], out[(1, 99)]
+    assert ok["accepted"] is not None and ok["n_a"] == 3
+    assert stale["n_b"] is None and stale["jaccard"] is None
+    assert stale["accepted"] is None

@@ -1100,3 +1100,21 @@ def test_distribution_drift_negative_values_clamp_to_bucket_zero(spark):
     )
     r = distribution_drift(df, "source", "n_chars").collect()[0]
     assert r["n_buckets"] == 1 and r["n_docs"] == 2
+
+
+def test_distribution_drift_null_group_excluded(spark):
+    """A NULL group must be excluded, not reported: unfiltered, it falls
+    through the null-unsafe grid join with every bucket count zeroed and
+    fabricates tvd = 0.5 for a group that may exactly match the corpus
+    (review finding)."""
+    from bookstore_aws_lakehouse_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 150), (None, 10), (None, 150)],
+        "source string, n_chars long",
+    )
+    out = distribution_drift(df, "source", "n_chars").collect()
+    assert [r["source"] for r in out] == ["a"]
+    assert out[0]["tvd"] == 0.0
