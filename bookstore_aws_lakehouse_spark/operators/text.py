@@ -382,3 +382,116 @@ def redact_pii(
             f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
         )
     return out
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    steps: int = 3,
+) -> DataFrame:
+    """Byte-pair-encoding-style merge training over the token stream —
+    the tokenizer-construction primitive (Sennrich et al. 2016, applied
+    at word level: symbols start as whitespace tokens and merged symbols
+    join with a single space). Per step: count all adjacent symbol
+    pairs corpus-wide, pick the most frequent (ties → lexicographic
+    (lhs, rhs), so the argmax is total and both engines agree), apply
+    the merge greedily LEFT-TO-RIGHT to every document, recount.
+    Returns the merge table (step, lhs, rhs, merged, pair_count) — the
+    artifact a tokenizer ships.
+
+    Distributed shape: documents live EXPLODED as (doc, pos, tok) rows
+    between steps — the greedy merge is pure window logic (lead/lag +
+    gaps-and-islands run parity for overlapping same-symbol runs, e.g.
+    pair (a,a) on "a a a a" merges positions 1 and 3), never a
+    per-document Python loop. Each step is one pair-count aggregation
+    plus one window chain over the same doc-hash partitioning; the
+    driver reads exactly ONE row per step (the argmax — it must become
+    a literal in the next step's predicate; same bounded-collect
+    contract as kmeans centroids). Every value is an integer count or
+    a string — no floats anywhere, so cross-engine parity is exact by
+    construction.
+
+    Determinism of the greedy application: matched positions that
+    overlap require lhs == rhs (runs of one repeated symbol); within
+    each maximal run of consecutive matches, greedy keeps every other
+    match starting at the run head — implemented as run-grouping
+    (grp = pos − running-match-count) + parity of the in-run rank.
+    A position consumed by the previous kept merge is dropped; the
+    stream is re-numbered per doc afterwards."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    w = Window.partitionBy("doc").orderBy("pos")
+    s = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(text_col)).alias("pos", "tok"),
+    )
+    pins = [s.persist()]
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(1, steps + 1):
+            pairs = (
+                s.withColumn("_r", F.lead("tok").over(w))
+                .filter(F.col("_r").isNotNull())
+                .groupBy(F.col("tok").alias("l"), F.col("_r").alias("r"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            top = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+            if not top:
+                break
+            lhs, rhs, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            merged = f"{lhs} {rhs}"
+            merges.append((step, lhs, rhs, merged, cnt))
+            if step == steps:
+                break
+            marked = (
+                s.withColumn("_r", F.lead("tok").over(w))
+                .withColumn(
+                    "_m",
+                    F.coalesce(
+                        (F.col("tok") == F.lit(lhs))
+                        & (F.col("_r") == F.lit(rhs)),
+                        F.lit(False),
+                    ),
+                )
+                .withColumn(
+                    "_mrn",
+                    F.sum(F.when(F.col("_m"), 1).otherwise(0)).over(w),
+                )
+                .withColumn(
+                    "_grp", F.when(F.col("_m"), F.col("pos") - F.col("_mrn"))
+                )
+            )
+            wg = Window.partitionBy("doc", "_grp")
+            marked = (
+                marked.withColumn(
+                    "_keep",
+                    F.col("_m")
+                    & (
+                        (F.col("_mrn") - F.min("_mrn").over(wg)) % 2 == 0
+                    ),
+                )
+                .withColumn(
+                    "_consumed",
+                    F.coalesce(F.lag("_keep").over(w), F.lit(False)),
+                )
+            )
+            s = (
+                marked.filter(~F.col("_consumed"))
+                .select(
+                    "doc",
+                    F.row_number().over(w).alias("pos"),
+                    F.when(F.col("_keep"), F.lit(merged))
+                    .otherwise(F.col("tok"))
+                    .alias("tok"),
+                )
+            )
+            pins.append(s.persist())
+        return spark.createDataFrame(
+            merges,
+            "step bigint, lhs string, rhs string, merged string, pair_count bigint",
+        )
+    finally:
+        for p in pins:
+            p.unpersist()

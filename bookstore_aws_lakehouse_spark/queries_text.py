@@ -851,3 +851,82 @@ def q_text_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(k).cast("bigint").alias(k) for k in kinds],
         F.sum((total > 0).cast("int")).cast("bigint").alias("n_docs_with_pii"),
     )
+
+
+def _bpe_step_cte(k: int) -> str:
+    """One unrolled BPE training step: pair counts over s{k-1}, the
+    lexicographic-tie-broken argmax m{k}, then the greedy leftmost merge
+    application (gaps-and-islands run parity — see operators/text.py::
+    bpe_train_merges) producing the renumbered stream s{k}."""
+    prev = f"s{k - 1}"
+    return f"""
+p{k} AS (
+  SELECT l, r, count(*) AS c FROM (
+    SELECT tok AS l, lead(tok) OVER (PARTITION BY doc ORDER BY pos) AS r
+    FROM {prev}
+  ) WHERE r IS NOT NULL GROUP BY l, r
+),
+m{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+a{k} AS (
+  SELECT doc, pos, tok,
+         COALESCE(tok = (SELECT l FROM m{k})
+                  AND lead(tok) OVER wd = (SELECT r FROM m{k}), false) AS m
+  FROM {prev} WINDOW wd AS (PARTITION BY doc ORDER BY pos)
+),
+b{k} AS (
+  SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END) OVER wd AS mrn
+  FROM a{k} WINDOW wd AS (PARTITION BY doc ORDER BY pos)
+),
+c{k} AS (SELECT *, CASE WHEN m THEN pos - mrn END AS grp FROM b{k}),
+d{k} AS (
+  SELECT *, m AND ((mrn - MIN(mrn) OVER (PARTITION BY doc, grp)) % 2 = 0) AS keep
+  FROM c{k}
+),
+e{k} AS (
+  SELECT *, COALESCE(LAG(keep) OVER wd, false) AS consumed
+  FROM d{k} WINDOW wd AS (PARTITION BY doc ORDER BY pos)
+),
+s{k} AS MATERIALIZED (
+  SELECT doc, ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS pos,
+         CASE WHEN keep THEN (SELECT l FROM m{k}) || ' ' || (SELECT r FROM m{k})
+              ELSE tok END AS tok
+  FROM e{k} WHERE NOT consumed
+)"""
+
+
+def _bpe_sql(steps: int) -> str:
+    ctes = ",".join(_bpe_step_cte(k) for k in range(1, steps + 1))
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS lhs, r AS rhs, "
+        f"l || ' ' || r AS merged, CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, steps + 1)
+    )
+    return (
+        """
+WITH t0 AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+s0 AS MATERIALIZED (
+  SELECT doc, r.p AS pos, r.tok AS tok FROM (
+    SELECT doc, unnest([{'p': i, 'tok': t[i]}
+                        FOR i IN generate_series(1, len(t))]) AS r
+    FROM t0)
+),"""
+        + ctes
+        + "\n"
+        + finals
+    )
+
+
+@golden("text_bpe_merges", _bpe_sql(steps=3), pending=True)
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style merge training (operators/text.py::bpe_train_merges):
+    three corpus-wide merge steps at word level — count adjacent symbol
+    pairs, take the (count DESC, lhs, rhs) argmax, apply it greedily
+    left-to-right as pure window logic over the exploded token stream,
+    recount. The tokenizer-construction primitive; every value is an
+    integer count or a string, so parity is exact by construction. The
+    oracle unrolls all three steps — pair counts, argmax, run-parity
+    merge application, renumbering — as one CTE chain."""
+    from bookstore_aws_lakehouse_spark.operators.text import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "doc_id", "text", steps=3)

@@ -1118,3 +1118,60 @@ def test_distribution_drift_null_group_excluded(spark):
     out = distribution_drift(df, "source", "n_chars").collect()
     assert [r["source"] for r in out] == ["a"]
     assert out[0]["tvd"] == 0.0
+
+
+def _bpe_mirror(docs, steps):
+    """Classic sequential BPE at word level: global pair counts, argmax
+    (count desc, lhs, rhs), greedy leftmost application per doc."""
+    streams = {
+        i: t.split(" ") for i, t in docs if t is not None
+    }
+    merges = []
+    for step in range(1, steps + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for toks in streams.values():
+            for x, y in zip(toks, toks[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = f"{lhs} {rhs}"
+        merges.append((step, lhs, rhs, merged, cnt))
+        if step == steps:
+            break
+        for i, toks in streams.items():
+            out, j = [], 0
+            while j < len(toks):
+                if j + 1 < len(toks) and toks[j] == lhs and toks[j + 1] == rhs:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(toks[j])
+                    j += 1
+            streams[i] = out
+    return merges
+
+
+def test_bpe_train_merges_matches_sequential_mirror(spark):
+    """The distributed window-logic BPE must equal the textbook
+    sequential algorithm — including overlapping same-symbol runs
+    ("a a a a" under pair (a,a) merges positions 1 and 3) and ties
+    broken lexicographically."""
+    import random as _random
+
+    from bookstore_aws_lakehouse_spark.operators.text import bpe_train_merges
+
+    rng = _random.Random(20260817)
+    vocab = ["a", "b", "c", "aa", "x"]
+    corpora = [
+        [(1, "a a a a b"), (2, "a b a b x")],
+        [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 15)))) for i in range(25)],
+        [(1, "a a a a a"), (2, "a a a"), (3, None), (4, "")],
+    ]
+    for docs in corpora:
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = [tuple(r) for r in bpe_train_merges(df, "doc_id", "text", steps=4).collect()]
+        want = _bpe_mirror(docs, steps=4)
+        assert got == want, f"docs={docs[:3]}...: got={got} want={want}"
