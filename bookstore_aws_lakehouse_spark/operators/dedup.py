@@ -866,14 +866,19 @@ def verify_candidate_pairs(
     single-pass ETL shape, workflow/Transformer.py:105-123, which never
     needs one because it dedups exact keys only).
 
-    Cost contract: O(|candidates|), never O(n²). Each doc's distinct
-    shingle set is hashed (md5, 60-bit — the portable-hash policy) into
-    ONE array column, computed once and shuffled once per pair side; the
-    intersection is a JVM-side ``array_intersect`` per candidate row, so
-    the verify stage touches exactly the pairs the generator emitted. At
-    100 TB the pair frame shuffles by id (fixed-width keys + one array
-    whose length is bounded by doc token count) — no postings re-join,
-    no index rebuild.
+    Cost contract: O(|candidates|), never O(n²) — and never O(corpus)
+    past the endpoint semi-join: docs are first SEMI-JOINED to the
+    candidate endpoint ids, so only docs that actually appear in a pair
+    are ever tokenized/shingled (at a 0.1% candidate rate that is a
+    1000× cut of the shingling work; measured at sf0.1: generate+verify
+    warm 7.1 s → 2.9 s).
+    Each surviving doc's distinct shingle set is hashed (md5, 60-bit —
+    the portable-hash policy) into ONE array column, computed once and
+    shuffled once per pair side; the intersection is a JVM-side
+    ``array_intersect`` per candidate row. At 100 TB the pair frame
+    shuffles by id (fixed-width keys + one array whose length is
+    bounded by doc token count) — no postings re-join, no index
+    rebuild, no full-corpus pass.
 
     Output: every input pair row + ``n_shared``/``n_a``/``n_b`` (distinct
     shingle-set sizes), exact ``jaccard``, and ``accepted`` (jaccard ≥
@@ -892,7 +897,12 @@ def verify_candidate_pairs(
     aliases defeat ReusedExchange — the ``_shingle_shared`` lesson) and
     the result localCheckpointed eagerly; ``pin=False`` returns the lazy
     plan for plan-shape tests."""
-    toks = docs.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    ends = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
+    toks = docs.join(ends, id_col, "left_semi").select(
+        F.col(id_col), tokenize(text_col).alias("_toks")
+    )
     sets = toks.select(
         F.col(id_col),
         F.transform(
