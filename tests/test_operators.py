@@ -1175,3 +1175,85 @@ def test_bpe_train_merges_matches_sequential_mirror(spark):
         got = [tuple(r) for r in bpe_train_merges(df, "doc_id", "text", steps=4).collect()]
         want = _bpe_mirror(docs, steps=4)
         assert got == want, f"docs={docs[:3]}...: got={got} want={want}"
+
+
+def test_distribution_drift_matches_python_mirror_randomized(spark):
+    """Randomized histograms vs an exact-integer Python mirror — tvd and
+    max_abs_dev must match to the BIT (both engines divide identical
+    integers), not to an epsilon."""
+    import random as _random
+
+    from bookstore_aws_lakehouse_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    rng = _random.Random(20260817)
+    rows = [
+        (f"s{rng.randint(0, 5)}", rng.randint(0, 2500))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {
+        r["source"]: r
+        for r in distribution_drift(
+            df, "source", "n_chars", bucket_width=100, max_bucket=20
+        ).collect()
+    }
+
+    def bucket(v):
+        return max(min(v // 100, 20), 0)
+
+    from collections import Counter
+
+    gb = Counter((s, bucket(v)) for s, v in rows)
+    per_g = Counter(s for s, _ in rows)
+    per_b = Counter(bucket(v) for _, v in rows)
+    n_tot = len(rows)
+    for g in per_g:
+        num = sum(
+            abs(gb.get((g, b), 0) * n_tot - cb * per_g[g])
+            for b, cb in per_b.items()
+        )
+        tvd = num / (2.0 * per_g[g] * n_tot)
+        max_dev = max(
+            abs(gb.get((g, b), 0) / per_g[g] - cb / n_tot)
+            for b, cb in per_b.items()
+        )
+        r = got[g]
+        assert r["n_docs"] == per_g[g]
+        assert r["tvd"] == tvd, (g, r["tvd"], tvd)
+        assert r["max_abs_dev"] == max_dev
+        assert r["n_buckets"] == sum(1 for (s, _b) in gb if s == g)
+
+
+def test_pair_label_matrix_matches_python_mirror_randomized(spark):
+    import random as _random
+    from collections import Counter
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import pair_label_matrix
+
+    rng = _random.Random(42)
+    labels = [(i, f"src{rng.randint(0, 3)}") for i in range(40)]
+    pairs = sorted(
+        {tuple(sorted(rng.sample(range(40), 2))) for _ in range(80)}
+    )
+    lmap = dict(labels)
+    cells = Counter()
+    docs_per_cell: dict = {}
+    for a, b in pairs:
+        lo, hi = sorted((lmap[a], lmap[b]))
+        cells[(lo, hi)] += 1
+        docs_per_cell.setdefault((lo, hi), set()).update((a, b))
+    got = {
+        (r["label_lo"], r["label_hi"]): (r["n_pairs"], r["n_docs"])
+        for r in pair_label_matrix(
+            spark.createDataFrame(pairs, "id_a long, id_b long"),
+            spark.createDataFrame(labels, "doc_id long, source string"),
+            "doc_id",
+            "source",
+        ).collect()
+    }
+    want = {
+        cell: (n, len(docs_per_cell[cell])) for cell, n in cells.items()
+    }
+    assert got == want
