@@ -389,6 +389,7 @@ def bpe_train_merges(
     id_col: str,
     text_col: str,
     steps: int = 3,
+    with_stats: bool = False,
 ) -> DataFrame:
     """Byte-pair-encoding-style merge training over the token stream —
     the tokenizer-construction primitive (Sennrich et al. 2016, applied
@@ -418,7 +419,16 @@ def bpe_train_merges(
     match starting at the run head — implemented as run-grouping
     (grp = pos − running-match-count) + parity of the in-run rank.
     A position consumed by the previous kept merge is dropped; the
-    stream is re-numbered per doc afterwards."""
+    stream is re-numbered per doc afterwards.
+
+    ``with_stats=True`` adds the compression curve: ``tokens_before``,
+    ``applied`` (merges actually performed — ≤ pair_count because
+    overlapping occurrences can't all merge), and ``tokens_after``
+    (= tokens_before − applied: every applied merge removes exactly one
+    symbol; kept matches are never themselves consumed since run parity
+    forbids adjacent keeps). One corpus-stream count up front plus one
+    kept-count aggregate per step; later steps derive their
+    tokens_before from the previous tokens_after."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
@@ -428,7 +438,8 @@ def bpe_train_merges(
         F.posexplode(tokenize(text_col)).alias("pos", "tok"),
     )
     pins = [s.persist()]
-    merges: list[tuple[int, str, str, str, int]] = []
+    merges: list = []
+    tokens_before = s.count() if with_stats else None
     try:
         for step in range(1, steps + 1):
             pairs = (
@@ -442,8 +453,9 @@ def bpe_train_merges(
                 break
             lhs, rhs, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
             merged = f"{lhs} {rhs}"
-            merges.append((step, lhs, rhs, merged, cnt))
-            if step == steps:
+            row = (step, lhs, rhs, merged, cnt)
+            if step == steps and not with_stats:
+                merges.append(row)
                 break
             marked = (
                 s.withColumn("_r", F.lead("tok").over(w))
@@ -477,6 +489,13 @@ def bpe_train_merges(
                     F.coalesce(F.lag("_keep").over(w), F.lit(False)),
                 )
             )
+            if with_stats:
+                applied = marked.filter(F.col("_keep")).count()
+                row = row + (tokens_before, applied, tokens_before - applied)
+                tokens_before = tokens_before - applied
+            merges.append(row)
+            if step == steps:
+                break
             s = (
                 marked.filter(~F.col("_consumed"))
                 .select(
@@ -488,10 +507,10 @@ def bpe_train_merges(
                 )
             )
             pins.append(s.persist())
-        return spark.createDataFrame(
-            merges,
-            "step bigint, lhs string, rhs string, merged string, pair_count bigint",
-        )
+        schema = "step bigint, lhs string, rhs string, merged string, pair_count bigint"
+        if with_stats:
+            schema += ", tokens_before bigint, applied bigint, tokens_after bigint"
+        return spark.createDataFrame(merges, schema)
     finally:
         for p in pins:
             p.unpersist()

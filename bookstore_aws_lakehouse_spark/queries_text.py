@@ -930,3 +930,56 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, "doc_id", "text", steps=3)
+
+
+def _bpe_compression_sql(steps: int) -> str:
+    ctes = ",".join(_bpe_step_cte(k) for k in range(1, steps + 1))
+    aps = "".join(
+        f",\nap{k} AS (SELECT count(*) AS c FROM d{k} WHERE keep)"
+        for k in range(1, steps + 1)
+    )
+    finals = []
+    before = "(SELECT c FROM tc)"
+    for k in range(1, steps + 1):
+        ap = f"(SELECT c FROM ap{k})"
+        finals.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, l AS lhs, r AS rhs, "
+            f"CAST(c AS BIGINT) AS pair_count, "
+            f"{before} AS tokens_before, {ap} AS applied, "
+            f"{before} - {ap} AS tokens_after FROM m{k}"
+        )
+        before = f"{before} - {ap}"
+    return (
+        """
+WITH t0 AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+s0 AS MATERIALIZED (
+  SELECT doc, r.p AS pos, r.tok AS tok FROM (
+    SELECT doc, unnest([{'p': i, 'tok': t[i]}
+                        FOR i IN generate_series(1, len(t))]) AS r
+    FROM t0)
+),"""
+        + ctes
+        + ",\ntc AS (SELECT count(*) AS c FROM s0)"
+        + aps
+        + "\n"
+        + "\nUNION ALL ".join(finals)
+    )
+
+
+@golden("text_bpe_compression", _bpe_compression_sql(steps=3), pending=True)
+def q_text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE compression curve: per merge step, the corpus symbol
+    count before, the merges actually APPLIED (≤ pair_count — greedy
+    application can't merge overlapping occurrences), and the count
+    after (= before − applied, each merge removing exactly one symbol).
+    The number a tokenizer build reads to decide when more merges stop
+    paying. Same one-driver-row-per-step chain as text_bpe_merges plus
+    one kept-count aggregate per step; all-integer, exact parity."""
+    from bookstore_aws_lakehouse_spark.operators.text import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bpe_train_merges(docs, "doc_id", "text", steps=3, with_stats=True)
+    return out.select(
+        "step", "lhs", "rhs", "pair_count",
+        "tokens_before", "applied", "tokens_after",
+    )

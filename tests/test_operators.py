@@ -1257,3 +1257,44 @@ def test_pair_label_matrix_matches_python_mirror_randomized(spark):
         cell: (n, len(docs_per_cell[cell])) for cell, n in cells.items()
     }
     assert got == want
+
+
+def test_bpe_stats_mode_matches_sequential_mirror(spark):
+    """with_stats=True must report exactly the sequential algorithm's
+    applied-merge and token counts (applied < pair_count on overlapping
+    runs: 'a a a' counts 2 pairs but applies 1 merge)."""
+    from bookstore_aws_lakehouse_spark.operators.text import bpe_train_merges
+
+    docs = [(1, "a a a a b"), (2, "a b a b x"), (3, "a a a")]
+    streams = {i: t.split(" ") for i, t in docs}
+    want = []
+    for step in range(1, 4):
+        counts: dict = {}
+        for toks in streams.values():
+            for x, y in zip(toks, toks[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        before = sum(len(t) for t in streams.values())
+        applied = 0
+        for i, toks in streams.items():
+            out, j = [], 0
+            while j < len(toks):
+                if j + 1 < len(toks) and toks[j] == lhs and toks[j + 1] == rhs:
+                    out.append(f"{lhs} {rhs}")
+                    applied += 1
+                    j += 2
+                else:
+                    out.append(toks[j])
+                    j += 1
+            streams[i] = out
+        want.append(
+            (step, lhs, rhs, f"{lhs} {rhs}", cnt, before, applied, before - applied)
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bpe_train_merges(df, "doc_id", "text", steps=3, with_stats=True).collect()
+    ]
+    assert got == want
