@@ -945,6 +945,64 @@ def verify_candidate_pairs(
             sets.unpersist()
 
 
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-candidate MinHash Jaccard ESTIMATE: the fraction of agreeing
+    signature components (the estimator LSH banding is built on —
+    E[est] = true Jaccard). Joined against the exact verify stage this
+    is the estimator-calibration diagnostic: how much error the
+    num_hashes-component signature carries at the corpus's similarity
+    levels, i.e. whether banding parameters need more hashes BEFORE a
+    100 TB run commits to them.
+
+    Same cost contract as ``verify_candidate_pairs``: docs semi-join to
+    candidate endpoints, so signatures are computed only for docs in a
+    pair; the estimate is one projection per candidate row (est =
+    n_match / num_hashes — an exact binary fraction, bit-identical on
+    any engine). Left joins: a pair endpoint with no signature (absent
+    id or sub-k-token doc — neither can come from the LSH generator)
+    propagates NULL n_match/est rather than fabricating 0."""
+    ends = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
+    wide = _minhash_wide(
+        docs.join(ends, id_col, "left_semi"),
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_k,
+    )
+    a = wide.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"minhash_{s}").alias(f"_ma{s}") for s in range(num_hashes)],
+    )
+    b = wide.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"minhash_{s}").alias(f"_mb{s}") for s in range(num_hashes)],
+    )
+    n_match = sum(
+        (F.col(f"_ma{s}") == F.col(f"_mb{s}")).cast("int")
+        for s in range(num_hashes)
+    )
+    out = (
+        pairs.join(a, "id_a", "left")
+        .join(b, "id_b", "left")
+        .withColumn("n_match", n_match)
+        .withColumn("est_jaccard", F.col("n_match") / F.lit(num_hashes))
+        .drop(
+            *[f"_ma{s}" for s in range(num_hashes)],
+            *[f"_mb{s}" for s in range(num_hashes)],
+        )
+    )
+    return out
+
+
 def pair_label_matrix(
     pairs: DataFrame,
     labels: DataFrame,

@@ -730,3 +730,86 @@ def q_graph_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.1)
     return triangle_motifs(pairs)
+
+
+def _minhash_estimate_sql() -> str:
+    """Estimator-calibration oracle: candidates + exact intersections
+    (the _LSH_VERIFIED_SQL shapes) + the signature-agreement estimate
+    straight off the shared ``wide`` CTE."""
+    n_match = " + ".join(
+        f"CASE WHEN wa.minhash_{s} = wb.minhash_{s} THEN 1 ELSE 0 END"
+        for s in range(8)
+    )
+    return (
+        _minhash_bands_cte()
+        + f""",
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_shared_bands,
+       ({n_match}) AS n_match,
+       ({n_match}) / CAST(8 AS DOUBLE) AS est_jaccard,
+       COALESCE(i.n_shared, 0)
+         / CAST(sa.n + sb.n - COALESCE(i.n_shared, 0) AS DOUBLE) AS jaccard,
+       abs(({n_match}) / CAST(8 AS DOUBLE)
+           - COALESCE(i.n_shared, 0)
+             / CAST(sa.n + sb.n - COALESCE(i.n_shared, 0) AS DOUBLE)) AS abs_err
+FROM cand c
+JOIN wide wa ON wa.doc_id = c.id_a
+JOIN wide wb ON wb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+"""
+    )
+
+
+@golden("dedup_minhash_estimate", _minhash_estimate_sql(), pending=True)
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash signature (operators/
+    dedup.py::minhash_estimate_pairs): per LSH candidate, the
+    8-component signature-agreement estimate next to the EXACT Jaccard
+    and the absolute error — the table that says whether the banding
+    parameters carry enough signal before a 100 TB run commits to them
+    (E[est] = true Jaccard; with 8 components the standard error at
+    j=0.5 is ~0.18, so |err| tails are expected and measurable, not a
+    bug). Signature and shingle-set computation both restricted to
+    candidate endpoints via semi-joins; est = n_match/8 is an exact
+    binary fraction, bit-identical on both engines."""
+    from pyspark.sql import functions as F
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        minhash_estimate_pairs,
+        verify_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_band_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_rows=2, shingle_k=3
+    )
+    exact = verify_candidate_pairs(
+        docs, cand, "doc_id", "text", shingle_k=3, threshold=0.2
+    ).select("id_a", "id_b", "n_shared_bands", "jaccard")
+    est = minhash_estimate_pairs(
+        docs, exact, "doc_id", "text", num_hashes=8, shingle_k=3
+    )
+    return est.select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        "n_match",
+        "est_jaccard",
+        "jaccard",
+        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+    )

@@ -597,3 +597,55 @@ def test_verify_candidate_pairs_keeps_stale_candidates_with_null_verdict(spark):
     assert ok["accepted"] is not None and ok["n_a"] == 3
     assert stale["n_b"] is None and stale["jaccard"] is None
     assert stale["accepted"] is None
+
+
+def test_minhash_estimate_pairs_matches_python_mirror(spark):
+    """The signature-agreement estimate must equal an independent
+    reimplementation (md5 shingle hash → 8 affine maps → min → match
+    fraction) on arbitrary pairs, and NULL-propagate for endpoints with
+    no signature (sub-k docs / absent ids)."""
+    import hashlib
+
+    from bookstore_aws_lakehouse_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_estimate_pairs,
+        minhash_params,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown dog jumps"),
+        (3, "completely different words entirely here"),
+        (4, "xy"),  # sub-k: no shingles, no signature
+    ]
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 99)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_estimate_pairs(df, pf, "doc_id", "text").collect()
+    }
+
+    def sig(text):
+        toks = text.split(" ")
+        if len(toks) < 3:
+            return None
+        hs = {
+            int(hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:15], 16)
+            % MINHASH_P
+            for i in range(len(toks) - 2)
+        }
+        return [
+            min((a * h + b) % MINHASH_P for h in hs)
+            for a, b in (minhash_params(s) for s in range(8))
+        ]
+
+    sigs = {i: sig(t) for i, t in docs}
+    for a, b in pairs:
+        r = out[(a, b)]
+        sa, sb = sigs.get(a), sigs.get(b)
+        if sa is None or sb is None:
+            assert r["n_match"] is None and r["est_jaccard"] is None
+        else:
+            m = sum(1 for x, y in zip(sa, sb) if x == y)
+            assert r["n_match"] == m and r["est_jaccard"] == m / 8
