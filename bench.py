@@ -1323,6 +1323,12 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
         # ~2/(w+1) deterministic sample of the shingle index, so growth
         # should track (or beat) dedup_ngram_jaccard's
         "dedup_winnowed_pairs",
+        # r19 (pre-staged, pending until the r15 flip): the two-stage
+        # LSH→exact-verify row — its cost contract is per-candidate, so
+        # the growth entry (with the LSH-pair counter riding alongside)
+        # is the measured form of that claim. Skipped with a note while
+        # unregistered.
+        "dedup_lsh_verified",
     ]
     factor = 10
     tmp = tempfile.mkdtemp(prefix="bench_growth_")
@@ -1439,6 +1445,12 @@ def _growth_section(spark, sf_dir: str, GOLDEN, meter: "_LoadMeter") -> dict:
         out = {"factor": factor, "queries": {}}
         for name in names:
             if name not in GOLDEN:
+                # no silent coverage caps: a listed-but-unregistered row
+                # (pending-channel pre-staging) leaves a visible note so
+                # the lapse is in the artifact, not just absent from it
+                out["queries"][name] = {
+                    "note": "not registered (pending) — activates at flip"
+                }
                 continue
             entry: dict = {}
             attempts = 0

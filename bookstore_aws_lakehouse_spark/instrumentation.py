@@ -244,4 +244,9 @@ GROWTH_CANDIDATE_COUNTERS: dict[str, Callable[[SparkSession, str], int]] = {
     "embedding_near_dup": _n_near_dup,
     "semantic_dedup": _n_semantic,
     "ann_ivfpq_residual_multiprobe": _n_multiprobe,
+    # pre-staged for the r15 flip (NOTES_r19 §4): the verify stage's cost
+    # contract is per-candidate, so its counter IS the LSH pair count —
+    # bench's growth loop skips the name (with a note) until the row is
+    # registered, then activates it with zero bench edits
+    "dedup_lsh_verified": _n_minhash,
 }

@@ -348,3 +348,72 @@ def test_wide_covariance_row_uses_arrow_gram_stage(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert df.columns == ["i", "j", "c", "mean"]
+
+
+def test_pca_outliers_planted_spike_absorbed_and_residuals_meaningful(spark):
+    """End-to-end sanity the oracle replay cannot express (it verifies
+    equality, not that the statistic MEANS anything): a planted variance
+    spike is absorbed by the learned basis, and the residual ranking
+    surfaces exactly the mass the basis cannot span."""
+    import random as _random
+
+    from bookstore_aws_lakehouse_spark.functions.vector import dot as _dot
+    from bookstore_aws_lakehouse_spark.operators.linalg import (
+        covariance_rows,
+        deflation_frame,
+    )
+    from pyspark.sql import functions as F
+
+    rng = _random.Random(20260817)
+    dim = 8
+    # corpus concentrated on dims 0/1; the planted row lives on dim 7
+    rows = [
+        (i, [rng.gauss(0, 1), rng.gauss(0, 0.5)] + [0.0] * (dim - 2))
+        for i in range(60)
+    ]
+    rows.append((999, [0.0] * (dim - 1) + [50.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cov = covariance_rows(emb, "embedding", dim=dim, round_dp=6)
+    frame = deflation_frame(cov, dim, 2, 3, iter_dp=9, lam_dp=6)
+    got = frame.select("i", "mean", "_x0", "_x1").orderBy("i").collect()
+    means = [r["mean"] for r in got]
+    u0 = F.array(*[F.lit(r["_x0"]) for r in got])
+    u1 = F.array(*[F.lit(r["_x1"]) for r in got])
+    c = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.array(*[F.lit(m) for m in means]),
+        lambda a, b: a - b,
+    )
+    scored = (
+        emb.withColumn("_c", c)
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("_c"), F.col("_c")), 6).alias("sq"),
+            F.round(_dot(F.col("_c"), u0), 6).alias("p1"),
+            F.round(_dot(F.col("_c"), u1), 6).alias("p2"),
+        )
+        .withColumn(
+            "res",
+            F.col("sq") - F.col("p1") * F.col("p1") - F.col("p2") * F.col("p2"),
+        )
+        .orderBy(F.desc("res"), "vec_id")
+    )
+    import math
+
+    allr = scored.collect()
+    # the 50-unit spike dominates the covariance, so PCA absorbs it as
+    # PC1 (u0 = e7) and u1 takes dim 0 — which is exactly the statistic
+    # working: the planted vector is EXPLAINED (residual ~ 0, possibly a
+    # rounding-scale negative: 6-dp scores + 9-dp-rounded iterates are
+    # only approximately orthonormal), while the residual ranking
+    # surfaces dim-1 mass the 2-component basis cannot span
+    assert all(r["res"] is not None and not math.isnan(r["res"]) for r in allr)
+    assert all(r["res"] >= -0.01 for r in allr)  # rounding-scale floor
+    planted = next(r for r in allr if r["vec_id"] == 999)
+    assert abs(planted["res"]) < 0.01
+    # the top residual must be genuine un-spanned mass, far above the
+    # planted (captured) vector
+    assert allr[0]["res"] > 0.5
+    embmap = dict(rows)
+    top_dim1 = abs(embmap[allr[0]["vec_id"]][1])
+    assert top_dim1 == max(abs(v[1]) for _i, v in rows[:-1])
