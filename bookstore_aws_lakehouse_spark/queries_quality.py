@@ -207,10 +207,15 @@ def q_dq_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_SOURCE_DRIFT_SQL = """
-WITH d AS (
-  SELECT source AS g, greatest(least(n_chars // 100, 20), 0) AS b
-  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+def _drift_sql(d_cte: str, out_col: str) -> str:
+    """The distribution_drift oracle body over any (g, n_chars) CTE —
+    shared by the per-source row and the snapshot-version row so the
+    bucket/TVD arithmetic has one source of truth."""
+    return f"""
+WITH {d_cte},
+d AS (
+  SELECT g, greatest(least(n_chars // 100, 20), 0) AS b
+  FROM src WHERE n_chars IS NOT NULL AND g IS NOT NULL
 ),
 sb AS (SELECT g, b, count(*) AS c_gb FROM d GROUP BY 1, 2),
 s AS (SELECT g, CAST(sum(c_gb) AS BIGINT) AS n_g FROM sb GROUP BY 1),
@@ -225,7 +230,7 @@ j AS (
          COALESCE(sb.c_gb, 0) AS c_gb
   FROM grid LEFT JOIN sb ON sb.g = grid.g AND sb.b = grid.b
 )
-SELECT g AS source,
+SELECT g AS {out_col},
        max(n_g) AS n_docs,
        CAST(count_if(c_gb > 0) AS BIGINT) AS n_buckets,
        CAST(sum(abs(c_gb * n_tot - c_b * n_g)) AS DOUBLE)
@@ -234,6 +239,10 @@ SELECT g AS source,
 FROM j GROUP BY g
 """
 
+
+_SOURCE_DRIFT_SQL = _drift_sql(
+    "src AS (SELECT source AS g, n_chars FROM documents)", "source"
+)
 
 @golden("dq_source_drift", _SOURCE_DRIFT_SQL, pending=True)
 def q_dq_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,3 +263,63 @@ def q_dq_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(
         docs, "source", "n_chars", bucket_width=100, max_bucket=20
     )
+
+
+_VERSION_DRIFT_SQL = _drift_sql(
+    """src AS (
+  SELECT 'v1' AS g, n_chars FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT 'v2' AS g, n_chars FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT 'v2' AS g, n_chars * 3 AS n_chars FROM documents WHERE doc_id % 10 = 0
+)""",
+    "version",
+)
+
+
+@golden("dq_version_drift", _VERSION_DRIFT_SQL, pending=True)
+def q_dq_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift BETWEEN SNAPSHOT VERSIONS — the ingestion-batch
+    monitor: commit v1 of a document table, append a corrupted batch
+    (n_chars ×3 — a mis-parsed re-crawl), then time-travel BOTH versions
+    and run ``distribution_drift`` with the version as the group. A
+    healthy append leaves v1/v2 histograms near-identical (tvd ≈ 0);
+    the planted corruption surfaces as v2's tvd against the pooled
+    corpus. Integrates the snapshot commit log (write → append →
+    ``snapshot_read`` at pinned versions) with the drift operator; the
+    oracle replays both version states relationally and the same
+    bucket/TVD arithmetic (shared ``_drift_sql`` body — one source of
+    truth)."""
+    import shutil
+    import tempfile
+
+    from bookstore_aws_lakehouse_spark.operators.quality import (
+        distribution_drift,
+    )
+    from bookstore_aws_lakehouse_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_overwrite,
+        snapshot_read,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="blhs_vdrift_")
+    try:
+        table = f"{root}/docs_drift"
+        snapshot_overwrite(docs.filter(F.col("doc_id") % 10 != 0), table)
+        snapshot_append(
+            docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "n_chars", F.col("n_chars") * 3
+            ),
+            table,
+        )
+        v1 = snapshot_read(spark, table, 1).withColumn("version", F.lit("v1"))
+        v2 = snapshot_read(spark, table, 2).withColumn("version", F.lit("v2"))
+        out = distribution_drift(
+            v1.unionByName(v2), "version", "n_chars"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
