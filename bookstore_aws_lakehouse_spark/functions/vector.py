@@ -9,6 +9,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def lit_vec(vals) -> Column:
+    """A constant vector as ONE array literal. ``F.array(*[F.lit(v) ...])``
+    costs one py4j round-trip per element (a 64-dim component embedded
+    this way is ~300 gateway calls of pure driver time per build);
+    ``F.lit(list)`` ships the whole array in a single call. ConstantFolding
+    collapses the old CreateArray-of-literals to the identical array
+    literal, so plans and values are unchanged. Falls back to the
+    per-element form when any element is not a plain float (e.g. a NULL
+    mean off an empty corpus), where list-literal type inference differs."""
+    vals = list(vals)
+    if all(isinstance(v, float) for v in vals):
+        return F.lit(vals)
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate (accumulates in double)."""
     return F.aggregate(

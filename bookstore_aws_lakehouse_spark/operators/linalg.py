@@ -59,7 +59,24 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bookstore_aws_lakehouse_spark.functions.vector import dot
+from bookstore_aws_lakehouse_spark.functions.vector import dot, lit_vec
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of ``functions.vector.dot`` — the identical Catalyst
+    expression (zip_with product fold, double accumulator, left-to-right)
+    built server-side in ONE py4j call. The plan-construction cost of the
+    Column-DSL twin is ~40 ms per dot (lambda variables, casts and the
+    fold each round-trip through py4j); the deflation chain builds dozens
+    of dots, which made driver-side plan construction the top-r rows'
+    dominant LOCAL cost (guide §1.2: per-task work — here per-PLAN work).
+    Cast order, fold order and the 0.0D seed mirror ``dot`` exactly, so
+    the physical expression (and therefore every emitted value) is
+    unchanged."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
 
 
 def _moments_explode(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
@@ -73,15 +90,17 @@ def _moments_explode(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         F.col("_v"),
         F.size("_v").alias("_d"),
     )
+    # the dim-wide array of sums as ONE parsed expression: the Column-DSL
+    # twin (dim × F.sum(F.col·F.get)) costs ~dim·10 py4j round-trips of
+    # pure driver time per build — same aggregate, same `get` (never []:
+    # a shorter vector must flow NULLs into the sums and reach the typed
+    # guard in _assemble_cov, not die on ANSI INVALID_ARRAY_INDEX
+    # mid-aggregation)
+    sums = ", ".join(f"sum(_xi * get(_v, {j}))" for j in range(dim))
     return rows.groupBy("i").agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg("_xi").alias("_m"),
-        # F.get (never []): a shorter vector must flow NULLs into the
-        # sums and reach the typed guard in _assemble_cov, not die on
-        # ANSI INVALID_ARRAY_INDEX mid-aggregation
-        F.array(
-            *[F.sum(F.col("_xi") * F.get(F.col("_v"), j)) for j in range(dim)]
-        ).alias("_s"),
+        F.expr(f"array({sums})").alias("_s"),
         F.min("_d").alias("_dmin"),
         F.max("_d").alias("_dmax"),
     )
@@ -286,35 +305,47 @@ def deflation_frame(
     CollapseProject can never re-nest component k's transform inside
     component k+1's (the lazy-nesting blowup the r16 localCheckpoint
     existed to stop)."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(F.lit(1))
+    # Every stage is built as ONE parsed SQL expression (F.expr): the
+    # Column-DSL construction of this ~30-stage chain cost ~8,600 py4j
+    # round-trips (~3 s of pure driver time per build — measured with
+    # cProfile, 80% of it in socket recv under send_command), which
+    # dominated the top-r rows LOCALLY. The strings spell out the
+    # IDENTICAL expressions (same dot fold/casts/seed via _dot_sql, same
+    # CASE/round/window shapes, PARTITION BY 1 = the old
+    # Window.partitionBy(lit(1))), so plans and values are unchanged —
+    # pinned by tests/test_linalg.py's strict-equality cases and the
+    # PCA rows' 3-SF oracle parity. (A generate-one-CTE-chain variant
+    # that analyzes once was tried and measured SLOWER: a 30+-layer WITH
+    # chain needs >100 Resolution fixed-point iterations, each a full
+    # tree pass — the per-stage withColumn analyses are the cheaper
+    # analyzer schedule.)
+    _W = "OVER (PARTITION BY 1)"
     df = cov_rows
     if with_trace:
         df = df.withColumn(
-            "_trace",
-            F.round(
-                F.sum(F.element_at(F.col("cov"), F.col("i") + 1)).over(w),
-                lam_dp,
-            ),
+            "_trace", F.expr(f"round(sum(element_at(cov, i + 1)) {_W}, {lam_dp})")
         )
     covcol = "cov"
     for k in range(r):
         need_lam = lam_all or k + 1 < r
-        # 1/sqrt(64) = 0.125 exactly; for other dims the start is
-        # rounded by the same JVM convention via the literal embed
-        # (array_repeat: one constant-folded expression, not dim lits)
-        xvec: Column = F.array_repeat(F.lit(1.0 / math.sqrt(dim)), dim)
+        # 1/sqrt(64) = 0.125 exactly; for other dims the start literal
+        # embeds via repr() — the shortest decimal form round-trips to
+        # the identical double (array_repeat: one constant-folded
+        # expression, not dim lits)
+        xvec = f"array_repeat({1.0 / math.sqrt(dim)!r}D, {dim})"
         for t in range(iters):
             # matvec + normalize in ONE projection stage: the rounded
             # matvec y is inlined into both the window norm and the
             # quotient (recomputing a 64-term fold twice per row is
             # cheaper than another Window stage in a 30-stage plan)
-            y = F.round(dot(F.col(covcol), xvec), iter_dp)
-            nrm = F.sqrt(F.sum(y * y).over(w))
+            y = f"round({_dot_sql(covcol, xvec)}, {iter_dp})"
+            nrm = f"sqrt(sum(({y}) * ({y})) {_W})"
             df = df.withColumn(
                 "_x",
-                F.when(nrm > 0, F.round(y / nrm, iter_dp)).otherwise(y),
+                F.expr(
+                    f"CASE WHEN ({nrm}) > 0 THEN round(({y}) / ({nrm}), "
+                    f"{iter_dp}) ELSE ({y}) END"
+                ),
             )
             if t + 1 < iters or need_lam:
                 # the full iterate vector, re-assembled per row via a
@@ -323,37 +354,33 @@ def deflation_frame(
                 # Skipped when nothing downstream consumes it.
                 df = df.withColumn(
                     "_xv",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("i", "_x")).over(w)
-                        ),
-                        lambda s: s["_x"],
+                    F.expr(
+                        f"transform(array_sort(collect_list(struct(i, _x))"
+                        f" {_W}), s -> s._x)"
                     ),
                 )
-                xvec = F.col("_xv")
+                xvec = "_xv"
         df = df.withColumn(f"_x{k}", F.col("_x"))
         if need_lam:
             # Rayleigh quotient as one more windowed sum over the same
             # rows — λ rounds COARSE (lam_dp): it feeds the deflation
             # literal (module docstring)
-            ylast = F.round(dot(F.col(covcol), F.col("_xv")), iter_dp)
+            ylast = f"round({_dot_sql(covcol, '_xv')}, {iter_dp})"
             df = df.withColumn(
                 f"_lam{k}",
-                F.round(F.sum(F.col("_x") * ylast).over(w), lam_dp),
+                F.expr(f"round(sum(_x * ({ylast})) {_W}, {lam_dp})"),
             )
         if k + 1 < r:
             # Hotelling deflation as a column: C_{k+1}[i][j] =
             # round(C_k[i][j] − λ·x_i·x_j, lam_dp), multiply order fixed
-            # (λ·x_i then ·x_j) so both engines compute every entry
-            # bit-identically from the identical rounded inputs
-            lam, x_i, xv = F.col(f"_lam{k}"), F.col("_x"), F.col("_xv")
+            # (λ·x_i then ·x_j — SQL * is left-associative) so both
+            # engines compute every entry bit-identically from the
+            # identical rounded inputs
             df = df.withColumn(
                 f"_c{k + 1}",
-                F.transform(
-                    F.col(covcol),
-                    lambda c, j: F.round(
-                        c - lam * x_i * F.element_at(xv, j + 1), lam_dp
-                    ),
+                F.expr(
+                    f"transform({covcol}, (c, j) -> round(c - _lam{k} * _x"
+                    f" * element_at(_xv, j + 1), {lam_dp}))"
                 ),
             )
             covcol = f"_c{k + 1}"
@@ -483,10 +510,8 @@ def pc_scores(
     (id, score), score = round((v − m)·u, round_dp). Pure map-side — the
     component and mean ride as literals; nothing shuffles."""
     v = F.col(vec_col).cast("array<double>")
-    centered = F.zip_with(
-        v, F.array(*[F.lit(m) for m in means]), lambda a, b: a - b
-    )
-    u = F.array(*[F.lit(c) for c in loadings])
+    centered = F.zip_with(v, lit_vec(means), lambda a, b: a - b)
+    u = lit_vec(loadings)
     return df.select(
         F.col(id_col),
         F.round(dot(centered, u), round_dp).alias("score"),
@@ -582,13 +607,11 @@ def pc_project(
             f"pc_project: {r} components but {len(whiten)} eigenvalues"
         )
     v = F.col(vec_col).cast("array<double>")
-    centered = F.zip_with(
-        v, F.array(*[F.lit(m) for m in means]), lambda a, b: a - b
-    )
+    centered = F.zip_with(v, lit_vec(means), lambda a, b: a - b)
     out = df.withColumn("_c", centered)
     scores = []
     for k, comp in enumerate(components):
-        u = F.array(*[F.lit(c) for c in comp])
+        u = lit_vec(comp)
         s: Column = dot(F.col("_c"), u)
         if whiten is not None:
             lam = float(whiten[k])

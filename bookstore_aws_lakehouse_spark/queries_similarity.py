@@ -1379,7 +1379,8 @@ def q_embedding_pc_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = covariance_rows(emb, "embedding", dim=64, round_dp=6).persist()
     try:
         u = power_iteration(cov, dim=64, iters=3, round_dp=9)
-        ul = F.array(*[F.lit(c) for c in u])
+        from bookstore_aws_lakehouse_spark.functions.vector import lit_vec
+        ul = lit_vec(u)
         out = cov.agg(
             F.round(
                 F.sum(F.element_at(ul, F.col("i") + 1) * dot(F.col("cov"), ul)),
@@ -1791,12 +1792,11 @@ def q_embedding_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — 64 rows / ~192 doubles to the driver, bounded by embedding width
     rows = frame.select("i", "mean", "_x0", "_x1").orderBy("i").collect()
     means = [r["mean"] for r in rows]
-    u0 = F.array(*[F.lit(r["_x0"]) for r in rows])
-    u1 = F.array(*[F.lit(r["_x1"]) for r in rows])
+    from bookstore_aws_lakehouse_spark.functions.vector import lit_vec
+    u0 = lit_vec([r["_x0"] for r in rows])
+    u1 = lit_vec([r["_x1"] for r in rows])
     v = F.col("embedding").cast("array<double>")
-    centered = F.zip_with(
-        v, F.array(*[F.lit(m) for m in means]), lambda a, b: a - b
-    )
+    centered = F.zip_with(v, lit_vec(means), lambda a, b: a - b)
     scored = (
         emb.withColumn("_c", centered)
         .select(
