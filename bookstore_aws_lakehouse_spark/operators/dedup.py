@@ -1111,7 +1111,7 @@ def connected_components(
     max_iter: int = 20,
     reliable: bool = False,
     checkpoint_dir: str | None = None,
-    check_every: int = 2,
+    check_every: int = 1,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into groups: every doc gets the MIN id
     reachable through the pair graph (the canonical representative), via
@@ -1130,11 +1130,20 @@ def connected_components(
     round state to the reliable checkpoint directory (HDFS/S3 in
     production) so iteration state survives executor loss.
 
-    Driver round-trips: the convergence count is a full extra job per
-    check, so it runs every ``check_every`` rounds (default 2) instead of
-    every round — worst case one extra (cheap, already-converged) join
-    round in exchange for half the count jobs. Round 0 never checks: a
-    non-trivial graph cannot have converged before any propagation.
+    Driver round-trips: the convergence probe is one extra job per
+    check, run every ``check_every`` rounds. The default is 1 (probe
+    after every propagation round): the probe is a NODE-sized max()
+    over the just-pinned label blocks, while a skipped probe's price is
+    a whole extra EDGE-sized join round — and on a duplicate graph
+    edges ≥ nodes, so at scale (and measured at sf0.1: probe 0.12-0.39 s
+    vs join round 0.8-1.4 s on the dedup_clusters input, which converges
+    after round 1) the probe is always the cheaper side of that trade.
+    The old default of 2 halved the probe jobs but ran every clusters
+    row one converged-but-full join round past its fixpoint.
+    ``check_every > 1`` remains for graphs known to need many rounds
+    (long chains), where intermediate probes cannot break early anyway.
+    Round 0 never checks: a non-trivial graph cannot have converged
+    before any propagation.
 
     Scale contract: this operator consumes whatever pair volume its
     caller emits — at a low threshold that volume, not the candidate
