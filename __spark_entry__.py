@@ -186,6 +186,16 @@ _FORCE_REVERIFY: dict[str, int] = {
     "embedding_top_pc": 14,
     "embedding_pc_variance": 14,
     "embedding_top_pcs": 14,
+    # r14 (VERDICT r14 #1): the z-order bucket rank was rewritten to a
+    # binary search (a2df699) and connected-components probes every round
+    # (959b90d) — values identical by construction and by 3-SF parity, but
+    # none of the five consumers is in the r14 driver window, so their
+    # greens predate the change. Force the r15 window to re-verify first.
+    "snapshot_zorder_prune": 14,
+    "snapshot_zorder_time_prune": 14,
+    "dedup_clusters": 14,
+    "dedup_clusters_capped": 14,
+    "embedding_dedup_survivors": 14,
 }
 
 

@@ -742,8 +742,11 @@ def main() -> None:
     with open(prev_path, "w") as f:
         json.dump(prev_store, f, indent=1, sort_keys=True)
 
-    # the ONLY stdout line — compact enough (<400 B) that any tail capture
-    # keeps it whole and the last-line parse always succeeds
+    # the ONLY stdout line. Per-query timings ride along (VERDICT r14 #2:
+    # the driver's PERF comparator reads only this line, so without them
+    # its per-query/regression/scaling tables come back empty every
+    # round); compact separators + 3-decimal rounding keep the line ~4 KB
+    # for 107 rows, well inside any sane tail capture.
     print(
         json.dumps(
             {
@@ -751,6 +754,7 @@ def main() -> None:
                 "value": detail["value"],
                 "unit": "sec",
                 "n_queries": len(timings),
+                "queries": {q: round(s, 3) for q, s in timings.items()},
                 "sf": detail["sf"],
                 "max_ext_busy": max(query_ext_load.values(), default=0.0),
                 "common_vs_prev_ratio": (
@@ -766,7 +770,8 @@ def main() -> None:
                     1 for a in adjudication.values() if "prev_s" in a
                 ),
                 "detail": "BENCH_DETAIL.json",
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
